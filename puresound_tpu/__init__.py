@@ -1,0 +1,17 @@
+"""puresound_tpu — a TPU-native speech enhancement / source separation framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the PureSound
+toolkit (reference: mcw519/PureSound): noise suppression (NS), target speech
+extraction (TSE, incl. personal VAD), and distance-based speech separation
+(DSS), built TPU-first:
+
+- All recurrences are `lax.scan`; all hot ops are large batched matmuls that
+  map onto the MXU (conv-STFT/iSTFT as framed matmuls, LSTM gates as fused
+  input projections, dual-path chunking as [N*S] batching).
+- Streaming inference is a stateful jitted step function with an explicit
+  state pytree, batched over concurrent streams.
+- Scaling is expressed with `jax.sharding.Mesh` + pjit (data-parallel batch
+  sharding with XLA all-reduce), not host-side replication.
+"""
+
+__version__ = "0.1.0"

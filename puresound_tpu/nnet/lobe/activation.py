@@ -1,0 +1,47 @@
+"""Activation registry (parity: puresound/nnet/lobe/activation.py:11-21)."""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class PReLU(nn.Module):
+    """PReLU with a single learnable slope (torch default init 0.25)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda key: jnp.asarray([self.init], jnp.float32))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class ReLU(nn.Module):
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+class Mish(nn.Module):
+    def __call__(self, x):
+        return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class Sigmoid(nn.Module):
+    def __call__(self, x):
+        return jax.nn.sigmoid(x)
+
+
+class Tanh(nn.Module):
+    def __call__(self, x):
+        return jnp.tanh(x)
+
+
+_REGISTRY = {"relu": ReLU, "prelu": PReLU, "mish": Mish,
+             "sigmoid": Sigmoid, "tanh": Tanh}
+
+
+def get_activation(name: str):
+    if name.lower() not in _REGISTRY:
+        raise NameError(f"Could not interpret activation identifier: {name}")
+    return _REGISTRY[name.lower()]

@@ -1,0 +1,264 @@
+"""Conv building blocks: depthwise-separable dilated conv, FFC.
+
+Parity: puresound/nnet/lobe/cnn.py (DepthwiseSeparableConv1d :9,
+SpectralTransform :109, FFC :184).
+
+Convs are expressed with explicit zero-pad + VALID `lax.conv_general_dilated`
+so causal trimming semantics are reproduced exactly while XLA keeps full
+freedom to fuse.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .norm import get_norm, apply_norm
+from .activation import PReLU
+
+
+def _uniform_init(scale):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+    return init
+
+
+class Conv1d(nn.Module):
+    """torch-compatible Conv1d on [N, C, T] (explicit symmetric padding)."""
+
+    in_channels: int
+    out_channels: int
+    kernel: int = 1
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+
+    def setup(self):
+        k = self.groups / (self.in_channels * self.kernel)
+        scale = np.sqrt(k)
+        self.w = self.param("w", _uniform_init(scale),
+                            (self.out_channels, self.in_channels // self.groups, self.kernel))
+        if self.use_bias:
+            self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding:
+            x = jnp.pad(x, ((0, 0), (0, 0), (self.padding, self.padding)))
+        y = jax.lax.conv_general_dilated(
+            x, self.w.astype(x.dtype), window_strides=(self.stride,), padding="VALID",
+            rhs_dilation=(self.dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            y = y + self.b.astype(x.dtype)[None, :, None]
+        return y
+
+
+class Conv2d(nn.Module):
+    """torch-compatible Conv2d on [N, C, H, W]; explicit asymmetric padding.
+
+    `pad` is ((top, bottom), (left, right)) on (H, W).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    use_bias: bool = True
+
+    def setup(self):
+        k = 1.0 / (self.in_channels * self.kernel[0] * self.kernel[1])
+        scale = np.sqrt(k)
+        self.w = self.param("w", _uniform_init(scale),
+                            (self.out_channels, self.in_channels, *self.kernel))
+        if self.use_bias:
+            self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jax.lax.conv_general_dilated(
+            x, self.w.astype(x.dtype), window_strides=self.stride, padding=self.pad,
+            rhs_dilation=self.dilation, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.use_bias:
+            y = y + self.b.astype(x.dtype)[None, :, None, None]
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """torch-compatible ConvTranspose2d (padding / output_padding semantics).
+
+    out = (in-1)*stride - 2*padding + dilation*(kernel-1) + output_padding + 1
+    Implemented as an input-dilated conv with the flipped kernel so shapes and
+    values match torch exactly.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    output_padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    def setup(self):
+        k = 1.0 / (self.out_channels * self.kernel[0] * self.kernel[1])
+        scale = np.sqrt(k)
+        # torch layout: [in, out, kH, kW]
+        self.w = self.param("w", _uniform_init(scale),
+                            (self.in_channels, self.out_channels, *self.kernel))
+        if self.use_bias:
+            self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = jnp.flip(self.w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # [out, in, kH, kW]
+        pads = []
+        for d in range(2):
+            lo = self.dilation[d] * (self.kernel[d] - 1) - self.padding[d]
+            hi = lo + self.output_padding[d]
+            pads.append((lo, hi))
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1), padding=pads,
+            lhs_dilation=self.stride, rhs_dilation=self.dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.use_bias:
+            y = y + self.b.astype(x.dtype)[None, :, None, None]
+        return y
+
+
+class DepthwiseSeparableConv1d(nn.Module):
+    """(optional 1x1-in) -> depthwise dilated conv -> 1x1-out, each norm+PReLU.
+
+    Causal mode pads symmetrically then trims the right `padding` samples at
+    the block output, matching cnn.py:100-101.
+    """
+
+    in_channels: int
+    out_channels: int
+    hid_channels: Optional[int] = None
+    norm_cls: str = "gGN"
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    skip: bool = False
+    causal: bool = False
+
+    def setup(self):
+        if self.causal and self.norm_cls in ("gLN", "gGN"):
+            raise ValueError("Conflict between global normalization and causal operation.")
+        norm = get_norm(self.norm_cls)
+        hid = self.hid_channels if self.hid_channels is not None else self.in_channels
+        self._hid = hid
+        self._padding = ((self.kernel - 1) * self.dilation if self.causal
+                         else ((self.kernel - 1) // 2) * self.dilation)
+        if self.hid_channels is not None:
+            self.in_conv = Conv1d(self.in_channels, hid, 1)
+            self.in_norm = norm(hid)
+            self.in_act = PReLU()
+        self.dw_conv = Conv1d(hid, hid, self.kernel, stride=self.stride,
+                              dilation=self.dilation, padding=self._padding, groups=hid)
+        self.dw_norm = norm(hid)
+        self.dw_act = PReLU()
+        self.pw_conv = Conv1d(hid, self.out_channels, 1)
+        self.pw_norm = norm(self.out_channels)
+        self.pw_act = PReLU()
+        if self.skip:
+            self.skip_conv = Conv1d(self.in_channels, self.out_channels, 1)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        res = x
+        if self.hid_channels is not None:
+            res = self.in_act(apply_norm(self.in_norm, self.in_conv(res), train))
+        res = self.dw_act(apply_norm(self.dw_norm, self.dw_conv(res), train))
+        res = self.pw_act(apply_norm(self.pw_norm, self.pw_conv(res), train))
+        if self.causal and self._padding:
+            res = res[..., : -self._padding]
+        if self.skip:
+            res = res + self.skip_conv(x)
+        return res
+
+
+class SpectralTransform(nn.Module):
+    """FFC spectral branch: rFFT along freq inside a conv block.
+
+    Parity: cnn.py:109-181. x: [N, CH, C, T].
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    causal: bool = True
+
+    def setup(self):
+        kf, kt = self.kernel_size
+        freq_pad = (kf // 2, kf // 2)
+        time_pad = (kt - 1, 0) if self.causal else (kt // 2, kt // 2)
+        self.in_conv = Conv2d(self.in_channels, self.out_channels, self.kernel_size,
+                              stride=self.stride, pad=(freq_pad, time_pad))
+        self.in_bn = get_norm("bN2d")(self.out_channels)
+        self.fft_conv = Conv2d(2 * self.out_channels, 2 * self.out_channels, (1, 1))
+        self.fft_bn = get_norm("bN2d")(2 * self.out_channels)
+        self.out_conv = Conv2d(self.out_channels, self.out_channels, (1, 1))
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = jax.nn.relu(apply_norm(self.in_bn, self.in_conv(x), train))
+        ffted = jnp.fft.rfft(x, axis=2)
+        cat = jnp.concatenate([ffted.real, ffted.imag], axis=1)
+        cat = jax.nn.relu(apply_norm(self.fft_bn, self.fft_conv(cat), train))
+        re, im = jnp.split(cat, 2, axis=1)
+        ffted = jnp.fft.irfft(re + 1j * im, n=x.shape[2], axis=2)
+        return self.out_conv(x + ffted.astype(x.dtype))
+
+
+class FFC(nn.Module):
+    """Fast Fourier Convolution block (global/local channel split).
+
+    Parity: cnn.py:184-291. x: [N, CH, C, T].
+    """
+
+    in_channels: int
+    out_channels: int
+    alpha: float = 0.3
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    causal: bool = True
+
+    def setup(self):
+        self.fft_in_ch = int(self.in_channels * self.alpha)
+        self.fft_out_ch = int(self.out_channels * self.alpha)
+        self.local_in_ch = self.in_channels - self.fft_in_ch
+        self.local_out_ch = self.out_channels - self.fft_out_ch
+        kf, kt = self.kernel_size
+        freq_pad = (kf // 2, kf // 2)
+        time_pad = (kt - 1, 0) if self.causal else (kt // 2, kt // 2)
+        pad = (freq_pad, time_pad)
+        self.global_spec_trans = SpectralTransform(
+            self.fft_in_ch, self.fft_out_ch, self.kernel_size, self.stride, self.causal)
+        self.global_conv = Conv2d(self.fft_in_ch, self.local_out_ch,
+                                  self.kernel_size, stride=self.stride, pad=pad)
+        self.local_global_conv = Conv2d(self.local_in_ch, self.fft_out_ch,
+                                        self.kernel_size, stride=self.stride, pad=pad)
+        self.local_local_conv = Conv2d(self.local_in_ch, self.local_out_ch,
+                                       self.kernel_size, stride=self.stride, pad=pad)
+        self.global_bn = get_norm("bN2d")(self.fft_out_ch)
+        self.local_bn = get_norm("bN2d")(self.local_out_ch)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        global_in = x[:, : self.fft_in_ch]
+        local_in = x[:, self.fft_in_ch :]
+        ffted = self.global_spec_trans(global_in, train)
+        g2l = self.global_conv(global_in)
+        l2g = self.local_global_conv(local_in)
+        l2l = self.local_local_conv(local_in)
+        global_out = jax.nn.relu(apply_norm(self.global_bn, ffted + l2g, train))
+        local_out = jax.nn.relu(apply_norm(self.local_bn, g2l + l2l, train))
+        return jnp.concatenate([local_out, global_out], axis=1)

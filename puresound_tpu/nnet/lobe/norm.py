@@ -1,0 +1,193 @@
+"""Normalization layers over channel-first [N, C, T] (or [N, CH, C, T]) data.
+
+Parity targets: puresound/nnet/lobe/norm.py (GlobLN :20, ChanLN :37,
+InstantLN :53, LayerNorm2D :71, aliases :91-97, registry :100).
+
+All stats are computed in float32 regardless of input dtype (bf16-safe).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _moments(x, axes):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=axes, keepdims=True)
+    return mean, var
+
+
+class _GainBiasLN(nn.Module):
+    """Shared gamma/beta of shape [C] applied on the channel axis (dim 1)."""
+
+    channel_size: int
+    eps: float = 1e-8
+
+    def _affine(self, normed):
+        gamma = self.param("gamma", nn.initializers.ones, (self.channel_size,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channel_size,))
+        # channel axis is dim 1; broadcast gamma/beta over trailing dims
+        shape = (1, self.channel_size) + (1,) * (normed.ndim - 2)
+        return normed * gamma.reshape(shape) + beta.reshape(shape)
+
+
+class GlobLN(_GainBiasLN):
+    """Global layer norm: normalize over every non-batch dim."""
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim))
+        mean, var = _moments(x, axes)
+        normed = ((x - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return self._affine(normed)
+
+
+class ChanLN(_GainBiasLN):
+    """Channel-wise layer norm: normalize over the channel dim only."""
+
+    @nn.compact
+    def __call__(self, x):
+        mean, var = _moments(x, (1,))
+        normed = ((x - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return self._affine(normed)
+
+
+class InstantLN(_GainBiasLN):
+    """Instant layer norm over (channel, freq) of a [N, CH, C, T] tensor."""
+
+    @nn.compact
+    def __call__(self, x):
+        N, CH, C, T = x.shape
+        flat = x.reshape(N, CH * C, T)
+        mean, var = _moments(flat, (1,))
+        normed = ((flat - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return self._affine(normed).reshape(N, CH, C, T)
+
+
+class LayerNorm2D(nn.Module):
+    """Channel+frequency layer norm for [N, CH, C, T] with [1,CH,C,1] affine.
+
+    Uses the unbiased std (ddof=1) to match torch `.std()` semantics
+    (norm.py:85).
+    """
+
+    ch: int
+    f: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("w", nn.initializers.ones, (1, self.ch, self.f, 1))
+        b = self.param("b", lambda key, shape: 1e-4 * jnp.ones(shape), (1, self.ch, self.f, 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        n = x.shape[1] * x.shape[2]
+        var = jnp.sum((xf - mean) ** 2, axis=(1, 2), keepdims=True) / max(n - 1, 1)
+        std = jnp.sqrt(var)
+        return (((xf - mean) / (std + self.eps)) * w + b).astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the channel axis (dim 1) of channel-first tensors.
+
+    Equivalent of torch BatchNorm1d/2d for [N, C, T] / [N, C, H, W]; keeps
+    running stats in the `batch_stats` collection.
+    """
+
+    channel_size: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        reduce_axes = (0,) + tuple(range(2, x.ndim))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.channel_size,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.channel_size,), jnp.float32))
+        gamma = self.param("scale", nn.initializers.ones, (self.channel_size,))
+        beta = self.param("bias", nn.initializers.zeros, (self.channel_size,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean((xf - mean.reshape((1, -1) + (1,) * (x.ndim - 2))) ** 2,
+                           axis=reduce_axes)
+            n = 1
+            for a in reduce_axes:
+                n *= x.shape[a]
+            unbiased = var * n / max(n - 1, 1)
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        shape = (1, self.channel_size) + (1,) * (x.ndim - 2)
+        normed = (x.astype(jnp.float32) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + self.eps)
+        return (normed * gamma.reshape(shape) + beta.reshape(shape)).astype(x.dtype)
+
+
+class GroupNorm1(_GainBiasLN):
+    """GroupNorm with a single group == layer norm over (C, *), eps 1e-8.
+
+    The reference's `gGN` alias (norm.py:96). Identical math to GlobLN for
+    [N, C, T] but kept as a distinct name for registry parity.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim))
+        mean, var = _moments(x, axes)
+        normed = ((x - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return self._affine(normed)
+
+
+class LayerNormLast(nn.Module):
+    """torch-style nn.LayerNorm over the LAST dim (eps 1e-5, affine)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean, var = _moments(x, (-1,))
+        normed = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.eps)
+        return (normed * gamma + beta).astype(x.dtype)
+
+
+# Registry (aliases mirror norm.py:91-97)
+gLN = GlobLN
+cLN = ChanLN
+iLN = InstantLN
+bN1d = BatchNorm
+bN2d = BatchNorm
+gGN = GroupNorm1
+LN2D = LayerNorm2D
+
+_REGISTRY = {"gLN": GlobLN, "cLN": ChanLN, "iLN": InstantLN,
+             "bN1d": BatchNorm, "bN2d": BatchNorm, "gGN": GroupNorm1}
+
+_IS_BATCHNORM = {"bN1d", "bN2d"}
+
+
+def get_norm(name: str) -> Callable[..., Any]:
+    if name not in _REGISTRY:
+        raise NameError(f"Could not interpret normalization identifier: {name}")
+    return _REGISTRY[name]
+
+
+def is_batchnorm(name: str) -> bool:
+    return name in _IS_BATCHNORM
+
+
+def apply_norm(norm_module, x, train: bool = False):
+    """Call a norm module, passing `train` only to BatchNorm."""
+    if isinstance(norm_module, BatchNorm):
+        return norm_module(x, train=train)
+    return norm_module(x)

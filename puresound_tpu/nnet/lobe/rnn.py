@@ -1,0 +1,331 @@
+"""Recurrent primitives: scan LSTM/GRU (the keystone cell), SingleRNN, FSMN.
+
+The `LSTM` here is the single definition reused by DPRNN / SkiM offline
+(lax.scan over time) and by the streaming engine (single `step`), which makes
+offline <-> streaming equivalence structural rather than empirical
+(SURVEY.md §7 stage 2).
+
+TPU notes: the input projection x @ W_ih for ALL timesteps is hoisted out of
+the scan as one large [B*T, C] x [C, 4H] matmul (MXU); the scan body is a
+single [B, H] x [H, 4H] matmul plus elementwise gates (fused by XLA).
+
+Parity: puresound/nnet/lobe/rnn.py (SingleRNN :9, FSMN :56,
+ConditionFSMN :134); torch nn.LSTM gate order (i, f, g, o) and double-bias
+parameterization are preserved so reference checkpoints map 1:1.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .norm import get_norm, apply_norm, is_batchnorm
+
+
+def _uniform_init(scale):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-scale, maxval=scale)
+    return init
+
+
+class LSTMCellParams(nn.Module):
+    """One direction of a single-layer LSTM (torch-compatible params)."""
+
+    in_features: int
+    hidden: int
+
+    def setup(self):
+        k = 1.0 / np.sqrt(self.hidden)
+        self.w_ih = self.param("w_ih", _uniform_init(k), (self.in_features, 4 * self.hidden))
+        self.w_hh = self.param("w_hh", _uniform_init(k), (self.hidden, 4 * self.hidden))
+        self.b_ih = self.param("b_ih", _uniform_init(k), (4 * self.hidden,))
+        self.b_hh = self.param("b_hh", _uniform_init(k), (4 * self.hidden,))
+
+    def input_proj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Hoisted input projection for a whole sequence. x: [..., C] -> [..., 4H]."""
+        return x @ self.w_ih + self.b_ih + self.b_hh
+
+    def gates_step(self, xp_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """One recurrence step from a pre-projected input. All [B, *]."""
+        gates = xp_t + h @ self.w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new
+
+    def step(self, x_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """One step from a raw input. x_t: [B, C]."""
+        return self.gates_step(self.input_proj(x_t), h, c)
+
+    def scan(self, x: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray, reverse: bool = False):
+        """Run over a sequence. x: [B, T, C] -> (y [B, T, H], (hT, cT))."""
+        xp = self.input_proj(x)  # [B, T, 4H]
+        xp_t = jnp.swapaxes(xp, 0, 1)  # [T, B, 4H]
+
+        def body(carry, xt):
+            h, c = carry
+            h, c = self.gates_step(xt, h, c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), xp_t, reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), (hT, cT)
+
+
+class LSTM(nn.Module):
+    """Single-layer (optionally bidirectional) LSTM, batch-first.
+
+    __call__(x [B, T, C], init=None) -> (y [B, T, D*H], (h [D,B,H], c [D,B,H]))
+    """
+
+    in_features: int
+    hidden: int
+    bidirectional: bool = False
+
+    def setup(self):
+        self.fwd = LSTMCellParams(self.in_features, self.hidden)
+        if self.bidirectional:
+            self.bwd = LSTMCellParams(self.in_features, self.hidden)
+
+    @property
+    def num_directions(self):
+        return 2 if self.bidirectional else 1
+
+    def __call__(self, x: jnp.ndarray,
+                 init: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        B = x.shape[0]
+        if init is None:
+            h0 = jnp.zeros((self.num_directions, B, self.hidden), x.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = init
+        y_f, (hf, cf) = self.fwd.scan(x, h0[0], c0[0])
+        if not self.bidirectional:
+            return y_f, (hf[None], cf[None])
+        y_b, (hb, cb) = self.bwd.scan(x, h0[1], c0[1], reverse=True)
+        y = jnp.concatenate([y_f, y_b], axis=-1)
+        return y, (jnp.stack([hf, hb]), jnp.stack([cf, cb]))
+
+    def step(self, x_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """Single-frame step (uni-directional only). x_t: [B, C], h/c: [1, B, H]."""
+        if self.bidirectional:
+            raise ValueError("step() is only defined for uni-directional LSTM")
+        h1, c1 = self.fwd.step(x_t, h[0], c[0])
+        return h1, (h1[None], c1[None])
+
+
+class GRUCellParams(nn.Module):
+    """One direction of a single-layer GRU (torch gate order r, z, n)."""
+
+    in_features: int
+    hidden: int
+
+    def setup(self):
+        k = 1.0 / np.sqrt(self.hidden)
+        self.w_ih = self.param("w_ih", _uniform_init(k), (self.in_features, 3 * self.hidden))
+        self.w_hh = self.param("w_hh", _uniform_init(k), (self.hidden, 3 * self.hidden))
+        self.b_ih = self.param("b_ih", _uniform_init(k), (3 * self.hidden,))
+        self.b_hh = self.param("b_hh", _uniform_init(k), (3 * self.hidden,))
+
+    def scan(self, x, h0, reverse: bool = False):
+        xp = x @ self.w_ih + self.b_ih  # [B, T, 3H]
+        xp_t = jnp.swapaxes(xp, 0, 1)
+
+        def body(h, xt):
+            hp = h @ self.w_hh + self.b_hh
+            xr, xz, xn = jnp.split(xt, 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1 - z) * n + z * h
+            return h_new, h_new
+
+        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), hT
+
+
+class VanillaRNNCellParams(nn.Module):
+    """Elman RNN with tanh (torch nn.RNN default)."""
+
+    in_features: int
+    hidden: int
+
+    def setup(self):
+        k = 1.0 / np.sqrt(self.hidden)
+        self.w_ih = self.param("w_ih", _uniform_init(k), (self.in_features, self.hidden))
+        self.w_hh = self.param("w_hh", _uniform_init(k), (self.hidden, self.hidden))
+        self.b_ih = self.param("b_ih", _uniform_init(k), (self.hidden,))
+        self.b_hh = self.param("b_hh", _uniform_init(k), (self.hidden,))
+
+    def scan(self, x, h0, reverse: bool = False):
+        xp = x @ self.w_ih + self.b_ih + self.b_hh
+        xp_t = jnp.swapaxes(xp, 0, 1)
+
+        def body(h, xt):
+            h_new = jnp.tanh(xt + h @ self.w_hh)
+            return h_new, h_new
+
+        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), hT
+
+
+class SingleRNN(nn.Module):
+    """1-layer RNN/LSTM/GRU + dropout + linear projection back to input size.
+
+    [N, C, T] in/out. Parity: puresound/nnet/lobe/rnn.py:9-53.
+    """
+
+    rnn_type: str
+    input_size: int
+    hidden_size: int
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    def setup(self):
+        rt = self.rnn_type.upper()
+        if rt not in ("RNN", "LSTM", "GRU"):
+            raise ValueError(f"unsupported rnn type {self.rnn_type}")
+        self._rt = rt
+        D = 2 if self.bidirectional else 1
+        if rt == "LSTM":
+            self.rnn = LSTM(self.input_size, self.hidden_size, self.bidirectional)
+        elif rt == "GRU":
+            self.cell_f = GRUCellParams(self.input_size, self.hidden_size)
+            if self.bidirectional:
+                self.cell_b = GRUCellParams(self.input_size, self.hidden_size)
+        else:
+            self.cell_f = VanillaRNNCellParams(self.input_size, self.hidden_size)
+            if self.bidirectional:
+                self.cell_b = VanillaRNNCellParams(self.input_size, self.hidden_size)
+        self.proj = nn.Dense(self.input_size,
+                             kernel_init=_uniform_init(1.0 / np.sqrt(D * self.hidden_size)),
+                             bias_init=_uniform_init(1.0 / np.sqrt(D * self.hidden_size)))
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: [N, C, T] -> [N, C, T]."""
+        h = jnp.swapaxes(x, 1, 2)  # [N, T, C]
+        B = h.shape[0]
+        if self._rt == "LSTM":
+            y, _ = self.rnn(h)
+        else:
+            h0 = jnp.zeros((B, self.hidden_size), h.dtype)
+            y_f, _ = self.cell_f.scan(h, h0)
+            if self.bidirectional:
+                y_b, _ = self.cell_b.scan(h, h0, reverse=True)
+                y = jnp.concatenate([y_f, y_b], axis=-1)
+            else:
+                y = y_f
+        y = self.drop(y, deterministic=not train)
+        y = self.proj(y)
+        return jnp.swapaxes(y, 1, 2)
+
+
+class FSMN(nn.Module):
+    """Feedforward sequential memory network layer.
+
+    (x [N,C,T], memory [N,P,T]) -> (out [N,C,T], new memory [N,P,T]).
+    Parity: puresound/nnet/lobe/rnn.py:56-131.
+    """
+
+    input_dim: int
+    output_dim: int
+    project_dim: int
+    l_context: int
+    r_context: int
+    dilation: int = 1
+    dropout: float = 0.0
+    norm_type: str = "bN1d"
+
+    def setup(self):
+        k_in = 1.0 / np.sqrt(self.input_dim)
+        self.in_proj_w = self.param("in_proj_w", _uniform_init(k_in),
+                                    (self.project_dim, self.input_dim, 1))
+        ksize = self.l_context + self.r_context + 1
+        k_ctx = 1.0 / np.sqrt(ksize)
+        self.ctx_w = self.param("ctx_w", _uniform_init(k_ctx),
+                                (self.project_dim, 1, ksize))
+        k_out = 1.0 / np.sqrt(self.project_dim)
+        self.out_proj_w = self.param("out_proj_w", _uniform_init(k_out),
+                                     (self.output_dim, self.project_dim, 1))
+        self.out_proj_b = self.param("out_proj_b", _uniform_init(k_out),
+                                     (self.output_dim,))
+        self.out_norm = get_norm(self.norm_type)(self.output_dim)
+        self.drop = nn.Dropout(self.dropout)
+
+    def _project_in(self, x):
+        return jnp.einsum("nct,pc->npt", x, self.in_proj_w[:, :, 0])
+
+    def _context(self, proj):
+        pad = jnp.pad(proj, ((0, 0), (0, 0), (self.l_context, self.r_context)))
+        return jax.lax.conv_general_dilated(
+            pad, self.ctx_w, window_strides=(1,), padding="VALID",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=self.project_dim,
+        )
+
+    def _out(self, proj, train):
+        out = jnp.einsum("npt,op->not", proj, self.out_proj_w[:, :, 0]) + self.out_proj_b[None, :, None]
+        out = apply_norm(self.out_norm, out, train=train)
+        out = jax.nn.relu(out)
+        out = self.drop(out, deterministic=not train)
+        return out
+
+    def __call__(self, x, memory=None, train: bool = False):
+        proj = self._project_in(x)
+        ctx = self._context(proj)
+        proj = proj + ctx
+        if memory is not None:
+            proj = proj + memory
+        return self._out(proj, train), proj
+
+
+class ConditionFSMN(FSMN):
+    """FSMN with speaker-embedding conditioning (concat-proj or FiLM).
+
+    Parity: puresound/nnet/lobe/rnn.py:134-220.
+    """
+
+    embed_dim: int = 0
+    use_film: bool = False
+
+    def setup(self):
+        super().setup()
+        if not self.use_film:
+            k = 1.0 / np.sqrt(self.project_dim + self.embed_dim)
+            self.embed_proj_w = self.param(
+                "embed_proj_w", _uniform_init(k),
+                (self.project_dim, self.project_dim + self.embed_dim, 1))
+        else:
+            k = 1.0 / np.sqrt(self.embed_dim)
+            self.cond_scale_w = self.param("cond_scale_w", _uniform_init(k),
+                                           (self.project_dim, self.embed_dim, 1))
+            self.cond_bias_w = self.param("cond_bias_w", _uniform_init(k),
+                                          (self.project_dim, self.embed_dim, 1))
+
+    def __call__(self, x, embed, memory=None, train: bool = False):
+        proj = self._project_in(x)
+        ctx = self._context(proj)
+        if not self.use_film:
+            T = x.shape[-1]
+            e = jnp.broadcast_to(embed[:, :, None], (embed.shape[0], embed.shape[1], T))
+            condi = jnp.concatenate([ctx, e], axis=1)
+            condi = jnp.einsum("nct,pc->npt", condi, self.embed_proj_w[:, :, 0])
+            proj = proj + ctx + condi
+        else:
+            scale = jnp.einsum("ne,pe->np", embed, self.cond_scale_w[:, :, 0])[:, :, None]
+            bias = jnp.einsum("ne,pe->np", embed, self.cond_bias_w[:, :, 0])[:, :, None]
+            proj = scale * proj + bias
+            ctx = scale * ctx + bias
+            proj = proj + ctx
+        if memory is not None:
+            proj = proj + memory
+        return self._out(proj, train), proj

@@ -1,0 +1,139 @@
+"""DSP core tests: kernels, overlap-add, STFT round-trips, torch parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puresound_tpu.dsp.stft import (
+    fourier_kernels,
+    hann_window,
+    mel_filterbank,
+    overlap_add,
+    window_sumsquare,
+)
+from puresound_tpu.nnet.encoder import ConvEncDec, ConvSTFT, FbankEnc, FreeEncDec
+
+
+def test_overlap_add_matches_naive(rng):
+    T, W, hop = 7, 32, 16
+    frames = rng.standard_normal((2, T, W)).astype(np.float32)
+    out = np.asarray(overlap_add(jnp.asarray(frames), hop))
+    ref = np.zeros((2, W + hop * (T - 1)), np.float32)
+    for t in range(T):
+        ref[:, t * hop : t * hop + W] += frames[:, t]
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_overlap_add_nondivisible_hop(rng):
+    T, W, hop = 5, 30, 7
+    frames = rng.standard_normal((1, T, W)).astype(np.float32)
+    out = np.asarray(overlap_add(jnp.asarray(frames), hop))
+    ref = np.zeros((1, W + hop * (T - 1)), np.float32)
+    for t in range(T):
+        ref[:, t * hop : t * hop + W] += frames[:, t]
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_window_sumsquare():
+    win = hann_window(512)
+    ws = np.asarray(window_sumsquare(jnp.asarray(win), 10, 128, 512))
+    ref = np.zeros(512 + 128 * 9, np.float32)
+    for t in range(10):
+        ref[t * 128 : t * 128 + 512] += win**2
+    np.testing.assert_allclose(ws, ref, atol=1e-6)
+
+
+def test_conv_stft_roundtrip(rng):
+    """iSTFT(STFT(x)) == x away from window edges."""
+    x = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    model = ConvEncDec(fft_length=512, win_length=512, hop_length=128,
+                       trainable=False, output_format="Complex")
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    X = model.apply(params, jnp.asarray(x))
+    y = np.asarray(model.apply(params, X, method=ConvEncDec.inverse))
+    # output is shorter: L' = 512 + 128*(T-1); compare interior
+    L = y.shape[-1]
+    np.testing.assert_allclose(y[:, 512:L - 512], x[:, 512 : L - 512], atol=5e-3, rtol=1e-3)
+
+
+def test_conv_stft_matches_torch_reference(torch_oracle, rng):
+    """Numeric parity with the reference nnAudio-style ConvSTFT on random weights."""
+    torch = torch_oracle
+    from puresound.nnet.lobe.encoder import ConvEncDec as TorchConvEncDec
+
+    x = rng.standard_normal((1, 8000)).astype(np.float32) * 0.2
+    tmodel = TorchConvEncDec(fft_length=256, win_length=256, hop_length=64,
+                             trainable=True, output_format="Complex")
+    tmodel.eval()
+
+    jmodel = ConvEncDec(fft_length=256, win_length=256, hop_length=64,
+                        trainable=True, output_format="Complex")
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # copy torch weights (trainable wsin/wcos) into jax params
+    p = jax.tree_util.tree_map(lambda a: a, params)
+    wsin = tmodel.encoder.wsin.detach().numpy().reshape(p["params"]["encoder"]["wsin"].shape)
+    wcos = tmodel.encoder.wcos.detach().numpy().reshape(p["params"]["encoder"]["wcos"].shape)
+    p = jax.tree_util.tree_map(lambda a: a, params)
+    p["params"]["encoder"]["wsin"] = jnp.asarray(wsin)
+    p["params"]["encoder"]["wcos"] = jnp.asarray(wcos)
+
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)).numpy()  # [N, F, T, 2]
+    j_out = np.asarray(jmodel.apply(p, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, atol=2e-4, rtol=1e-4)
+
+    # inverse parity
+    with torch.no_grad():
+        t_wav = tmodel.inverse(torch.from_numpy(t_out)).numpy()
+    j_wav = np.asarray(jmodel.apply(p, jnp.asarray(j_out), method=ConvEncDec.inverse))
+    np.testing.assert_allclose(j_wav, t_wav, atol=2e-4, rtol=1e-4)
+
+
+def test_free_encdec_matches_torch_reference(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.lobe.encoder import FreeEncDec as TorchFreeEncDec
+
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    tmodel = TorchFreeEncDec(win_length=32, hop_length=16, laten_length=128,
+                             output_active=True)
+    tmodel.eval()
+    jmodel = FreeEncDec(win_length=32, hop_length=16, laten_length=128,
+                        output_active=True)
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = dict(params)
+    p["params"] = {
+        "enc_w": jnp.asarray(tmodel.encoder.weight.detach().numpy()),
+        "dec_w": jnp.asarray(tmodel.decoder.weight.detach().numpy()),
+    }
+    with torch.no_grad():
+        t_feats = tmodel(torch.from_numpy(x)).numpy()
+        t_wav = tmodel.inverse(torch.from_numpy(t_feats)).numpy()
+    j_feats = np.asarray(jmodel.apply(p, jnp.asarray(x)))
+    np.testing.assert_allclose(j_feats, t_feats, atol=1e-5, rtol=1e-4)
+    j_wav = np.asarray(jmodel.apply(p, jnp.asarray(j_feats), method=FreeEncDec.inverse))
+    np.testing.assert_allclose(j_wav, t_wav, atol=1e-5, rtol=1e-4)
+
+
+def test_mel_filterbank_matches_torch_reference(torch_oracle):
+    from puresound.nnet.lobe.stft import mel_filterbank as torch_mel_fb
+
+    ref = torch_mel_fb(sr=16000, n_fft=512, n_banks=80).numpy()
+    mine = mel_filterbank(sr=16000, n_fft=512, n_banks=80)
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_fbank_enc_shapes(rng):
+    x = rng.standard_normal((2, 16000)).astype(np.float32)
+    model = FbankEnc(trainable=False, output_format="Magnitude", n_banks=80)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mel = model.apply(params, jnp.asarray(x))
+    assert mel.shape[0] == 2 and mel.shape[1] == 80
+
+
+def test_fourier_kernels_match_torch_reference(torch_oracle):
+    from puresound.nnet.lobe.stft import create_fourier_kernels
+
+    ref_sin, ref_cos, _, _ = create_fourier_kernels(512, win_length=512, freq_scale="no", sr=16000)
+    wsin, wcos, _, _ = fourier_kernels(512, win_length=512, freq_scale="no", sr=16000)
+    np.testing.assert_allclose(wsin, ref_sin[:, 0, :], atol=1e-5)
+    np.testing.assert_allclose(wcos, ref_cos[:, 0, :], atol=1e-5)
