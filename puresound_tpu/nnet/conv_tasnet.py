@@ -1,0 +1,180 @@
+"""TCN / GatedTCN stacks and the ConvTasNet masker.
+
+Parity: puresound/nnet/conv_tasnet.py (TCN :11, GatedTCN :93,
+ConvTasNet :218). Dilated convs run as explicit-pad VALID convs; speaker
+embedding is injected by broadcast-concat or FiLM exactly as the reference.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .lobe.activation import PReLU
+from .lobe.cnn import Conv1d, DepthwiseSeparableConv1d
+from .lobe.norm import get_norm, apply_norm
+
+
+class TCN(nn.Module):
+    """Residual TCN block: 1x1-in(+embed concat) -> DSConv -> 1x1-out, +res.
+
+    x: [N, C, T], embed: [N, E] or None.
+    """
+
+    in_channels: int
+    hid_channels: int
+    kernel: int
+    dilation: int
+    dropout: float = 0.0
+    emb_dim: int = 0
+    causal: bool = False
+    tcn_norm: str = "gLN"
+    dconv_norm: str = "gGN"
+
+    def setup(self):
+        self.in_conv = Conv1d(self.in_channels + self.emb_dim, self.hid_channels,
+                              1, use_bias=False)
+        self.in_norm = get_norm(self.tcn_norm)(self.hid_channels)
+        self.in_act = PReLU()
+        self.dconv = DepthwiseSeparableConv1d(
+            in_channels=self.hid_channels, out_channels=self.hid_channels,
+            hid_channels=None, kernel=self.kernel, dilation=self.dilation,
+            skip=False, causal=self.causal, norm_cls=self.dconv_norm)
+        self.drop = nn.Dropout(self.dropout)
+        self.out_conv = Conv1d(self.hid_channels, self.in_channels, 1)
+
+    def __call__(self, x: jnp.ndarray, embed: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        res = x
+        if embed is not None:
+            e = jnp.broadcast_to(embed[:, :, None], (*embed.shape, x.shape[-1]))
+            x = jnp.concatenate([x, e], axis=1)
+        x = self.in_act(apply_norm(self.in_norm, self.in_conv(x), train))
+        x = self.drop(self.dconv(x, train=train), deterministic=not train)
+        x = self.out_conv(x)
+        return x + res
+
+
+class GatedTCN(nn.Module):
+    """Gated two-branch TCN; the gate branch takes the embedding by concat
+    or FiLM. Causal mode trims the right padding after the output conv.
+    """
+
+    in_channels: int
+    hid_channels: int
+    kernel: int
+    dilation: int
+    dropout: float = 0.0
+    emb_dim: int = 0
+    causal: bool = False
+    tcn_norm: str = "gLN"
+    use_film: bool = False
+
+    def setup(self):
+        self._padd = ((self.kernel - 1) * self.dilation // 2 if not self.causal
+                      else (self.kernel - 1) * self.dilation)
+        norm = get_norm(self.tcn_norm)
+        self.in_conv = Conv1d(self.in_channels, self.hid_channels, 1, use_bias=False)
+        self.left_conv = Conv1d(self.hid_channels, self.hid_channels, self.kernel,
+                                dilation=self.dilation, padding=self._padd,
+                                use_bias=False)
+        self.left_norm = norm(self.hid_channels)
+        self.left_act = PReLU()
+        self.left_drop = nn.Dropout(self.dropout)
+        if not self.use_film:
+            right_in = self.hid_channels + self.emb_dim
+        else:
+            self.cond_scale = Conv1d(self.emb_dim, self.hid_channels, 1, use_bias=False)
+            self.cond_bias = Conv1d(self.emb_dim, self.hid_channels, 1, use_bias=False)
+            right_in = self.hid_channels
+        self.right_conv = Conv1d(right_in, self.hid_channels, self.kernel,
+                                 dilation=self.dilation, padding=self._padd,
+                                 use_bias=False)
+        self.right_norm = norm(self.hid_channels)
+        self.right_act = PReLU()
+        self.right_drop = nn.Dropout(self.dropout)
+        self.out_conv = Conv1d(self.hid_channels, self.in_channels, 1, use_bias=False)
+
+    def __call__(self, x: jnp.ndarray, embed: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        res = x
+        x = self.in_conv(x)
+        if embed is not None:
+            if not self.use_film:
+                e = jnp.broadcast_to(embed[:, :, None], (*embed.shape, x.shape[-1]))
+                x_r = jnp.concatenate([x, e], axis=1)
+            else:
+                cond = embed[:, :, None]
+                x_r = self.cond_scale(cond) * x + self.cond_bias(cond)
+        else:
+            x_r = x
+        left = self.left_drop(self.left_act(apply_norm(self.left_norm, self.left_conv(x), train)),
+                              deterministic=not train)
+        right = jax.nn.sigmoid(
+            self.right_drop(self.right_act(apply_norm(self.right_norm, self.right_conv(x_r), train)),
+                            deterministic=not train))
+        x = self.out_conv(left * right)
+        if self.causal:
+            x = x[..., : -self._padd] + res
+        else:
+            x = x + res
+        return x
+
+
+class ConvTasNet(nn.Module):
+    """Repeated TCN stacks with dilation basic**i and per-layer embedding
+    injection flags (`tcn_with_embed`). x: [N, C, T] -> mask [N, C, T].
+    """
+
+    input_dim: int = 512
+    embed_dim: int = 256
+    embed_norm: bool = False
+    tcn_layer: str = "normal"
+    tcn_kernel: int = 3
+    tcn_dim: int = 256
+    tcn_dilated_basic: int = 2
+    per_tcn_stack: int = 5
+    repeat_tcn: int = 4
+    tcn_with_embed: tuple = (1, 0, 0, 0, 0)
+    tcn_norm: str = "gLN"
+    dconv_norm: str = "gGN"
+    causal: bool = False
+
+    def setup(self):
+        assert self.per_tcn_stack == len(self.tcn_with_embed)
+        layers = []
+        for _ in range(self.repeat_tcn):
+            stack = []
+            for i in range(self.per_tcn_stack):
+                emb = self.embed_dim if self.tcn_with_embed[i] else 0
+                if self.tcn_layer.lower() == "normal":
+                    stack.append(TCN(self.input_dim, self.tcn_dim,
+                                     kernel=self.tcn_kernel,
+                                     dilation=self.tcn_dilated_basic**i,
+                                     emb_dim=emb, causal=self.causal,
+                                     tcn_norm=self.tcn_norm,
+                                     dconv_norm=self.dconv_norm))
+                elif self.tcn_layer.lower() == "gated":
+                    stack.append(GatedTCN(self.input_dim, self.tcn_dim,
+                                          kernel=self.tcn_kernel,
+                                          dilation=self.tcn_dilated_basic**i,
+                                          emb_dim=emb, causal=self.causal,
+                                          tcn_norm=self.tcn_norm))
+                else:
+                    raise NameError(self.tcn_layer)
+            layers.append(stack)
+        self.tcn_list = layers
+
+    def __call__(self, x: jnp.ndarray, dvec: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        if self.embed_norm and dvec is not None:
+            dvec = dvec / jnp.linalg.norm(dvec, axis=1, keepdims=True).clip(1e-12)
+        for stack in self.tcn_list:
+            for i, layer in enumerate(stack):
+                if self.tcn_with_embed[i]:
+                    x = layer(x, dvec, train=train)
+                else:
+                    x = layer(x, train=train)
+        return x

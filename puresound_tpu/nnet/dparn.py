@@ -1,0 +1,92 @@
+"""DPARN: DPCRN with the intra (frequency) LSTM replaced by self-attention.
+
+Parity: puresound/nnet/dparn.py (DPARNblock2D :12, DPARN :110,
+DPARN_Mout :249).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .lobe.attention import MhaSelfAttenLayer
+from .lobe.norm import LayerNormLast
+from .lobe.rnn import SingleRNN
+from .lobe.trivial import spectral_compression
+from .unet import Unet
+
+
+class DPARNblock2D(nn.Module):
+    """Intra = 2x MHA self-attention over freq + FC; inter = uni-LSTM over
+    time. x: [N, CH, F, T]."""
+
+    input_size: int
+    hidden_size: int
+    nhead: int
+    dropout: float = 0.0
+
+    def setup(self):
+        self.intra_atten1 = MhaSelfAttenLayer(
+            self.input_size, self.hidden_size, nhead=self.nhead,
+            dropout=self.dropout, improved=False, bidirectional=False,
+            position_encoding=True)
+        self.intra_atten2 = MhaSelfAttenLayer(
+            self.input_size, self.hidden_size, nhead=self.nhead,
+            dropout=self.dropout, improved=False, bidirectional=False,
+            position_encoding=False)
+        self.intra_fc = nn.Dense(self.input_size)
+        self.intra_norm = LayerNormLast(self.input_size)
+        self.inter_rnn = SingleRNN("LSTM", self.input_size, self.hidden_size,
+                                   bidirectional=False, dropout=self.dropout)
+        self.inter_norm = LayerNormLast(self.input_size)
+
+    def __call__(self, x: jnp.ndarray, intra_skip: bool = True,
+                 inter_skip: bool = True, train: bool = False) -> jnp.ndarray:
+        N, CH, F, T = x.shape
+        res = x
+        h = x.transpose(0, 3, 2, 1).reshape(N * T, F, CH)  # [N*T, F, CH]
+        h = self.intra_atten1(jnp.swapaxes(h, 1, 2), causal=False, train=train)
+        h = self.intra_atten2(h, causal=False, train=train)  # [N*T, CH, F]
+        h = jnp.swapaxes(h, 1, 2)  # [N*T, F, CH]
+        h = self.intra_norm(self.intra_fc(h))
+        h = h.reshape(N, T, F, CH).transpose(0, 3, 2, 1)
+        if intra_skip:
+            h = res + h
+
+        res = h
+        y = h.transpose(0, 2, 3, 1).reshape(N * F, T, CH)
+        y = self.inter_rnn(jnp.swapaxes(y, 1, 2), train=train)
+        y = self.inter_norm(jnp.swapaxes(y, 1, 2))
+        y = y.reshape(N, F, T, CH).transpose(0, 3, 1, 2)
+        if inter_skip:
+            y = res + y
+        return y
+
+
+class _DPARNBase(Unet):
+    rnn_hidden: int = 128
+    nhead: int = 1
+    spectral_compress: bool = False
+
+    def setup(self):
+        super().setup()
+        ch = self.channels[-1]
+        self.dprnn_block1 = DPARNblock2D(ch, self.rnn_hidden, self.nhead, self.dropout)
+        self.dprnn_block2 = DPARNblock2D(ch, self.rnn_hidden, self.nhead, self.dropout)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.spectral_compress:
+            x = spectral_compression(x, alpha=0.3, dim=1)
+        x = self._pack_input(x)
+        x, skips = self._down(x, train)
+        x = self.dprnn_block1(x, train=train)
+        x = self.dprnn_block2(x, train=train)
+        x = self._up(x, skips, train)
+        return self._unpack_output(x)
+
+
+class DPARN(_DPARNBase):
+    """Single-output DPARN (multi_output must stay 1)."""
+
+
+class DPARN_Mout(_DPARNBase):
+    """Multi-output DPARN for SIMO separation (set multi_output=N)."""

@@ -1,0 +1,80 @@
+"""DPCRN: Unet + dual-path (freq-BiLSTM / time-uniLSTM) bottleneck.
+
+Parity: puresound/nnet/dpcrn.py (DPRNNblock2D :11, DPCRN :84).
+
+TPU-first: the intra (frequency) pass batches N*T frames through one
+bidirectional scan over F; the inter (time) pass batches N*F bins through
+one causal scan over T.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .lobe.norm import LayerNormLast
+from .lobe.rnn import SingleRNN
+from .lobe.trivial import spectral_compression
+from .unet import Unet
+
+
+class DPRNNblock2D(nn.Module):
+    """Dual-path block on [N, CH, F, T]: intra = BiLSTM over freq per frame,
+    inter = uni-LSTM over time per frequency bin."""
+
+    input_size: int
+    hidden_size: int
+    dropout: float = 0.0
+
+    def setup(self):
+        self.intra_rnn = SingleRNN("LSTM", self.input_size, self.hidden_size,
+                                   bidirectional=True, dropout=self.dropout)
+        self.intra_norm = LayerNormLast(self.input_size)
+        self.inter_rnn = SingleRNN("LSTM", self.input_size, self.hidden_size,
+                                   bidirectional=False, dropout=self.dropout)
+        self.inter_norm = LayerNormLast(self.input_size)
+
+    def __call__(self, x: jnp.ndarray, intra_skip: bool = True,
+                 inter_skip: bool = True, train: bool = False) -> jnp.ndarray:
+        N, CH, F, T = x.shape
+        res = x
+        # intra: frequency-dependent, time-independent
+        h = x.transpose(0, 3, 2, 1).reshape(N * T, F, CH)  # [N*T, F, CH]
+        h = self.intra_rnn(jnp.swapaxes(h, 1, 2), train=train)  # [N*T, CH, F]
+        h = self.intra_norm(jnp.swapaxes(h, 1, 2))  # [N*T, F, CH]
+        h = h.reshape(N, T, F, CH).transpose(0, 3, 2, 1)
+        if intra_skip:
+            h = res + h
+
+        res = h
+        # inter: time-dependent, frequency-independent
+        y = h.transpose(0, 2, 3, 1).reshape(N * F, T, CH)
+        y = self.inter_rnn(jnp.swapaxes(y, 1, 2), train=train)  # [N*F, CH, T]
+        y = self.inter_norm(jnp.swapaxes(y, 1, 2))  # [N*F, T, CH]
+        y = y.reshape(N, F, T, CH).transpose(0, 3, 1, 2)
+        if inter_skip:
+            y = res + y
+        return y
+
+
+class DPCRN(Unet):
+    """Unet + 2x DPRNNblock2D bottleneck; RI input, optional spectral
+    compression. Parity: dpcrn.py:84-213."""
+
+    rnn_hidden: int = 128
+    spectral_compress: bool = False
+
+    def setup(self):
+        super().setup()
+        ch = self.channels[-1]
+        self.dprnn_block1 = DPRNNblock2D(ch, self.rnn_hidden, self.dropout)
+        self.dprnn_block2 = DPRNNblock2D(ch, self.rnn_hidden, self.dropout)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.spectral_compress:
+            x = spectral_compression(x, alpha=0.3, dim=1)
+        x = self._pack_input(x)
+        x, skips = self._down(x, train)
+        x = self.dprnn_block1(x, train=train)
+        x = self.dprnn_block2(x, train=train)
+        x = self._up(x, skips, train)
+        return self._unpack_output(x)

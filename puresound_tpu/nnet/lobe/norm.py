@@ -13,8 +13,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _stat_dtype(dtype):
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _moments(x, axes):
-    xf = x.astype(jnp.float32)
+    xf = x.astype(_stat_dtype(x.dtype))
     mean = jnp.mean(xf, axis=axes, keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=axes, keepdims=True)
     return mean, var
@@ -82,7 +86,7 @@ class LayerNorm2D(nn.Module):
     def __call__(self, x):
         w = self.param("w", nn.initializers.ones, (1, self.ch, self.f, 1))
         b = self.param("b", lambda key, shape: 1e-4 * jnp.ones(shape), (1, self.ch, self.f, 1))
-        xf = x.astype(jnp.float32)
+        xf = x.astype(_stat_dtype(x.dtype))
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         n = x.shape[1] * x.shape[2]
         var = jnp.sum((xf - mean) ** 2, axis=(1, 2), keepdims=True) / max(n - 1, 1)
@@ -112,7 +116,7 @@ class BatchNorm(nn.Module):
         beta = self.param("bias", nn.initializers.zeros, (self.channel_size,))
 
         if train:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(_stat_dtype(x.dtype))
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.mean((xf - mean.reshape((1, -1) + (1,) * (x.ndim - 2))) ** 2,
                            axis=reduce_axes)
@@ -127,7 +131,7 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         shape = (1, self.channel_size) + (1,) * (x.ndim - 2)
-        normed = (x.astype(jnp.float32) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + self.eps)
+        normed = (x.astype(_stat_dtype(x.dtype)) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + self.eps)
         return (normed * gamma.reshape(shape) + beta.reshape(shape)).astype(x.dtype)
 
 
@@ -157,7 +161,7 @@ class LayerNormLast(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
         mean, var = _moments(x, (-1,))
-        normed = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.eps)
+        normed = (x.astype(_stat_dtype(x.dtype)) - mean) / jnp.sqrt(var + self.eps)
         return (normed * gamma + beta).astype(x.dtype)
 
 

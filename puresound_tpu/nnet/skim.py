@@ -1,0 +1,339 @@
+"""SkiM — Skipping-Memory LSTM (arXiv 2201.10800), streaming-first.
+
+Structure parity: puresound/nnet/skim.py (MemLSTM :11, SegLSTM :173,
+SkiM :259). The per-block dataflow is identical; the TPU-first design
+differences are:
+
+- Offline forward batches ALL segments through each SegLSTM at once
+  ([N*S, K, C] scan over K — MXU-sized matmuls), with MemLSTM the only
+  scan over S. Mirrors the reference's parallel-segment trick.
+- Streaming is the same SegLSTM/MemLSTM cells driven by an explicit state
+  pytree (`init_state` / `step_chunk` / `step_frames`), batched over
+  concurrent streams. Offline == streaming equivalence is structural: the
+  offline causal path *is* a chunk-step unrolled over segments.
+- The reference's causal MemLSTM state shift (skim.py:102-109) shifts
+  along the flattened N*S axis, which leaks state across batch items when
+  N > 1; here the shift is per-batch on the S axis (intended semantics;
+  identical for N == 1, which the parity tests use).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .lobe.activation import PReLU
+from .lobe.cnn import Conv1d
+from .lobe.norm import LayerNormLast
+from .lobe.rnn import LSTM
+from .lobe.trivial import FiLM, Gate, SplitMerge
+
+
+class SegLSTM(nn.Module):
+    """Intra-segment LSTM with projection + LayerNorm residual.
+
+    __call__(x [B, K, C], h [D, B, H], c [D, B, H]) -> (y, h', c').
+    """
+
+    input_size: int
+    hidden_size: int
+    causal: bool = True
+    dropout: float = 0.0
+
+    def setup(self):
+        self.bi = not self.causal
+        self.lstm = LSTM(self.input_size, self.hidden_size, bidirectional=self.bi)
+        self.drop = nn.Dropout(self.dropout)
+        self.proj = nn.Dense(self.input_size)
+        self.norm = LayerNormLast(self.input_size)
+
+    def __call__(self, x, h=None, c=None, train: bool = False):
+        B = x.shape[0]
+        D = 2 if self.bi else 1
+        if h is None:
+            h = jnp.zeros((D, B, self.hidden_size), x.dtype)
+        if c is None:
+            c = jnp.zeros((D, B, self.hidden_size), x.dtype)
+        y, (h, c) = self.lstm(x, (h, c))
+        y = self.drop(y, deterministic=not train)
+        y = self.proj(y)
+        return x + self.norm(y), h, c
+
+
+class MemLSTM(nn.Module):
+    """Inter-segment memory LSTM over SegLSTM (h, c) states.
+
+    Offline: processes the segment axis with residual+LayerNorm nets for h
+    and c separately, then (causal) shifts results one segment right so
+    segment s receives memory of segments < s.
+    Streaming: single-segment step with carried LSTM internal states.
+    """
+
+    hidden_size: int
+    causal: bool = True
+    dropout: float = 0.0
+
+    def setup(self):
+        self.input_size = self.hidden_size if self.causal else 2 * self.hidden_size
+        self.bi = not self.causal
+        self.h_net = LSTM(self.input_size, self.hidden_size, bidirectional=self.bi)
+        self.h_drop = nn.Dropout(self.dropout)
+        self.h_proj = nn.Dense(self.input_size)
+        self.h_norm = LayerNormLast(self.input_size)
+        self.c_net = LSTM(self.input_size, self.hidden_size, bidirectional=self.bi)
+        self.c_drop = nn.Dropout(self.dropout)
+        self.c_proj = nn.Dense(self.input_size)
+        self.c_norm = LayerNormLast(self.input_size)
+
+    def _branch(self, net, drop, proj, norm, x, states, train):
+        y, new_states = net(x, states)
+        y = drop(y, deterministic=not train)
+        y = proj(y)
+        return x + norm(y), new_states
+
+    def __call__(self, h, c, train: bool = False):
+        """Offline. h/c: [N, S, D, H] -> next-block init states [D, N*S, H]."""
+        N, S, D, H = h.shape
+        h_seq, _ = self._branch(self.h_net, self.h_drop, self.h_proj,
+                                self.h_norm, h.reshape(N, S, D * H), None, train)
+        c_seq, _ = self._branch(self.c_net, self.c_drop, self.c_proj,
+                                self.c_norm, c.reshape(N, S, D * H), None, train)
+        h_out = h_seq.reshape(N, S, D, H)
+        c_out = c_seq.reshape(N, S, D, H)
+        if self.causal:
+            # segment s gets memory of s-1; segment 0 starts from zeros.
+            h_out = jnp.pad(h_out[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+            c_out = jnp.pad(c_out[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        # -> [D, N*S, H]
+        h_out = h_out.reshape(N * S, D, H).transpose(1, 0, 2)
+        c_out = c_out.reshape(N * S, D, H).transpose(1, 0, 2)
+        return h_out, c_out
+
+    def step(self, h, c, h_states, c_states, train: bool = False):
+        """Streaming one-segment step.
+
+        h/c: [B, D, H] (SegLSTM final states of the chunk just processed);
+        h_states/c_states: carried ((h,c)) internals of the two memory nets.
+        Returns next-chunk SegLSTM init (h', c') [D, B, H] + new internals.
+        """
+        B, D, H = h.shape
+        h_seq, h_states = self._branch(self.h_net, self.h_drop, self.h_proj,
+                                       self.h_norm, h.reshape(B, 1, D * H),
+                                       h_states, train)
+        c_seq, c_states = self._branch(self.c_net, self.c_drop, self.c_proj,
+                                       self.c_norm, c.reshape(B, 1, D * H),
+                                       c_states, train)
+        h_out = h_seq.reshape(B, D, H).transpose(1, 0, 2)
+        c_out = c_seq.reshape(B, D, H).transpose(1, 0, 2)
+        return h_out, c_out, h_states, c_states
+
+
+class SkiM(nn.Module):
+    """Skipping-memory LSTM masker. x: [N, C, T] -> [N, C_out, T].
+
+    Streaming API (same parameters, explicit state):
+      state = init_state(batch)
+      y, state = apply(..., x_chunk, embed, state, method=SkiM.step_chunk)
+      y, state = apply(..., x_frames, embed, state, method=SkiM.step_frames)
+    """
+
+    input_size: int
+    hidden_size: int
+    output_size: int
+    n_blocks: int = 2
+    seg_size: int = 20
+    seg_overlap: bool = False
+    causal: bool = True
+    embed_dim: int = 0
+    embed_norm: bool = False
+    embed_fusion: Optional[str] = None
+    block_with_embed: Optional[tuple] = None
+    dropout: float = 0.0
+
+    def setup(self):
+        self.seg_lstm = [SegLSTM(self.input_size, self.hidden_size,
+                                 causal=self.causal, dropout=self.dropout)
+                         for _ in range(self.n_blocks)]
+        if self.embed_dim:
+            fusion = []
+            for i in range(self.n_blocks):
+                if self.block_with_embed[i]:
+                    if self.embed_fusion.lower() == "film":
+                        fusion.append(FiLM(self.input_size, self.embed_dim, input_norm=True))
+                    elif self.embed_fusion.lower() == "gate":
+                        fusion.append(Gate(self.input_size, hidden_size=128,
+                                           embed_size=self.embed_dim))
+                    else:
+                        raise NameError(self.embed_fusion)
+                else:
+                    fusion.append(None)
+            self.seg_input_fusion = fusion
+        self.mem_lstm = [MemLSTM(self.hidden_size, causal=self.causal,
+                                 dropout=self.dropout)
+                         for _ in range(self.n_blocks - 1)]
+        self.out_act = PReLU()
+        self.out_conv = Conv1d(self.input_size, self.output_size, 1)
+
+    # ---------------------------------------------------------------- utils
+    def _norm_embed(self, embed):
+        if self.embed_norm and embed is not None:
+            embed = embed / jnp.linalg.norm(embed, axis=1, keepdims=True).clip(1e-12)
+        return embed
+
+    def _fuse(self, i, x, embed):
+        """x: [B, K, C], embed: [B, E] -> fused [B, K, C]."""
+        if embed is not None and self.block_with_embed and self.block_with_embed[i]:
+            y = self.seg_input_fusion[i](jnp.swapaxes(x, 1, 2), embed)
+            return jnp.swapaxes(y, 1, 2)
+        return x
+
+    def _output(self, x):
+        """x: [N, C, T] -> [N, C_out, T]."""
+        return self.out_conv(self.out_act(x))
+
+    # --------------------------------------------------------------- offline
+    def __call__(self, x: jnp.ndarray, embed: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        embed = self._norm_embed(embed)
+        N, C, T = x.shape
+
+        if self.seg_overlap:
+            seg, rest = SplitMerge.split(x, self.seg_size)  # [N, S, K, C]
+        else:
+            xt = jnp.swapaxes(x, 1, 2)  # [N, T, C]
+            rest = self.seg_size - T % self.seg_size
+            if rest > 0:
+                xt = jnp.pad(xt, ((0, 0), (0, rest), (0, 0)))
+            seg = xt.reshape(N, -1, self.seg_size, C)
+
+        N, S, K, C = seg.shape
+        if embed is not None:
+            embed_rep = jnp.broadcast_to(embed[:, None, :], (N, S, embed.shape[1])
+                                         ).reshape(N * S, -1)
+        else:
+            embed_rep = None
+
+        output = seg.reshape(N * S, K, C)
+        h = c = None
+        for i in range(self.n_blocks):
+            output = self._fuse(i, output, embed_rep)
+            output, h, c = self.seg_lstm[i](output, h, c, train=train)
+            if i < self.n_blocks - 1:
+                D = h.shape[0]
+                h_n = h.reshape(D, N, S, self.hidden_size).transpose(1, 2, 0, 3)
+                c_n = c.reshape(D, N, S, self.hidden_size).transpose(1, 2, 0, 3)
+                h, c = self.mem_lstm[i](h_n, c_n, train=train)
+
+        if self.seg_overlap:
+            output = output.reshape(N, S, K, C)
+            output = SplitMerge.merge(output, rest)
+            return self._output(output)
+        output = output.reshape(N, S * K, C)[:, :T, :]
+        return self._output(jnp.swapaxes(output, 1, 2))
+
+    # -------------------------------------------------------------- streaming
+    def init_state(self, batch: int, dtype=jnp.float32):
+        """Explicit streaming state pytree for `batch` concurrent streams."""
+        D = 2 if not self.causal else 1
+        H = self.hidden_size
+        zeros = lambda: jnp.zeros((D, batch, H), dtype)
+        return {
+            # SegLSTM carry for blocks 0..n-1 (block 0 entry is reset each
+            # chunk; kept for a uniform pytree)
+            "seg_h": [zeros() for _ in range(self.n_blocks)],
+            "seg_c": [zeros() for _ in range(self.n_blocks)],
+            # MemLSTM internal (h, c) for both nets of each of n-1 memories
+            "mem_h": [(zeros(), zeros()) for _ in range(self.n_blocks - 1)],
+            "mem_c": [(zeros(), zeros()) for _ in range(self.n_blocks - 1)],
+            "frame_count": jnp.zeros((), jnp.int32),
+        }
+
+    def _blocks_over_frames(self, x, embed, seg_h, seg_c, train=False):
+        """Run all blocks over a span of frames with given init states.
+
+        x: [B, F, C] (F <= seg_size frames of one segment). Returns
+        (y [B, F, C], final seg states per block).
+        """
+        out = x
+        new_h, new_c = [], []
+        for i in range(self.n_blocks):
+            out = self._fuse(i, out, embed)
+            out, h, c = self.seg_lstm[i](out, seg_h[i], seg_c[i], train=train)
+            new_h.append(h)
+            new_c.append(c)
+        return out, new_h, new_c
+
+    def _mem_update(self, state, seg_h, seg_c):
+        """Advance memories using the just-finished segment's final states.
+
+        Produces next-segment SegLSTM inits: block 0 resets to zeros; block
+        i+1 gets mem_lstm[i] output of block i's final states.
+        """
+        D = seg_h[0].shape[0]
+        next_h = [jnp.zeros_like(seg_h[0])]
+        next_c = [jnp.zeros_like(seg_c[0])]
+        new_mem_h, new_mem_c = [], []
+        for i in range(self.n_blocks - 1):
+            h_in = seg_h[i].transpose(1, 0, 2)  # [B, D, H]
+            c_in = seg_c[i].transpose(1, 0, 2)
+            h_out, c_out, mh, mc = self.mem_lstm[i].step(
+                h_in, c_in, state["mem_h"][i], state["mem_c"][i])
+            next_h.append(h_out)
+            next_c.append(c_out)
+            new_mem_h.append(mh)
+            new_mem_c.append(mc)
+        return next_h, next_c, new_mem_h, new_mem_c
+
+    def step_chunk(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                   state: dict):
+        """Process exactly one segment (chunk) of seg_size frames.
+
+        x: [B, K, C] with K == seg_size. Returns ([B, C_out, K], new state).
+        Requires the stream to be chunk-aligned (frame_count % K == 0).
+        """
+        embed = self._norm_embed(embed)
+        y, seg_h, seg_c = self._blocks_over_frames(
+            x, embed, state["seg_h"], state["seg_c"])
+        next_h, next_c, mem_h, mem_c = self._mem_update(state, seg_h, seg_c)
+        new_state = dict(state, seg_h=next_h, seg_c=next_c,
+                         mem_h=mem_h, mem_c=mem_c)
+        out = self._output(jnp.swapaxes(y, 1, 2))
+        return out, new_state
+
+    def step_frames(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                    state: dict):
+        """Process an arbitrary number of frames with correct segment
+        boundary handling via lax.scan + lax.cond (production streaming).
+
+        x: [B, F, C]. Returns ([B, C_out, F], new state).
+        """
+        embed = self._norm_embed(embed)
+
+        def frame_step(st, x_t):
+            # one frame through all blocks
+            out = x_t[:, None, :]  # [B, 1, C]
+            seg_h, seg_c = list(st["seg_h"]), list(st["seg_c"])
+            out, seg_h, seg_c = self._blocks_over_frames(out, embed, seg_h, seg_c)
+            count = st["frame_count"] + 1
+
+            def do_mem(operand):
+                seg_h, seg_c = operand
+                nh, nc, mh, mc = self._mem_update(st, seg_h, seg_c)
+                return nh, nc, mh, mc
+
+            def no_mem(operand):
+                seg_h, seg_c = operand
+                return seg_h, seg_c, st["mem_h"], st["mem_c"]
+
+            boundary = (count % self.seg_size) == 0
+            nh, nc, mh, mc = jax.lax.cond(boundary, do_mem, no_mem, (seg_h, seg_c))
+            new_st = dict(st, seg_h=nh, seg_c=nc, mem_h=mh, mem_c=mc,
+                          frame_count=count)
+            return new_st, out[:, 0, :]
+
+        xs = jnp.swapaxes(x, 0, 1)  # [F, B, C]
+        state, ys = jax.lax.scan(frame_step, state, xs)
+        y = jnp.swapaxes(ys, 0, 1)  # [B, F, C]
+        return self._output(jnp.swapaxes(y, 1, 2)), state

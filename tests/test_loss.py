@@ -1,0 +1,178 @@
+"""Loss function parity vs the torch reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puresound_tpu.nnet.loss.aamsoftmax import AAMsoftmax
+from puresound_tpu.nnet.loss.metrics import F1Loss, GE2ELoss, TripletLoss
+from puresound_tpu.nnet.loss.sdr import SDRLoss, inactive_sdr_loss, si_snr
+from puresound_tpu.nnet.loss.stft_loss import (
+    MultiResolutionSTFTLoss,
+    over_suppression_loss,
+    stft_mag,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("mode", ["sisnr", "sdsdr", "sdr", "tsdr"])
+def test_sdr_loss_matches_torch(torch_oracle, rng, mode):
+    torch = torch_oracle
+    from puresound.nnet.loss.sdr import SDRLoss as TorchSDRLoss
+
+    s1 = rng.standard_normal((4, 8000)).astype(np.float32)
+    s2 = rng.standard_normal((4, 8000)).astype(np.float32)
+    t_loss = TorchSDRLoss.init_mode(mode)
+    with torch.no_grad():
+        t_val = t_loss(torch.from_numpy(s1), torch.from_numpy(s2)).item()
+    j_val = float(SDRLoss.init_mode(mode)(jnp.asarray(s1), jnp.asarray(s2)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
+
+
+def test_sdr_loss_inactive_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.sdr import SDRLoss as TorchSDRLoss
+
+    s1 = rng.standard_normal((4, 4000)).astype(np.float32)
+    s2 = rng.standard_normal((4, 4000)).astype(np.float32)
+    labels = np.array([False, True, False, True])
+    t_loss = TorchSDRLoss.init_mode("sisnr")
+    with torch.no_grad():
+        t_val = t_loss(torch.from_numpy(s1), torch.from_numpy(s2),
+                       torch.from_numpy(labels)).item()
+    j_val = float(SDRLoss.init_mode("sisnr")(jnp.asarray(s1), jnp.asarray(s2),
+                                             jnp.asarray(labels)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
+
+
+def test_sdr_loss_threshold_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.sdr import SDRLoss as TorchSDRLoss
+
+    s1 = rng.standard_normal((6, 4000)).astype(np.float32)
+    # make some items near-perfect so the threshold filters them
+    s2 = s1.copy()
+    s2[3:] = rng.standard_normal((3, 4000)).astype(np.float32)
+    t_loss = TorchSDRLoss.init_mode("sisnr", threshold=-30.0)
+    with torch.no_grad():
+        t_val = t_loss(torch.from_numpy(s1), torch.from_numpy(s2)).item()
+    j_val = float(SDRLoss.init_mode("sisnr", threshold=-30.0)(
+        jnp.asarray(s1), jnp.asarray(s2)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
+
+
+def test_si_snr_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.sdr import si_snr as torch_si_snr
+
+    s1 = rng.standard_normal((3, 8000)).astype(np.float32)
+    s2 = rng.standard_normal((3, 8000)).astype(np.float32)
+    t_val = torch_si_snr(torch.from_numpy(s1), torch.from_numpy(s2)).item()
+    j_val = float(si_snr(jnp.asarray(s1), jnp.asarray(s2)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4)
+
+
+def _torch_stft_mag(torch, x, fft, hop, wl):
+    """The reference stft() semantics; torch.stft called with
+    return_complex=True because the reference's call signature is no longer
+    runnable on torch>=2 (stft_loss.py:19)."""
+    win = torch.hann_window(wl)
+    spec = torch.stft(x, fft, hop, wl, win, return_complex=True)
+    mag = torch.sqrt(torch.clamp(spec.real**2 + spec.imag**2, min=1e-7))
+    return mag.transpose(2, 1)
+
+
+def test_stft_mag_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    t_mag = _torch_stft_mag(torch, torch.from_numpy(x), 512, 50, 240).numpy()
+    from puresound_tpu.dsp.stft import hann_window
+
+    j_mag = np.asarray(stft_mag(jnp.asarray(x), 512, 50, 240,
+                                jnp.asarray(hann_window(240))))
+    assert j_mag.shape == t_mag.shape
+    np.testing.assert_allclose(j_mag, t_mag, atol=1e-3, rtol=1e-3)
+
+
+def test_multires_stft_loss_matches_torch(torch_oracle, rng):
+    """Reference formulas recomputed with runnable torch.stft as oracle."""
+    torch = torch_oracle
+
+    x = rng.standard_normal((2, 8000)).astype(np.float32) * 0.5
+    y = rng.standard_normal((2, 8000)).astype(np.float32) * 0.5
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    sc_total, mag_total = 0.0, 0.0
+    for fs, ss, wl in ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240)):
+        xm = _torch_stft_mag(torch, tx, fs, ss, wl)
+        ym = _torch_stft_mag(torch, ty, fs, ss, wl)
+        sc_total += (torch.norm(ym - xm, p="fro") / torch.norm(ym, p="fro")).item()
+        mag_total += torch.nn.functional.l1_loss(torch.log(ym), torch.log(xm)).item()
+    t_val = 0.1 * sc_total / 3 + 0.1 * mag_total / 3
+    # over-suppression: ref^0.5 - enh^0.5, positive part squared, mean
+    xm = _torch_stft_mag(torch, tx, 512, 128, 512)
+    ym = _torch_stft_mag(torch, ty, 512, 128, 512)
+    diff = ym.pow(0.5) - xm.pow(0.5)
+    t_ov = torch.mean((diff * (diff > 0).float()).pow(2)).item()
+
+    j_val = float(MultiResolutionSTFTLoss()(jnp.asarray(x), jnp.asarray(y)))
+    j_ov = float(over_suppression_loss(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(j_ov, t_ov, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["softmax", "contrast"])
+def test_ge2e_matches_torch(torch_oracle, rng, method):
+    torch = torch_oracle
+    from puresound.nnet.loss.metrics import GE2ELoss as TorchGE2E
+
+    nspks, putts, D = 4, 3, 16
+    dvecs = rng.standard_normal((nspks * putts, D)).astype(np.float32)
+    tm = TorchGE2E(nspks=nspks, putts=putts, loss_method=method)
+    with torch.no_grad():
+        t_val = tm(torch.from_numpy(dvecs)).item()
+    jm = GE2ELoss(nspks=nspks, putts=putts, loss_method=method)
+    p = {"params": {"w": jnp.asarray(float(tm.w)), "b": jnp.asarray(float(tm.b))}}
+    j_val = float(jm.apply(p, jnp.asarray(dvecs)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-3, rtol=1e-4)
+
+
+def test_triplet_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.metrics import TripletLoss as TorchTriplet
+
+    x = rng.standard_normal((5, 3, 16)).astype(np.float32)
+    for dist in ("Euclidean", "consine"):
+        tm = TorchTriplet(margin=0.3, distance=dist)
+        with torch.no_grad():
+            t_val = tm(torch.from_numpy(x)).item()
+        j_val = float(TripletLoss(margin=0.3, distance=dist)(jnp.asarray(x)))
+        np.testing.assert_allclose(j_val, t_val, atol=1e-5, err_msg=dist)
+
+
+def test_f1_loss_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.metrics import F1_loss as TorchF1
+
+    est = rng.uniform(0, 1, (2, 100)).astype(np.float32)
+    tgt = (rng.uniform(0, 1, (2, 100)) > 0.5).astype(np.float32)
+    with torch.no_grad():
+        t_val = TorchF1()(torch.from_numpy(est), torch.from_numpy(tgt)).item()
+    j_val = float(F1Loss()(jnp.asarray(est), jnp.asarray(tgt)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-5)
+
+
+def test_aamsoftmax_matches_torch(torch_oracle, rng):
+    torch = torch_oracle
+    from puresound.nnet.loss.aamsoftmax import AAMsoftmax as TorchAAM
+
+    x = rng.standard_normal((6, 16)).astype(np.float32)
+    labels = rng.integers(0, 10, 6)
+    tm = TorchAAM(input_dim=16, n_class=10, margin=0.2, scale=30)
+    with torch.no_grad():
+        t_val = tm(torch.from_numpy(x), torch.from_numpy(labels)).item()
+    jm = AAMsoftmax(input_dim=16, n_class=10, margin=0.2, scale=30)
+    p = {"params": {"weight": jnp.asarray(tm.weight.detach().numpy())}}
+    j_val = float(jm.apply(p, jnp.asarray(x), jnp.asarray(labels)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
