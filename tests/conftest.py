@@ -7,6 +7,8 @@ set before jax is imported anywhere.
 import os
 import sys
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence XLA AOT-cache noise
+
 # Force CPU: the session env presets JAX_PLATFORMS=axon (a tunneled TPU),
 # which would route every test op through the tunnel (slow) and use bf16
 # matmul passes (breaks parity tolerances). Unit tests run on host CPU.
