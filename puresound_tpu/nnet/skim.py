@@ -302,38 +302,46 @@ class SkiM(nn.Module):
         out = self._output(jnp.swapaxes(y, 1, 2))
         return out, new_state
 
+    def _frame_step(self, carry, x_t):
+        """One streaming frame: all blocks + lax.cond segment-boundary mem
+        update. carry = (state, embed); x_t: [B, C]."""
+        st, embed = carry
+        out = x_t[:, None, :]  # [B, 1, C]
+        out, seg_h, seg_c = self._blocks_over_frames(
+            out, embed, list(st["seg_h"]), list(st["seg_c"]))
+        count = st["frame_count"] + 1
+
+        def do_mem(operand):
+            seg_h, seg_c = operand
+            return self._mem_update(st, seg_h, seg_c)
+
+        def no_mem(operand):
+            seg_h, seg_c = operand
+            return seg_h, seg_c, st["mem_h"], st["mem_c"]
+
+        boundary = (count % self.seg_size) == 0
+        nh, nc, mh, mc = jax.lax.cond(boundary, do_mem, no_mem, (seg_h, seg_c))
+        new_st = dict(st, seg_h=nh, seg_c=nc, mem_h=mh, mem_c=mc,
+                      frame_count=count)
+        return (new_st, embed), out[:, 0, :]
+
     def step_frames(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
                     state: dict):
         """Process an arbitrary number of frames with correct segment
-        boundary handling via lax.scan + lax.cond (production streaming).
+        boundary handling (production streaming).
 
         x: [B, F, C]. Returns ([B, C_out, F], new state).
+        Uses nn.scan so the frame recurrence compiles as one fused loop with
+        broadcast parameters (jit/pjit-safe).
         """
         embed = self._norm_embed(embed)
-
-        def frame_step(st, x_t):
-            # one frame through all blocks
-            out = x_t[:, None, :]  # [B, 1, C]
-            seg_h, seg_c = list(st["seg_h"]), list(st["seg_c"])
-            out, seg_h, seg_c = self._blocks_over_frames(out, embed, seg_h, seg_c)
-            count = st["frame_count"] + 1
-
-            def do_mem(operand):
-                seg_h, seg_c = operand
-                nh, nc, mh, mc = self._mem_update(st, seg_h, seg_c)
-                return nh, nc, mh, mc
-
-            def no_mem(operand):
-                seg_h, seg_c = operand
-                return seg_h, seg_c, st["mem_h"], st["mem_c"]
-
-            boundary = (count % self.seg_size) == 0
-            nh, nc, mh, mc = jax.lax.cond(boundary, do_mem, no_mem, (seg_h, seg_c))
-            new_st = dict(st, seg_h=nh, seg_c=nc, mem_h=mh, mem_c=mc,
-                          frame_count=count)
-            return new_st, out[:, 0, :]
-
+        scan = nn.scan(
+            lambda mdl, carry, xt: mdl._frame_step(carry, xt),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )
         xs = jnp.swapaxes(x, 0, 1)  # [F, B, C]
-        state, ys = jax.lax.scan(frame_step, state, xs)
+        (state, _), ys = scan(self, (state, embed), xs)
         y = jnp.swapaxes(ys, 0, 1)  # [B, F, C]
         return self._output(jnp.swapaxes(y, 1, 2)), state

@@ -1,0 +1,126 @@
+"""Device-mesh parallelism: data-parallel training + stream-sharded serving.
+
+The reference's only parallelism is single-host torch DataParallel
+(puresound/task/base.py:226-229, loss-mean across replicas). The TPU-native
+equivalent is SPMD over a `jax.sharding.Mesh`:
+
+- training: params replicated, batch sharded on the "dp" axis; XLA inserts
+  the gradient all-reduce (psum) over ICI automatically from shardings.
+- serving: the stream-batch axis of the streaming engine shards the same
+  way; the step contains no collectives at all.
+
+The mesh is ("dp", "mp"): "mp" (model axis) is 1 for every current model
+(all <= 16M params) but the API keeps larger models additive, not a rewrite.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("dp", "mp") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_dp is None:
+        n_dp = len(devices) // n_mp
+    devs = np.asarray(devices[: n_dp * n_mp]).reshape(n_dp, n_mp)
+    return Mesh(devs, ("dp", "mp"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with its leading axis sharded over dp."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal functional train state (params + opt + mutable collections)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats or {}, opt_state=tx.init(params),
+                   tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_train_step(model, loss_kwargs: Optional[Dict] = None,
+                    grad_clip: Optional[float] = None,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    The returned step(state, batch, rng) -> (state, metrics) where batch is
+    a dict of model call kwargs (noisy/enroll/ref_clean/...). When a mesh is
+    given, the batch is expected sharded on "dp" and params replicated; XLA
+    derives the gradient all-reduce from the shardings.
+    """
+    loss_kwargs = loss_kwargs or {}
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, updates = model.apply(
+                variables, **batch, train=True, **loss_kwargs,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss = out[0] if isinstance(out, tuple) else out
+            detail = out[1] if isinstance(out, tuple) else None
+            return loss, (updates.get("batch_stats", {}), detail)
+
+        (loss, (new_stats, detail)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if grad_clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        else:
+            gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads)
+        if new_stats:
+            state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if detail is not None:
+            for i, d in enumerate(detail):
+                metrics[f"loss_{i}"] = d
+        return state, metrics
+
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P("dp"))
+        step_fn = jax.jit(
+            step_fn,
+            in_shardings=(replicated, dp, replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,) if donate else (),
+        )
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn
+
+
+def replicate_to_mesh(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

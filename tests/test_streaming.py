@@ -1,0 +1,180 @@
+"""Streaming <-> offline equivalence tests (the reference's key contract,
+test/test_streaming.py, tightened: equivalence here is structural)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puresound_tpu.nnet.conv_tasnet import TCN
+from puresound_tpu.nnet.encoder import FreeEncDec
+from puresound_tpu.nnet.lobe.cnn import Conv1d
+from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+from puresound_tpu.nnet.skim import MemLSTM, SegLSTM, SkiM
+from puresound_tpu.streaming.engine import StreamingTSE, offline_equivalent_input
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _skim_kw(causal=True):
+    return dict(input_size=12, hidden_size=16, output_size=12, n_blocks=3,
+                seg_size=10, seg_overlap=False, causal=causal, embed_dim=8,
+                embed_norm=True, embed_fusion="FiLM",
+                block_with_embed=(1, 0, 1))
+
+
+def test_seg_lstm_stream_equals_offline(rng):
+    """SegLSTM over a full segment == frame-by-frame with carried state."""
+    m = SegLSTM(input_size=12, hidden_size=16, causal=True)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12)).astype(np.float32))
+    p = m.init(KEY, x)
+    y_full, h_full, c_full = m.apply(p, x)
+    h = c = None
+    outs = []
+    for t in range(10):
+        y, h, c = m.apply(p, x[:, t:t + 1, :], h, c)
+        outs.append(y)
+    y_step = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_step), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_full), np.asarray(h), atol=1e-6)
+
+
+def test_mem_lstm_stream_equals_offline(rng):
+    """MemLSTM offline over S segments == S sequential streaming steps."""
+    m = MemLSTM(hidden_size=16, causal=True)
+    S = 5
+    h = jnp.asarray(rng.standard_normal((1, S, 1, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((1, S, 1, 16)).astype(np.float32))
+    p = m.init(KEY, h, c)
+    h_off, c_off = m.apply(p, h, c)  # [D, S, 16] (N=1), causal-shifted
+
+    h_states = c_states = None
+    stream_h, stream_c = [], []
+    for s in range(S):
+        hs = h[:, s].reshape(1, 1, 16)  # [B, D, H]
+        cs = c[:, s].reshape(1, 1, 16)
+        h_out, c_out, h_states, c_states = m.apply(
+            p, hs, cs, h_states, c_states, method=MemLSTM.step)
+        stream_h.append(h_out)
+        stream_c.append(c_out)
+    # offline segment s init state == streaming output after segment s-1
+    for s in range(1, S):
+        np.testing.assert_allclose(np.asarray(h_off[:, s]),
+                                   np.asarray(stream_h[s - 1][:, 0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_off[:, s]),
+                                   np.asarray(stream_c[s - 1][:, 0]), atol=1e-6)
+    # segment 0 init is zeros
+    np.testing.assert_allclose(np.asarray(h_off[:, 0]), 0.0, atol=0)
+
+
+@pytest.mark.parametrize("T", [50, 57])
+def test_skim_offline_vs_step_chunk_vs_step_frames(rng, T):
+    """The reference's core contract (test_streaming.py:62-116) at f32."""
+    kw = _skim_kw()
+    m = SkiM(**kw)
+    x = jnp.asarray(rng.standard_normal((2, 12, T)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    p = m.init(KEY, x, e)
+    y_off = m.apply(p, x, e)
+
+    K = kw["seg_size"]
+    T_pad = ((T + K - 1) // K) * K
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (0, T_pad - T)))
+    frames = jnp.swapaxes(x_pad, 1, 2)  # [B, T_pad, C]
+
+    # chunk-aligned step_chunk
+    state = m.apply(p, 2, method=SkiM.init_state)
+    outs = []
+    for s in range(T_pad // K):
+        y, state = m.apply(p, frames[:, s * K:(s + 1) * K, :], e, state,
+                           method=SkiM.step_chunk)
+        outs.append(y)
+    y_chunk = jnp.concatenate(outs, axis=-1)[:, :, :T]
+    np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_chunk),
+                               atol=2e-5, rtol=1e-4)
+
+    # arbitrary-frame step_frames (13 frames at a time)
+    state = m.apply(p, 2, method=SkiM.init_state)
+    outs = []
+    idx = 0
+    while idx < T_pad:
+        n = min(13, T_pad - idx)
+        y, state = m.apply(p, frames[:, idx:idx + n, :], e, state,
+                           method=SkiM.step_frames)
+        outs.append(y)
+        idx += n
+    y_frames = jnp.concatenate(outs, axis=-1)[:, :, :T]
+    np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_frames),
+                               atol=2e-5, rtol=1e-4)
+
+
+def _small_tse():
+    """A small tse_skim-style model (same structure, smaller dims)."""
+    encoder = FreeEncDec(win_length=32, hop_length=16, laten_length=24,
+                         output_active=True)
+    masker = SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+                  seg_size=10, seg_overlap=False, causal=True, embed_dim=8,
+                  embed_norm=True, embed_fusion="FiLM", block_with_embed=(1, 1))
+    speaker_net = tuple(
+        [TCN(24, 16, 3, dilation=1, causal=False, tcn_norm="gLN",
+             dconv_norm="gGN")]
+        + [AttentiveStatisticsPooling(24, 16), Conv1d(48, 8, 1, use_bias=False)])
+    return encoder, masker, speaker_net
+
+
+def test_streaming_tse_equals_offline(rng):
+    """Full-pipeline streaming == offline inference on zero-primed input."""
+    encoder, masker, speaker_net = _small_tse()
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net,
+                               mask_constraint="ReLU")
+    engine = StreamingTSE(encoder=encoder, masker=masker,
+                          speaker_net=speaker_net, mask_constraint="ReLU")
+
+    L = 16 * 40  # 40 frames = 4 segments
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32) * 0.1)
+
+    params = offline.init(KEY, x, enroll, method=SoTaskWrapModule.inference)
+    y_off = offline.apply(
+        params, offline_equivalent_input(x, 32, 16), enroll,
+        method=SoTaskWrapModule.inference)
+
+    dvec = engine.apply(params, enroll, method=StreamingTSE.embed)
+    state = engine.apply(params, 2, method=StreamingTSE.init_state)
+    outs = []
+    chunk = 16 * 4  # 4 frames per chunk
+    for i in range(0, L, chunk):
+        y, state = engine.apply(params, x[:, i:i + chunk], dvec, state,
+                                method=StreamingTSE.step)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream),
+                               np.asarray(y_off[:, :y_stream.shape[-1]]),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_batch_independence(rng):
+    """Streams in a batch must not leak state into each other."""
+    encoder, masker, speaker_net = _small_tse()
+    engine = StreamingTSE(encoder=encoder, masker=masker,
+                          speaker_net=speaker_net, mask_constraint="ReLU")
+    L = 16 * 20
+    x = jnp.asarray(rng.standard_normal((3, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((3, 800)).astype(np.float32) * 0.1)
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net, mask_constraint="ReLU")
+    params = offline.init(KEY, x, enroll, method=SoTaskWrapModule.inference)
+
+    dvec = engine.apply(params, enroll, method=StreamingTSE.embed)
+
+    def run(xb, db, B):
+        state = engine.apply(params, B, method=StreamingTSE.init_state)
+        y, _ = engine.apply(params, xb, db, state, method=StreamingTSE.step)
+        return y
+
+    y_batch = run(x, dvec, 3)
+    for i in range(3):
+        y_single = run(x[i:i + 1], dvec[i:i + 1], 1)
+        np.testing.assert_allclose(np.asarray(y_batch[i:i + 1]),
+                                   np.asarray(y_single), atol=1e-5)
