@@ -1,0 +1,259 @@
+"""Noise-suppression task: dataset, collate, trainer.
+
+Parity: puresound/task/ns.py (NsCollateFunc :14, NsDataset :44, NsTask :248).
+"""
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..src.audio import AudioAugmentor, AudioIO
+from ..src.utils import load_text_as_dict
+from .base import BaseTrainer, TaskDataset, pad_stack
+
+
+class NsCollateFunc:
+    def __call__(self, batch: Any) -> Dict:
+        return {
+            "uttid": [b["uttid"] for b in batch],
+            "clean_wav": pad_stack([b["clean_wav"] for b in batch]),
+            "process_wav": pad_stack([b["process_wav"] for b in batch]),
+        }
+
+
+class _AugmentedDataset(TaskDataset):
+    """Shared augmentation chain: speed -> RIR -> noise -> freq-response,
+    with matched target warping and NaN rollback."""
+
+    def create_augmentor(self) -> None:
+        self.augmentor = AudioAugmentor(sample_rate=self.resample_to,
+                                        convolve_mode="fft")
+        print("Created audio augmentor")
+        if getattr(self, "noise_folder", None):
+            self.augmentor.load_bg_noise_from_folder(self.noise_folder)
+            print(f"Finished load {len(self.augmentor.bg_noise)} noises")
+        if getattr(self, "rir_folder", None):
+            self.augmentor.load_rir_from_folder(self.rir_folder)
+            print(f"Finished load {len(self.augmentor.rir)} rirs")
+
+    def _open_resampled(self, path: str) -> np.ndarray:
+        wav, sr = AudioIO.open(f_path=path)
+        if self.resample_to and sr != self.resample_to:
+            wav = AudioIO.resample(wav, sr, self.resample_to)
+        if wav.shape[0] != 1:
+            wav = wav[0:1]
+        return wav
+
+    def wave_process(self, x: np.ndarray,
+                     noise_snr_range=(-5, 15)) -> Tuple[np.ndarray, Tuple]:
+        speed = snr = rir_id = rir_ch = a_coeffs = b_coeffs = None
+        backup = x.copy()
+        if getattr(self, "speed_perturbed", False) and np.random.rand() < 0.5:
+            speed = float(np.random.uniform(0.9, 1.1))
+            x, _ = self.augmentor.sox_speed_perturbed(x, speed)
+        if getattr(self, "rir_folder", None) is not None and np.random.rand() < 0.8:
+            x, rir_id, rir_ch = self.augmentor.apply_rir(x)
+        if getattr(self, "noise_folder", None) is not None and np.random.rand() < 0.8:
+            snr = float(np.random.uniform(*noise_snr_range))
+            x = self.augmentor.add_bg_noise(x, [snr])[0]
+        if getattr(self, "perturb_frequency_response", False) and np.random.rand() < 0.8:
+            x, a_coeffs, b_coeffs = self.augmentor.add_variaion_response(x)
+        if np.isnan(x).any():
+            print(f"warning this augment has nan, snr={snr}, speed={speed}, rir_id={rir_id}")
+            x, speed, rir_id, a_coeffs, b_coeffs = backup, None, None, None, None
+        return x, (speed, snr, rir_id, rir_ch, a_coeffs, b_coeffs)
+
+    def _random_crop_pair(self, wav, clean_wav, avoid_zero_target=True):
+        """Random fixed-length crop avoiding all-zero targets; zero-pad when
+        too short (ns.py:123-139)."""
+        sr = self.resample_to
+        target_len = sr * self.max_length
+        if wav.shape[-1] > target_len:
+            offset = random.randint(0, wav.shape[-1] - target_len)
+            if avoid_zero_target:
+                tries = 0
+                while clean_wav[:, offset : offset + target_len].sum() == 0 and tries < 100:
+                    offset = random.randint(0, wav.shape[-1] - target_len)
+                    tries += 1
+            wav = wav[:, offset : offset + target_len]
+            clean_wav = clean_wav[:, offset : offset + target_len]
+        else:
+            wav = np.pad(wav, ((0, 0), (0, target_len - wav.shape[-1])))
+            clean_wav = np.pad(clean_wav, ((0, 0), (0, target_len - clean_wav.shape[-1])))
+        return wav, clean_wav
+
+    def _match_target(self, clean_wav, speed, rir_id, rir_ch, a_coeffs, b_coeffs,
+                      rir_mode: str, skip_signal_warp: bool = False):
+        """Warp the target with the same augmentation parameters."""
+        if speed is not None and not skip_signal_warp:
+            clean_wav, _ = self.augmentor.sox_speed_perturbed(clean_wav, speed)
+        if rir_id is not None and rir_mode != "anechoic" and not skip_signal_warp:
+            clean_wav = self.augmentor.apply_rir_by_key(
+                clean_wav, rir_id, choose_ch=rir_ch, rir_mode=rir_mode)
+        if a_coeffs is not None and b_coeffs is not None:
+            clean_wav, _, _ = self.augmentor.add_variaion_response(
+                clean_wav, a_coeffs, b_coeffs)
+        return clean_wav
+
+    def _vol_perturb(self, *wavs):
+        if not isinstance(self.vol_perturbed, tuple):
+            lo, hi = (float(v) for v in str(self.vol_perturbed).strip().split(","))
+        else:
+            lo, hi = self.vol_perturbed
+        ratio = float(np.random.uniform(lo, hi))
+        return [np.clip(w * ratio, -1, 1) for w in wavs]
+
+
+class NsDataset(_AugmentedDataset):
+    """Parallel noisy/clean NS dataset with on-the-fly augmentation."""
+
+    def __init__(self, folder: str, resample_to: int,
+                 max_length: Optional[int] = None,
+                 noise_folder: Optional[str] = None,
+                 rir_folder: Optional[str] = None, rir_mode: str = "image",
+                 vol_perturbed: Optional[tuple] = None,
+                 speed_perturbed: bool = False,
+                 perturb_frequency_response: bool = False):
+        self.max_length = max_length
+        self.noise_folder = noise_folder
+        self.rir_folder = rir_folder
+        self.rir_mode = rir_mode
+        self.speed_perturbed = speed_perturbed
+        self.vol_perturbed = vol_perturbed
+        self.perturb_frequency_response = perturb_frequency_response
+        super().__init__(folder, resample_to=resample_to)
+        if (noise_folder or rir_folder or speed_perturbed
+                or vol_perturbed is not None or perturb_frequency_response):
+            self.create_augmentor()
+        else:
+            self.augmentor = None
+
+    @property
+    def folder_content(self):
+        return {"wav2scp": "wav2scp.txt", "wav2ref": "wav2ref.txt"}
+
+    def __getitem__(self, index: int) -> Dict:
+        key = self.idx_df[index]
+        feats = self.get_feature(key)
+        return {"uttid": key,
+                "process_wav": feats["process_wav"].reshape(1, -1),
+                "clean_wav": feats["clean_wav"].reshape(1, -1)}
+
+    def get_feature(self, key: str) -> Dict:
+        wav = self._open_resampled(self.df[key]["wav2scp"])
+        clean_wav = self._open_resampled(self.df[key]["wav2ref"])
+        if self.max_length is not None:
+            wav, clean_wav = self._random_crop_pair(wav, clean_wav)
+        if self.augmentor:
+            process_wav, (speed, _, rir_id, rir_ch, a, b) = self.wave_process(wav)
+            clean_wav = self._match_target(clean_wav, speed, rir_id, rir_ch,
+                                           a, b, self.rir_mode)
+            if self.vol_perturbed is not None:
+                clean_wav, process_wav = self._vol_perturb(clean_wav, process_wav)
+        else:
+            process_wav = wav
+        return {"clean_wav": clean_wav.astype(np.float32),
+                "process_wav": process_wav.astype(np.float32)}
+
+
+class NsTask(BaseTrainer):
+    """NS trainer: SE forward (loss-returning wrapper) + adam + clip."""
+
+    def __init__(self, hparam, model, init_fn, device_backend,
+                 train_dataloader, dev_dataloader, mesh=None):
+        self.model = model
+        self._init_fn = init_fn
+        self._mesh = mesh
+        super().__init__(hparam, device_backend)
+        self.train_dataloader = train_dataloader
+        self.dev_dataloader = dev_dataloader
+        self._build_steps()
+
+    def build_model(self):
+        pass  # model is provided pre-built (zoo factory)
+
+    def init_variables(self):
+        return self._init_fn()
+
+    def _build_steps(self):
+        import jax
+
+        from ..parallel.mesh import make_train_step
+
+        self._train_step = make_train_step(self.model, grad_clip=self.hparam[
+            "OPTIMIZER"].get("gradiend_clip"), mesh=self._mesh, donate=False)
+
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            return self.model.apply(variables, **batch, train=False)
+
+        self._eval_step = jax.jit(eval_step)
+        self._rng = jax.random.PRNGKey(self.hparam["TRAIN"].get("seed", 0))
+
+    def _batch_kwargs(self, batch) -> Dict:
+        import jax.numpy as jnp
+
+        return {"noisy": jnp.asarray(batch["process_wav"]),
+                "enroll": None,
+                "ref_clean": jnp.asarray(batch["clean_wav"])}
+
+    def train_one_epoch(self, current_epoch):
+        import jax
+
+        step = 0
+        total_loss = 0.0
+        for batch_idx, batch in enumerate(self.train_dataloader):
+            self.overall_step += 1
+            step += 1
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, metrics = self._train_step(
+                self.state, self._batch_kwargs(batch), sub)
+            loss = float(metrics["loss"])
+            print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, batch_loss: {loss:.4f}")
+            total_loss += loss
+            if self.tf_writer:
+                self.tf_writer.update_step_loss("train/batch_loss", loss, self.overall_step)
+        return {"total_loss": total_loss / max(step, 1)}
+
+    def compute_dev_loss(self, current_epoch):
+        step = 0
+        total = 0.0
+        for batch in self.dev_dataloader:
+            step += 1
+            total += float(self._eval_step(self.state.params,
+                                           self.state.batch_stats,
+                                           self._batch_kwargs(batch)))
+        avg = total / max(step, 1)
+        print(f"dev average loss: {avg}")
+        return {"total_loss": avg}
+
+    def inference(self, noisy, enroll=None):
+        from ..nnet.base_nn import SoTaskWrapModule
+
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return self.model.apply(variables, noisy, enroll,
+                                method=SoTaskWrapModule.inference)
+
+    def gen_logging(self, epoch: int, prefix: str):
+        import jax.numpy as jnp
+
+        eval_dir = self.hparam["DATASET"].get("eval")
+        if not eval_dir:
+            return
+        test_audio = load_text_as_dict(f"{eval_dir}/wav2scp.txt")
+        sr = self.hparam["DATASET"]["sample_rate"]
+        for key in test_audio.keys():
+            print(f"Running inference: {key}")
+            wav, file_sr = AudioIO.open(f_path=test_audio[key][0])
+            if file_sr != sr:
+                wav = AudioIO.resample(wav, file_sr, sr)
+            enh = self.inference(jnp.asarray(wav))
+            if self.tf_writer:
+                self.tf_writer.add_ep_audio(f"{prefix}{key}.wav",
+                                            np.asarray(enh), epoch, sr)

@@ -1,0 +1,220 @@
+"""Training-runtime integration tests on synthetic manifests (the trainer
+paths the reference never tested — SURVEY.md §4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puresound_tpu.src.audio import AudioIO
+from puresound_tpu.tasks.base import DataLoader, LearningRateScheduler
+from puresound_tpu.tasks.ns import NsCollateFunc, NsDataset, NsTask
+from puresound_tpu.tasks.tse import TseCollateFunc, TseDataset, TseTask
+
+SR = 8000
+
+
+def _make_ns_data(tmp_path, n=6):
+    """Synthetic noisy/clean pairs + manifests."""
+    rng = np.random.default_rng(0)
+    wav_dir = tmp_path / "wavs"
+    os.makedirs(wav_dir, exist_ok=True)
+    lines_scp, lines_ref = [], []
+    for i in range(n):
+        clean = (0.2 * np.sin(2 * np.pi * 220 * (i + 1) / SR
+                              * np.arange(SR))).astype(np.float32)
+        noisy = clean + 0.05 * rng.standard_normal(SR).astype(np.float32)
+        cpath = str(wav_dir / f"clean_{i}.wav")
+        npath = str(wav_dir / f"noisy_{i}.wav")
+        AudioIO.save(clean.reshape(1, -1), cpath, SR)
+        AudioIO.save(noisy.reshape(1, -1), npath, SR)
+        lines_scp.append(f"utt{i} {npath}")
+        lines_ref.append(f"utt{i} {cpath}")
+    man = tmp_path / "manifest"
+    os.makedirs(man, exist_ok=True)
+    (man / "wav2scp.txt").write_text("\n".join(lines_scp) + "\n")
+    (man / "wav2ref.txt").write_text("\n".join(lines_ref) + "\n")
+    return str(man)
+
+
+def _make_tse_data(tmp_path, n=8):
+    rng = np.random.default_rng(1)
+    wav_dir = tmp_path / "wavs"
+    os.makedirs(wav_dir, exist_ok=True)
+    scp, ref, r2l, r2s, w2s = [], [], [], [], []
+    for i in range(n):
+        spk_a, spk_b = f"sp{i % 4}", f"sp{(i + 1) % 4}"
+        clean = (0.2 * np.sin(2 * np.pi * (100 + 40 * (i % 4)) / SR
+                              * np.arange(2 * SR))).astype(np.float32)
+        other = 0.1 * rng.standard_normal(2 * SR).astype(np.float32)
+        mix = clean + other
+        enroll = clean + 0.01 * rng.standard_normal(2 * SR).astype(np.float32)
+        paths = {}
+        for name, sig in (("mix", mix), ("clean", clean), ("enroll", enroll)):
+            p = str(wav_dir / f"{name}_{i}.wav")
+            AudioIO.save(sig.reshape(1, -1), p, SR)
+            paths[name] = p
+        key = f"mix_{i}_s1"
+        scp.append(f"{key} {paths['mix']}")
+        ref.append(f"{key} {paths['clean']}")
+        r2l.append(f"{key} {paths['enroll']}")
+        r2s.append(f"{key} {spk_a}")
+        w2s.append(f"{key} {spk_a}-{spk_b}")
+    man = tmp_path / "manifest"
+    os.makedirs(man, exist_ok=True)
+    for fname, lines in (("wav2scp.txt", scp), ("wav2ref.txt", ref),
+                         ("ref2list.txt", r2l), ("ref2spk.txt", r2s),
+                         ("wav2spk.txt", w2s)):
+        (man / fname).write_text("\n".join(lines) + "\n")
+    return str(man)
+
+
+def _small_ns_model():
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+
+    return SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=32),
+        masker=ConvTasNet(input_dim=32, embed_dim=0, tcn_kernel=3, tcn_dim=16,
+                          repeat_tcn=1, per_tcn_stack=2, tcn_with_embed=(0, 0),
+                          tcn_norm="cLN", dconv_norm="cLN", causal=True),
+        loss_func_wav=SDRLoss.init_mode("sisnr"), mask_constraint="ReLU")
+
+
+def _hparam(tmp_path, extra=None):
+    h = {
+        "DATASET": {"sample_rate": SR},
+        "OPTIMIZER": {"lr": 1e-3, "beta1": 0.9, "beta2": 0.999,
+                      "weight_decay": 0.0, "lr_scheduler": "Plateau",
+                      "gamma": 0.5, "patience": 2, "mode": "min",
+                      "num_epochs_decay": 0, "gradiend_clip": 10.0,
+                      "multi_rate": False},
+        "TRAIN": {"num_epochs": 2, "resume_epoch": None, "multi_gpu": False,
+                  "use_tensorboard": False,
+                  "model_save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "log"),
+                  "contrastive_learning": False, "seed": 0},
+        "LOSS": {"alpha": 10.0},
+    }
+    if extra:
+        for k, v in extra.items():
+            h[k].update(v) if k in h else h.update({k: v})
+    return h
+
+
+def test_ns_training_loop(tmp_path):
+    man = _make_ns_data(tmp_path)
+    ds = NsDataset(man, resample_to=SR, max_length=1)
+    loader = DataLoader(ds, batch_size=3, shuffle=True,
+                        collate_fn=NsCollateFunc())
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    task = NsTask(_hparam(tmp_path), model, init_fn, "cpu", loader, loader)
+    loss0 = task.train_one_epoch(0)["total_loss"]
+    for _ in range(3):
+        loss1 = task.train_one_epoch(0)["total_loss"]
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0  # optimizing
+
+    dev = task.compute_dev_loss(0)
+    assert np.isfinite(dev["total_loss"])
+
+    # checkpoint round trip
+    os.makedirs(task.hparam["TRAIN"]["model_save_dir"], exist_ok=True)
+    ck = os.path.join(task.hparam["TRAIN"]["model_save_dir"], "epoch_0.ckpt")
+    task.save_ckpt(ck, 0, {"total_loss": loss1})
+    params_before = jax.tree_util.tree_leaves(task.state.params)[0].copy()
+    task2 = NsTask(_hparam(tmp_path), model, init_fn, "cpu", loader, loader)
+    task2.load_ckpt(ck)
+    params_after = jax.tree_util.tree_leaves(task2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(params_before),
+                               np.asarray(params_after))
+
+    # inference path
+    wav = jnp.zeros((1, SR))
+    out = task.inference(wav)
+    assert out.shape[0] == 1
+
+
+def test_tse_training_loop(tmp_path):
+    from puresound_tpu.zoo import init_tse_model
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.conv_tasnet import TCN
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.lobe.cnn import Conv1d
+    from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+    from puresound_tpu.nnet.loss.aamsoftmax import AAMsoftmax
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.nnet.skim import SkiM
+
+    man = _make_tse_data(tmp_path)
+    ds = TseDataset(man, resample_to=SR, max_length=1, single_spk_pb=0.2,
+                    inactive_training=0.3)
+    loader = DataLoader(ds, batch_size=4, shuffle=True,
+                        collate_fn=TseCollateFunc(), drop_last=True)
+
+    model = SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=24,
+                           output_active=True),
+        masker=SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+                    seg_size=20, causal=True, embed_dim=8, embed_norm=True,
+                    embed_fusion="FiLM", block_with_embed=(1, 1)),
+        speaker_net=(TCN(24, 16, 3, dilation=1, causal=False, tcn_norm="gLN",
+                         dconv_norm="gGN"),
+                     AttentiveStatisticsPooling(24, 16),
+                     Conv1d(48, 8, 1, use_bias=False)),
+        loss_func_wav=SDRLoss.init_mode("sisnr"),
+        loss_func_spk=AAMsoftmax(input_dim=8, n_class=4),
+        mask_constraint="ReLU")
+
+    def init_fn():
+        x = jnp.zeros((2, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=x,
+                          ref_clean=x, spk_class=jnp.zeros(2, jnp.int32),
+                          train=False)
+
+    hp = _hparam(tmp_path, {"OPTIMIZER": {"multi_rate": True}})
+    task = TseTask(hp, model, init_fn, "cpu", loader, loader)
+    loss = task.train_one_epoch(0)["total_loss"]
+    assert np.isfinite(loss)
+    dev = task.compute_dev_loss(0)
+    assert np.isfinite(dev["total_loss"])
+
+
+def test_lr_scheduler():
+    s = LearningRateScheduler("stepLR", base_lr=1.0, gamma=0.5, patience=2)
+    lrs = [s.step() for _ in range(4)]
+    assert lrs == [1.0, 0.5, 0.5, 0.25]
+    p = LearningRateScheduler("Plateau", base_lr=1.0, gamma=0.1, patience=1,
+                              mode="min")
+    p.step(1.0)
+    p.step(1.1)
+    assert p.lr == 1.0
+    p.step(1.2)  # second bad epoch > patience -> decay
+    assert p.lr == pytest.approx(0.1)
+
+
+def test_dataloader_batch_sampler():
+    from puresound_tpu.src.sampler import SpeakerSampler
+
+    class Dummy:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return i
+
+    meta = {f"spk{j}": list(range(j * 5, j * 5 + 5)) for j in range(4)}
+    sampler = SpeakerSampler(meta, n_batch=3, n_spks=2, n_per=2)
+    loader = DataLoader(Dummy(), batch_sampler=sampler,
+                        collate_fn=lambda x: x, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 3 and all(len(b) == 4 for b in batches)
