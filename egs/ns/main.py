@@ -1,0 +1,179 @@
+"""NS recipe CLI: train / dev / eval.
+
+Parity: reference egs/ns/main.py:184-198 (same actions, manifests, metrics).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def get_model_variables(model, hparam):
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+
+    sr = hparam["DATASET"]["sample_rate"]
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                      method=SoTaskWrapModule.inference)
+
+
+def load_eval_model(hparam, ckpt_name):
+    from model import init_model
+
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    model = init_model(hparam["MODEL"]["type"])
+    variables = get_model_variables(model, hparam)
+    path = os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt_name)
+    variables = BaseTrainer.load_params_from_ckpt(path, variables)
+    return model, variables
+
+
+def init_dataloader(hparam):
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.ns import NsCollateFunc, NsDataset
+
+    common = dict(
+        resample_to=hparam["DATASET"]["sample_rate"],
+        max_length=hparam["DATASET"]["max_length"],
+        noise_folder=hparam["DATASET"]["noise_folder"],
+        rir_folder=hparam["DATASET"]["rir_folder"],
+        rir_mode=hparam["DATASET"]["rir_mode"] or "image",
+        speed_perturbed=hparam["DATASET"]["speed_perturbed"],
+        perturb_frequency_response=hparam["DATASET"].get(
+            "perturb_frequency_response", False),
+        vol_perturbed=hparam["DATASET"]["vol_perturbed"],
+    )
+    train_ds = NsDataset(folder=hparam["DATASET"]["train"], **common)
+    dev_ds = NsDataset(folder=hparam["DATASET"]["dev"], **common)
+    train = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],
+                       shuffle=True, collate_fn=NsCollateFunc())
+    dev = DataLoader(dev_ds, batch_size=hparam["TRAIN"]["batch_size"],
+                     shuffle=True, collate_fn=NsCollateFunc())
+    return train, dev
+
+
+def action_train(hparam, backend):
+    import jax
+    import jax.numpy as jnp
+
+    from model import init_loss, init_model
+
+    from puresound_tpu.tasks.ns import NsTask
+
+    sig_loss = init_loss(hparam)
+    model = init_model(hparam["MODEL"]["type"], sig_loss)
+
+    def init_fn():
+        sr = hparam["DATASET"]["sample_rate"]
+        L = sr * (hparam["DATASET"]["max_length"] or 1)
+        return model.init({"params": jax.random.PRNGKey(0)},
+                          noisy=jnp.zeros((2, L)), enroll=None,
+                          ref_clean=jnp.zeros((2, L)), train=False)
+
+    train_loader, dev_loader = init_dataloader(hparam)
+    trainer = NsTask(hparam, model, init_fn, backend, train_loader, dev_loader)
+    trainer.train()
+
+
+def action_dev(hparam, backend, ckpt, metrics):
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.src.metrics import Metrics
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.ns import NsCollateFunc, NsDataset
+
+    dev_ds = NsDataset(folder=hparam["DATASET"]["dev"],
+                       resample_to=hparam["DATASET"]["sample_rate"],
+                       max_length=None)
+    loader = DataLoader(dev_ds, batch_size=1, shuffle=False,
+                        collate_fn=NsCollateFunc())
+    model, variables = load_eval_model(hparam, ckpt)
+
+    S_pesq, S_stoi, S_sdr, S_sisnr, S_sisnri = [], [], [], [], []
+    print("uttid, PESQ, STOI, SDR, SISNR, SISNRi")
+    for batch in loader:
+        clean, noisy = batch["clean_wav"], batch["process_wav"]
+        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
+                                     method=SoTaskWrapModule.inference))
+        S_sisnr.append(Metrics.sisnr(clean, enh))
+        S_sisnri.append(Metrics.sisnr_imp(clean, enh, noisy))
+        if metrics == "detail":
+            try:
+                S_pesq.append(Metrics.pesq_wb(clean, enh))
+            except NotImplementedError:
+                S_pesq.append(0)
+            S_stoi.append(Metrics.stoi(clean, enh))
+            S_sdr.append(Metrics.bss_sdr(clean, enh))
+        else:
+            S_pesq.append(0)
+            S_stoi.append(0)
+            S_sdr.append(0)
+        print(f"{batch['uttid'][0]}, {S_pesq[-1]}, {S_stoi[-1]}, {S_sdr[-1]}, "
+              f"{S_sisnr[-1]}, {S_sisnri[-1]}")
+    print(f"PESQ: {np.mean(S_pesq)}")
+    print(f"STOI: {np.mean(S_stoi)}")
+    print(f"SDR: {np.mean(S_sdr)}")
+    print(f"SiSNR: {np.mean(S_sisnr)}")
+    print(f"SiSNRi: {np.mean(S_sisnri)}")
+
+
+def action_eval(hparam, backend, ckpt):
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/eval_audio"
+    create_folder(out_dir)
+    model, variables = load_eval_model(hparam, ckpt)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
+    sr = hparam["DATASET"]["sample_rate"]
+    for key in test_audio.keys():
+        print(f"Running inference: {key}")
+        noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            noisy = AudioIO.resample(noisy, wav_sr, sr)
+        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
+                                     method=SoTaskWrapModule.inference))
+        AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
+
+
+def main(config):
+    from puresound_tpu.src.utils import create_folder, load_hparam
+
+    hparam = load_hparam(config.config_path)
+    create_folder(hparam["TRAIN"]["model_save_dir"])
+    if config.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if config.action == "train":
+        action_train(hparam, config.backend)
+    elif config.action == "dev":
+        action_dev(hparam, config.backend, config.ckpt, config.metrics)
+    elif config.action == "eval":
+        action_eval(hparam, config.backend, config.ckpt)
+    else:
+        raise NameError("Unrecognize action.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--action", type=str, default="train",
+                        choices=["train", "dev", "eval"])
+    parser.add_argument("--backend", type=str, default="tpu",
+                        choices=["cpu", "tpu"])
+    parser.add_argument("--metrics", type=str, default="simple",
+                        choices=["simple", "detail"])
+    parser.add_argument("--ckpt", type=str, default=None)
+    main(parser.parse_args())

@@ -1,0 +1,369 @@
+"""TSE recipe CLI: train / dev / eval / tSNE / export_model.
+
+Parity: reference egs/tse/main.py:449-466 (same actions, same manifests,
+same scoring); `export_model` serializes jax.export StableHLO artifacts of
+the four sub-nets instead of torch.jit traces.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def get_model_variables(model, hparam):
+    """Initialize a variable tree for inference-shaped inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+
+    sr = hparam["DATASET"]["sample_rate"]
+    x = jnp.zeros((1, sr))
+    return model.init(jax.random.PRNGKey(0), x, x,
+                      method=SoTaskWrapModule.inference)
+
+
+def load_eval_model(hparam, ckpt_name):
+    """Build the zoo model (no losses) and load checkpoint params."""
+    from model import init_model
+
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    model = init_model(hparam["MODEL"]["type"])
+    variables = get_model_variables(model, hparam)
+    path = os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt_name)
+    variables = BaseTrainer.load_params_from_ckpt(path, variables)
+    return model, variables
+
+
+def init_dataloader(hparam):
+    from puresound_tpu.src.sampler import SpeakerSampler
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.tse import TseCollateFunc, TseDataset
+
+    is_vad = hparam["DATASET"]["type"].lower() == "pvad"
+    common = dict(
+        resample_to=hparam["DATASET"]["sample_rate"],
+        max_length=hparam["DATASET"]["max_length"],
+        noise_folder=hparam["DATASET"]["noise_folder"],
+        rir_folder=hparam["DATASET"]["rir_folder"],
+        rir_mode=hparam["DATASET"]["rir_mode"] or "image",
+        speed_perturbed=hparam["DATASET"]["speed_perturbed"],
+        perturb_frequency_response=hparam["DATASET"].get(
+            "perturb_frequency_response", False),
+        vol_perturbed=hparam["DATASET"]["vol_perturbed"],
+        enroll_augment=hparam["DATASET"]["enroll_augment"],
+        enroll_rule=hparam["DATASET"]["enroll_rule"],
+        is_vad_dataset=is_vad,
+    )
+    train_ds = TseDataset(folder=hparam["DATASET"]["train"],
+                          single_spk_pb=hparam["DATASET"]["single_spk_prob"],
+                          inactive_training=hparam["DATASET"]["inactive_training"],
+                          **common)
+    dev_ds = TseDataset(folder=hparam["DATASET"]["dev"], single_spk_pb=0.0,
+                        inactive_training=0.0, **common)
+
+    if hparam["TRAIN"]["contrastive_learning"]:
+        p_spks, p_utts = hparam["TRAIN"]["p_spks"], hparam["TRAIN"]["p_utts"]
+        repeat = hparam["TRAIN"]["repeat"]
+        train_sampler = SpeakerSampler(train_ds.sampler_meta(),
+                                       repeat * len(train_ds) // (p_spks * p_utts),
+                                       n_spks=p_spks, n_per=p_utts)
+        dev_sampler = SpeakerSampler(dev_ds.sampler_meta(),
+                                     repeat * len(dev_ds) // (p_spks * p_utts),
+                                     n_spks=p_spks, n_per=p_utts)
+        train_loader = DataLoader(train_ds, batch_sampler=train_sampler,
+                                  collate_fn=TseCollateFunc())
+        dev_loader = DataLoader(dev_ds, batch_sampler=dev_sampler,
+                                collate_fn=TseCollateFunc())
+    else:
+        train_loader = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],
+                                  shuffle=True, collate_fn=TseCollateFunc())
+        dev_loader = DataLoader(dev_ds, batch_size=hparam["TRAIN"]["batch_size"],
+                                shuffle=True, collate_fn=TseCollateFunc())
+    return train_loader, dev_loader
+
+
+def action_train(hparam, backend):
+    import jax
+    import jax.numpy as jnp
+
+    from model import init_loss, init_model
+
+    from puresound_tpu.tasks.tse import TseTask
+
+    losses = init_loss(hparam)
+    if len(losses) == 3:
+        sig_loss, cls_loss, other_loss = losses
+    else:
+        sig_loss, cls_loss = losses
+        other_loss = None
+    model = init_model(hparam["MODEL"]["type"], sig_loss, cls_loss, other_loss)
+
+    def init_fn():
+        sr = hparam["DATASET"]["sample_rate"]
+        L = sr * (hparam["DATASET"]["max_length"] or 1)
+        B = 2
+        kwargs = dict(noisy=jnp.zeros((B, L)), enroll=jnp.zeros((B, L)),
+                      ref_clean=jnp.zeros((B, L)), train=False)
+        if model.task in (1, 2, 3):
+            kwargs["spk_class"] = jnp.zeros((B,), jnp.int32)
+        return model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+
+    train_loader, dev_loader = init_dataloader(hparam)
+    trainer = TseTask(hparam, model, init_fn, backend, train_loader, dev_loader)
+    trainer.train()
+
+
+def action_dev(hparam, backend, ckpt, metrics):
+    import jax.numpy as jnp
+
+    from local.binarize import Binarize
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.src.metrics import Metrics
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.tse import TseCollateFunc, TseDataset
+
+    is_vad = hparam["DATASET"]["type"].lower() == "pvad"
+    dev_ds = TseDataset(folder=hparam["DATASET"]["dev"],
+                        resample_to=hparam["DATASET"]["sample_rate"],
+                        max_length=None, rir_mode=hparam["DATASET"]["rir_mode"] or "image",
+                        enroll_rule=hparam["DATASET"]["enroll_rule"],
+                        is_vad_dataset=is_vad)
+    loader = DataLoader(dev_ds, batch_size=1, shuffle=False,
+                        collate_fn=TseCollateFunc())
+    model, variables = load_eval_model(hparam, ckpt)
+
+    def infer(noisy, enroll):
+        return model.apply(variables, jnp.asarray(noisy), jnp.asarray(enroll),
+                           method=SoTaskWrapModule.inference)
+
+    if is_vad:
+        binarizer = Binarize(threshold=0.5, stability=0.05,
+                             sample_rate=hparam["DATASET"]["sample_rate"],
+                             mode="moving_average")
+        acc, prec, rec, f1 = [], [], [], []
+        print("accuracy, precision, recall, f1_score")
+        for batch in loader:
+            enh = np.asarray(infer(batch["process_wav"], batch["enroll_wav"]))
+            binarized = binarizer(enh)
+            score = Metrics.f1_score(batch["clean_wav"], binarized.astype(np.float32))
+            acc.append(score["accuracy"])
+            prec.append(score["precision"])
+            rec.append(score["recall"])
+            f1.append(score["f1_score"])
+            print(f"{batch['uttid'][0]}, {acc[-1]}, {prec[-1]}, {rec[-1]}, {f1[-1]}")
+        print(f"accuracy: {np.mean(acc)}")
+        print(f"precision: {np.mean(prec)}")
+        print(f"recall: {np.mean(rec)}")
+        print(f"f1_score: {np.mean(f1)}")
+        return
+
+    S_pesq, S_stoi, S_sdr, S_sisnr, S_sisnri, S_nsr, S_nsr_neg = ([] for _ in range(7))
+    print("uttid, PESQ, STOI, SDR, SISNR, SISNRi, NSR")
+    for batch in loader:
+        clean, noisy = batch["clean_wav"], batch["process_wav"]
+        enh = np.asarray(infer(noisy, batch["enroll_wav"]))
+        _sisnr = Metrics.sisnr(clean, enh)
+        _sisnri = Metrics.sisnr_imp(clean, enh, noisy)
+        _nsr = 1 if (_sisnri < 0 and _sisnr < 30) else 0
+        _nsr_neg = 1 if (_nsr and _sisnr < 0) else 0
+        S_sisnr.append(_sisnr)
+        S_sisnri.append(_sisnri)
+        S_nsr.append(_nsr)
+        S_nsr_neg.append(_nsr_neg)
+        if metrics == "detail":
+            try:
+                S_pesq.append(Metrics.pesq_wb(clean, enh))
+            except NotImplementedError:
+                S_pesq.append(0)
+            S_stoi.append(Metrics.stoi(clean, enh))
+            S_sdr.append(Metrics.bss_sdr(clean, enh))
+        else:
+            S_pesq.append(0)
+            S_stoi.append(0)
+            S_sdr.append(0)
+        print(f"{batch['uttid'][0]}, {S_pesq[-1]}, {S_stoi[-1]}, {S_sdr[-1]}, "
+              f"{S_sisnr[-1]}, {S_sisnri[-1]}, {S_nsr[-1]}")
+    print(f"PESQ: {np.mean(S_pesq)}")
+    print(f"STOI: {np.mean(S_stoi)}")
+    print(f"SDR: {np.mean(S_sdr)}")
+    print(f"SiSNR: {np.mean(S_sisnr)}")
+    print(f"SiSNRi: {np.mean(S_sisnri)}")
+    print(f"NSR: {np.mean(S_nsr)}")
+    print(f"NSR-negative: {np.mean(S_nsr_neg)}")
+
+
+def action_tsne(hparam, backend, ckpt):
+    import jax.numpy as jnp
+    from sklearn import manifold
+    from sklearn.metrics import silhouette_score
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.src.utils import load_text_as_dict
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.tse import TseCollateFunc, TseDataset
+
+    dev_ds = TseDataset(folder=hparam["DATASET"]["dev"],
+                        resample_to=hparam["DATASET"]["sample_rate"],
+                        max_length=None, rir_mode=hparam["DATASET"]["rir_mode"] or "image",
+                        enroll_rule=hparam["DATASET"]["enroll_rule"])
+    loader = DataLoader(dev_ds, batch_size=1, shuffle=False,
+                        collate_fn=TseCollateFunc())
+    model, variables = load_eval_model(hparam, ckpt)
+    spk_dct = load_text_as_dict(f"{hparam['DATASET']['dev']}/ref2spk.txt")
+    spk_list, dvec_list = [], []
+    for batch in loader:
+        dvec = model.apply(variables, jnp.asarray(batch["enroll_wav"]),
+                           method=SoTaskWrapModule.inference_tse_embedding)
+        spk_list.append(spk_dct[batch["uttid"][0]][0])
+        dvec_list.append(np.asarray(dvec).reshape(-1))
+    print(f"silhouette: {silhouette_score(dvec_list, spk_list)}")
+    tsne = manifold.TSNE(n_components=2, init="random",
+                         random_state=5, verbose=1).fit_transform(np.stack(dvec_list))
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    spk_idx = {s: i for i, s in enumerate(sorted(set(spk_list)))}
+    colors = [spk_idx[s] for s in spk_list]
+    plt.figure(figsize=(8, 8))
+    plt.scatter(tsne[:, 0], tsne[:, 1], c=colors, cmap="tab20", alpha=0.5)
+    plt.xticks([])
+    plt.yticks([])
+    out = f"{hparam['TRAIN']['model_save_dir']}/Speaker_dev_tSNE.png"
+    plt.savefig(out)
+    print(f"saved {out}")
+
+
+def action_eval(hparam, backend, ckpt):
+    import jax.numpy as jnp
+
+    from local.binarize import Binarize
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/eval_audio"
+    create_folder(out_dir)
+    model, variables = load_eval_model(hparam, ckpt)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
+    enroll_dct = load_text_as_dict(f"{hparam['DATASET']['eval']}/ref2list.txt")
+    sr = hparam["DATASET"]["sample_rate"]
+    is_vad = hparam["DATASET"]["type"].lower() == "pvad"
+    post = Binarize(threshold=0.5, stability=0.05, sample_rate=sr,
+                    mode="moving_average") if is_vad else None
+    for key in test_audio.keys():
+        print(f"Running inference: {key}")
+        noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            noisy = AudioIO.resample(noisy, wav_sr, sr)
+        enrolls = []
+        for p in enroll_dct[key]:
+            e, wav_sr = AudioIO.open(f_path=p, target_lvl=-28)
+            if wav_sr != sr:
+                e = AudioIO.resample(e, wav_sr, sr)
+            enrolls.append(e)
+        enroll = np.concatenate(enrolls, axis=-1)
+        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
+                                     jnp.asarray(enroll),
+                                     method=SoTaskWrapModule.inference))
+        if post is not None:
+            enh = post(enh).astype(np.float32)
+        AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
+
+
+def action_export(hparam, backend, ckpt):
+    """Serialize jax.export artifacts of the four sub-nets (SpeakerNet,
+    Encoder, decoder, MaskNet) — the TPU equivalent of the reference's
+    torch.jit traces (egs/tse/main.py:406-443)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+
+    model, variables = load_eval_model(hparam, ckpt)
+    sr = hparam["DATASET"]["sample_rate"]
+    dummy_wav = jnp.zeros((1, sr * 5))
+    save_dir = hparam["TRAIN"]["model_save_dir"]
+
+    def spk_fn(wav):
+        return model.apply(variables, wav,
+                           method=SoTaskWrapModule.inference_tse_embedding)
+
+    def enc_fn(wav):
+        return model.apply(variables, wav, method=SoTaskWrapModule._encode_mix)
+
+    def dec_fn(feats):
+        return model.apply(variables, feats, method=SoTaskWrapModule._decode)
+
+    dummy_feats = enc_fn(dummy_wav)
+    dummy_dvec = spk_fn(dummy_wav)
+
+    def mask_fn(feats, dvec):
+        def run(mdl, feats, dvec):
+            return mdl.masker(feats, dvec)
+
+        import flax.linen as nn
+
+        return nn.apply(run, model)(variables, feats, dvec)
+
+    exports = {
+        "SpeakerNet": (spk_fn, (dummy_wav,)),
+        "EncoderNet": (enc_fn, (dummy_wav,)),
+        "decoderNet": (dec_fn, (dummy_feats,)),
+        "MaskNet": (mask_fn, (dummy_feats, dummy_dvec.squeeze(-1)
+                              if dummy_dvec.ndim == 3 else dummy_dvec)),
+    }
+    for name, (fn, args) in exports.items():
+        exp = jexport.export(jax.jit(fn))(*args)
+        data = exp.serialize()
+        path = f"{save_dir}/{ckpt}.{name}.stablehlo"
+        with open(path, "wb") as f:
+            f.write(data)
+        print(f"exported {name}: {path} ({len(data)} bytes)")
+
+
+def main(config):
+    from puresound_tpu.src.utils import create_folder, load_hparam
+
+    hparam = load_hparam(config.config_path)
+    create_folder(hparam["TRAIN"]["model_save_dir"])
+    if config.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if config.action == "train":
+        action_train(hparam, config.backend)
+    elif config.action == "dev":
+        action_dev(hparam, config.backend, config.ckpt, config.metrics)
+    elif config.action == "tSNE":
+        action_tsne(hparam, config.backend, config.ckpt)
+    elif config.action == "eval":
+        action_eval(hparam, config.backend, config.ckpt)
+    elif config.action == "export_model":
+        action_export(hparam, config.backend, config.ckpt)
+    else:
+        raise NameError("Unrecognize action.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--action", type=str, default="train",
+                        choices=["train", "dev", "eval", "tSNE", "export_model"])
+    parser.add_argument("--backend", type=str, default="tpu",
+                        choices=["cpu", "tpu"])
+    parser.add_argument("--metrics", type=str, default="simple",
+                        choices=["simple", "detail"])
+    parser.add_argument("--ckpt", type=str, default=None)
+    main(parser.parse_args())
