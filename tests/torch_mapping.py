@@ -264,3 +264,48 @@ def dprnn(m) -> dict:
     children["out_act"] = prelu(m.output_fc[0])
     children["out_conv"] = conv1d(m.output_fc[1])
     return merge(children)
+
+
+def asp(m) -> dict:
+    """reference AttentiveStatisticsPooling -> AttentiveStatisticsPooling."""
+    return merge({
+        "tdnn_conv": conv1d(m.tdnn[0]),
+        "tdnn_bn": batchnorm(m.tdnn[2]),
+        "conv": conv1d(m.conv),
+    })
+
+
+def free_encdec(m) -> dict:
+    return {"params": {"enc_w": _a(m.encoder.weight),
+                       "dec_w": _a(m.decoder.weight)}}
+
+
+def speaker_net_layer(layer) -> dict:
+    import torch.nn as tnn
+
+    cls = type(layer).__name__
+    if cls == "TCN":
+        return tcn(layer)
+    if cls == "GatedTCN":
+        return gated_tcn(layer)
+    if cls == "AttentiveStatisticsPooling":
+        return asp(layer)
+    if cls == "SingleRNN":
+        return single_rnn(layer)
+    if isinstance(layer, tnn.Conv1d):
+        return conv1d(layer)
+    if cls in ("Magnitude", "SpecAugment"):
+        return None
+    raise NotImplementedError(cls)
+
+
+def so_wrapper_tse_skim(m) -> dict:
+    """Full SoTaskWrapModule (FreeEncDec + SkiM + speaker_net) mapping."""
+    children = {"encoder": free_encdec(m.encoder), "masker": skim(m.masker)}
+    # my wrapper names speaker-net children speaker_net_<i> by list position,
+    # skipping parameter-free layers still consumes an index
+    for i, layer in enumerate(m.speaker_net):
+        sub = speaker_net_layer(layer)
+        if sub is not None:
+            children[f"speaker_net_{i}"] = sub
+    return merge(children)
