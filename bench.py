@@ -41,7 +41,7 @@ def build_engine():
                         speaker_net=speaker_net, mask_constraint="ReLU")
 
 
-def measure_step_ms(engine, params, B, chunk_samples, iters=30):
+def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,7 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30):
 
     @jax.jit
     def step(chunk, dvec, state):
-        return engine.apply(params, chunk, dvec, state,
+        return engine.apply(params, chunk, dvec, state, fused=fused,
                             method=StreamingTSE.step)
 
     out, state = step(chunk, dvec, state)  # compile
@@ -65,6 +65,34 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30):
         out, state = step(chunk, dvec, state)
     out.block_until_ready()
     return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
+    """Single-stream NS (ns_dpcrn_v0_causal) offline real-time factor."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.zoo import init_ns_model
+
+    model = init_ns_model("ns_dpcrn_v0_causal")
+    L = int(16000 * seconds)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, L)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), x,
+                           method=SoTaskWrapModule.inference)
+
+    @jax.jit
+    def infer(x):
+        return model.apply(variables, x, method=SoTaskWrapModule.inference)
+
+    infer(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return seconds / dt
 
 
 def main():
@@ -84,15 +112,21 @@ def main():
     variables = engine.init(jax.random.PRNGKey(0), x0, enroll0,
                             method=StreamingTSE.init_all)
 
-    chunk_ms = 20.0
-    chunk_samples = int(16000 * chunk_ms / 1000)  # 320 samples = 20 frames
+    # 15 ms chunks: 240 samples = 15 frames, which divides the SkiM
+    # seg_size (150) so the Pallas fused kernel handles segment boundaries
+    # with a single cond per chunk. Still < 20 ms latency budget.
+    chunk_ms = 15.0
+    chunk_samples = int(16000 * chunk_ms / 1000)
+    fused = not os.environ.get("BENCH_NO_FUSED")
     best_streams = 0
     best = None
     results = []
-    for B in (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
+    for B in (2048, 8192, 16384, 32768):
         try:
-            ms = measure_step_ms(engine, variables, B, chunk_samples)
+            ms = measure_step_ms(engine, variables, B, chunk_samples,
+                                 fused=fused)
         except Exception as e:  # OOM etc.
+            print(f"# B={B} failed: {type(e).__name__}", file=sys.stderr)
             break
         rt_mult = chunk_ms / ms
         results.append((B, ms, rt_mult))
@@ -112,6 +146,11 @@ def main():
         value = B * rt  # streams at full real-time occupancy
         step_ms = ms
 
+    try:
+        denoise_rtf = round(measure_denoise_rtf(), 1)
+    except Exception:
+        denoise_rtf = None
+
     print(json.dumps({
         "metric": "concurrent_16khz_streaming_tse_streams_per_chip",
         "value": round(float(value), 1),
@@ -121,8 +160,11 @@ def main():
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
             "chunk_ms": chunk_ms,
+            "fused_pallas_kernel": fused,
             "step_ms_at_best_batch": round(step_ms, 3),
             "batches_tested": [[b, round(m, 2)] for b, m, _ in results],
+            "denoise_rtf_single_stream": denoise_rtf,
+            "denoise_rtf_target": 20.0,
         },
     }))
 

@@ -345,3 +345,94 @@ class SkiM(nn.Module):
         (state, _), ys = scan(self, (state, embed), xs)
         y = jnp.swapaxes(ys, 0, 1)  # [B, F, C]
         return self._output(jnp.swapaxes(y, 1, 2)), state
+
+    # ---------------------------------------------- fused streaming (Pallas)
+    def _fused_flags(self):
+        return tuple(bool(self.block_with_embed and self.block_with_embed[i]
+                          and self.embed_dim
+                          and self.embed_fusion.lower() == "film")
+                     for i in range(self.n_blocks))
+
+    def _fused_weights(self):
+        """Flat per-block weight tuple for the Pallas streaming kernel."""
+        ws = []
+        C = self.input_size
+        for i in range(self.n_blocks):
+            if self._fused_flags()[i]:
+                film = self.seg_input_fusion[i]
+                w_s = film.cond_scale.w[:, :, 0]   # [C_out, C+E]
+                w_b = film.cond_bias.w[:, :, 0]
+                ws.append(w_s[:, :C].T)            # wsx [C, C]
+                ws.append(w_b[:, :C].T)            # wbx [C, C]
+                fg, fb = self._film_norm_params(film)
+                ws.append(fg)
+                ws.append(fb)
+            cell = self.seg_lstm[i].lstm.fwd
+            ws.append(cell.w_ih)
+            ws.append(cell.w_hh)
+            ws.append(cell.b_ih + cell.b_hh)
+            proj = self.seg_lstm[i].proj
+            ws.append(proj.variables["params"]["kernel"])
+            ws.append(proj.variables["params"]["bias"])
+            ln = self.seg_lstm[i].norm
+            ws.append(ln.variables["params"]["scale"])
+            ws.append(ln.variables["params"]["bias"])
+        return tuple(ws)
+
+    @staticmethod
+    def _film_norm_params(film):
+        p = film.norm.variables["params"]
+        return p["scale"], p["bias"]
+
+    def _embed_terms(self, embed, B, dtype):
+        """Frame-invariant FiLM terms per block: se/be [n_blocks, B, C]."""
+        C = self.input_size
+        se = jnp.zeros((self.n_blocks, B, C), dtype)
+        be = jnp.zeros((self.n_blocks, B, C), dtype)
+        if embed is None:
+            return se, be
+        for i in range(self.n_blocks):
+            if self._fused_flags()[i]:
+                film = self.seg_input_fusion[i]
+                w_s = film.cond_scale.w[:, C:, 0]  # [C, E]
+                w_b = film.cond_bias.w[:, C:, 0]
+                se = se.at[i].set(embed @ w_s.T)
+                be = be.at[i].set(embed @ w_b.T)
+        return se, be
+
+    def step_frames_fused(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                          state: dict, b_tile: int = 256,
+                          interpret: bool = False, dot_dtype=jnp.float32):
+        """Pallas-fused streaming step: VMEM-resident per-block state.
+
+        Requirements: causal SkiM, FiLM (or no) fusion, F divides seg_size,
+        and the stream batch divides b_tile. Numerically identical to
+        step_frames for chunk-aligned streams.
+        """
+        from ..ops.skim_stream_kernel import fused_skim_frames
+
+        assert self.causal, "fused streaming requires a causal SkiM"
+        B, F, C = x.shape
+        assert self.seg_size % F == 0, (
+            f"chunk frames {F} must divide seg_size {self.seg_size}")
+        embed = self._norm_embed(embed)
+        se, be = self._embed_terms(embed, B, x.dtype)
+        seg_h = jnp.concatenate([h for h in state["seg_h"]], axis=0)  # [n,B,H]
+        seg_c = jnp.concatenate([c for c in state["seg_c"]], axis=0)
+        y, h_out, c_out = fused_skim_frames(
+            x, se, be, seg_h, seg_c, self._fused_weights(),
+            fused_flags=self._fused_flags(), b_tile=b_tile,
+            interpret=interpret, dot_dtype=dot_dtype)
+        seg_h = [h_out[i][None] for i in range(self.n_blocks)]
+        seg_c = [c_out[i][None] for i in range(self.n_blocks)]
+        count = state["frame_count"] + F
+
+        st_mid = dict(state, seg_h=seg_h, seg_c=seg_c, frame_count=count)
+
+        def do_mem(st):
+            nh, nc, mh, mc = self._mem_update(st, st["seg_h"], st["seg_c"])
+            return dict(st, seg_h=nh, seg_c=nc, mem_h=mh, mem_c=mc)
+
+        boundary = (count % self.seg_size) == 0
+        new_state = jax.lax.cond(boundary, do_mem, lambda st: st, st_mid)
+        return self._output(jnp.swapaxes(y, 1, 2)), new_state

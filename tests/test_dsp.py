@@ -137,3 +137,28 @@ def test_fourier_kernels_match_torch_reference(torch_oracle):
     wsin, wcos, _, _ = fourier_kernels(512, win_length=512, freq_scale="no", sr=16000)
     np.testing.assert_allclose(wsin, ref_sin[:, 0, :], atol=1e-5)
     np.testing.assert_allclose(wcos, ref_cos[:, 0, :], atol=1e-5)
+
+
+def test_native_audio_decoder_parity():
+    """C++ decoder (csrc/audio_decode.cpp) must be bit-exact vs the Python
+    FLAC decoder and scipy WAV on the bundled fixtures."""
+    from scipy.io import wavfile
+
+    from puresound_tpu.src import native
+    from puresound_tpu.src.flac import read_flac as py_flac
+
+    if not native.available():
+        pytest.skip("native library not built and no toolchain")
+    flac_path = "/root/reference/test/test_case/1272-141231-0008.flac"
+    w_c, sr_c = native.read_flac(flac_path)
+    w_p, sr_p = py_flac(flac_path)
+    assert sr_c == sr_p
+    np.testing.assert_array_equal(w_c, w_p)
+
+    wav_path = "/root/reference/test/test_case/1272-128104-0000_2035-147961-0014.wav"
+    w_cw, sr_cw = native.read_wav(wav_path)
+    sr_s, w_s = wavfile.read(wav_path)
+    w_s = (w_s.astype(np.float32) / 32768.0)
+    w_s = w_s[None] if w_s.ndim == 1 else w_s.T
+    assert sr_cw == sr_s
+    np.testing.assert_allclose(w_cw, w_s, atol=0)
