@@ -38,7 +38,15 @@ def _torch_param_count(kind, name):
 
 
 @pytest.mark.parametrize("name,expect_io", [
+    ("td_tse_conv_tasnet_v0", True),
+    ("td_tse_conv_tasnet_v0_causal", True),
+    ("tse_unet_tcn_v0", True),
+    ("tse_unet_tcn_v0_causal", True),
+    ("tse_unet_tcn_v1", True),
+    ("tse_skim_v0", True),
     ("tse_skim_v0_causal", True),
+    ("tse_skim_v1_causal", True),
+    ("tse_skim_v2_causal", True),
     ("tse_skim_v0_causal_vad", True),
     ("veve_dprnn_v0_causal", True),
 ])
@@ -53,7 +61,8 @@ def test_tse_zoo_param_parity(torch_oracle, name, expect_io):
     assert j_count == t_count, f"{name}: {j_count} vs torch {t_count}"
 
 
-@pytest.mark.parametrize("name", ["ns_dpcrn_v0_causal", "ns_dparn_v0_causal"])
+@pytest.mark.parametrize("name", ["ns_dpcrn_v0_causal", "ns_dpcrn_v0",
+                                  "ns_dparn_v0_causal", "ns_dparn_v0"])
 def test_ns_zoo_param_parity(torch_oracle, name):
     model = init_ns_model(name)
     x = jnp.zeros((1, 3200))
