@@ -1,0 +1,132 @@
+"""DSS (distance-based near/far separation) recipe CLI: train / dev / eval.
+
+The reference implements the DSS task runtime (puresound/task/dss.py) but
+ships no recipe for it; this CLI completes the surface using the SIMO
+wrapper with a multi-output DPARN masker.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import numpy as np
+
+
+def build_model(hparam, sig_loss=None):
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.nnet.dparn import DPARN_Mout
+    from puresound_tpu.nnet.encoder import ConvEncDec
+
+    if hparam["MODEL"]["type"] != "dss_dparn_mout_v0":
+        raise NameError(hparam["MODEL"]["type"])
+    return SiMoTaskWrapModule(
+        encoder=ConvEncDec(fft_length=512, win_length=512, hop_length=128,
+                           trainable=True, output_format="Complex"),
+        masker=DPARN_Mout(input_type="RI", input_dim=512, norm_type="bN2d",
+                          dropout=0.1, channels=(1, 32, 32, 32, 64, 128),
+                          transpose_t_size=2, kernel_t=(2, 2, 2, 2, 2),
+                          stride_t=(1, 1, 1, 1, 1), dilation_t=(1, 1, 1, 1, 1),
+                          kernel_f=(5, 3, 3, 3, 3), stride_f=(2, 2, 1, 1, 1),
+                          dilation_f=(1, 1, 1, 1, 1), delay=(0, 0, 0, 0, 0),
+                          multi_output=2, rnn_hidden=128, nhead=8),
+        loss_func_wav=sig_loss, f_type="Complex", mask_type="Complex",
+        drop_first_bin=True)
+
+
+def action_train(hparam, backend):
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.dss import DssCollateFunc, DssDataset, DssTask
+
+    sig_loss = SDRLoss.init_mode(hparam["LOSS"]["sig_loss"],
+                                 threshold=hparam["LOSS"].get("sig_threshold"))
+    model = build_model(hparam, sig_loss)
+
+    def make_loader(folder):
+        ds = DssDataset(folder=folder,
+                        resample_to=hparam["DATASET"]["sample_rate"],
+                        max_length=hparam["DATASET"]["max_length"],
+                        noise_folder=hparam["DATASET"]["noise_folder"],
+                        vol_perturbed=hparam["DATASET"]["vol_perturbed"],
+                        speed_perturbed=hparam["DATASET"]["speed_perturbed"])
+        return DataLoader(ds, batch_size=hparam["TRAIN"]["batch_size"],
+                          shuffle=True, collate_fn=DssCollateFunc())
+
+    def init_fn():
+        sr = hparam["DATASET"]["sample_rate"]
+        L = sr * (hparam["DATASET"]["max_length"] or 1)
+        return model.init(
+            {"params": jax.random.PRNGKey(0)}, noisy=jnp.zeros((2, L)),
+            ref_clean=jnp.zeros((2, 2, L)),
+            inactive_labels=jnp.zeros((2, 2), bool), train=False)
+
+    trainer = DssTask(hparam, model, init_fn, backend,
+                      make_loader(hparam["DATASET"]["train"]),
+                      make_loader(hparam["DATASET"]["dev"]))
+    trainer.train()
+
+
+def action_dev(hparam, backend, ckpt):
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.src.metrics import Metrics
+    from puresound_tpu.tasks.base import BaseTrainer, DataLoader
+    from puresound_tpu.tasks.dss import DssCollateFunc, DssDataset
+
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.load_params_from_ckpt(
+        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
+    ds = DssDataset(folder=hparam["DATASET"]["dev"], resample_to=sr,
+                    max_length=None)
+    loader = DataLoader(ds, batch_size=1, shuffle=False,
+                        collate_fn=DssCollateFunc())
+    near_scores, far_scores = [], []
+    print("uttid, SISNR(near), SISNR(far)")
+    for batch in loader:
+        out = np.asarray(model.apply(variables,
+                                     jnp.asarray(batch["process_wav"]),
+                                     method=SiMoTaskWrapModule.inference))
+        s_near = Metrics.sisnr(batch["near_wav"], out[:, 0])
+        s_far = Metrics.sisnr(batch["far_wav"], out[:, 1])
+        near_scores.append(s_near)
+        far_scores.append(s_far)
+        print(f"{batch['uttid'][0]}, {s_near}, {s_far}")
+    print(f"SiSNR near: {np.mean(near_scores)}")
+    print(f"SiSNR far: {np.mean(far_scores)}")
+
+
+def main(config):
+    from puresound_tpu.src.utils import create_folder, load_hparam
+
+    hparam = load_hparam(config.config_path)
+    create_folder(hparam["TRAIN"]["model_save_dir"])
+    if config.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if config.action == "train":
+        action_train(hparam, config.backend)
+    elif config.action == "dev":
+        action_dev(hparam, config.backend, config.ckpt)
+    else:
+        raise NameError("Unrecognize action.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config_path", type=str)
+    parser.add_argument("--action", type=str, default="train",
+                        choices=["train", "dev"])
+    parser.add_argument("--backend", type=str, default="tpu",
+                        choices=["cpu", "tpu"])
+    parser.add_argument("--ckpt", type=str, default=None)
+    main(parser.parse_args())

@@ -224,8 +224,10 @@ def action_tsne(hparam, backend, ckpt):
         spk_list.append(spk_dct[batch["uttid"][0]][0])
         dvec_list.append(np.asarray(dvec).reshape(-1))
     print(f"silhouette: {silhouette_score(dvec_list, spk_list)}")
-    tsne = manifold.TSNE(n_components=2, init="random",
-                         random_state=5, verbose=1).fit_transform(np.stack(dvec_list))
+    perplexity = min(30.0, max(1.0, len(dvec_list) - 1))
+    tsne = manifold.TSNE(n_components=2, init="random", random_state=5,
+                         perplexity=perplexity,
+                         verbose=1).fit_transform(np.stack(dvec_list))
     import matplotlib
 
     matplotlib.use("Agg")

@@ -357,6 +357,13 @@ class SiMoTaskWrapModule(nn.Module):
         # non-hop-aligned lengths also work. Identical when lengths align.
         enh_wav, ref_clean = align_waveform(enh_wav, ref_clean)
         N, M, L = enh_wav.shape
+        # source-aggregated SDR losses need the [N, M, L] layout; plain
+        # losses get the reference's flattened [N*M, L] (base_nn.py:935-937
+        # — the reference always flattens, which makes its own
+        # source-aggregated modes unusable from the SIMO wrapper)
+        if getattr(self.loss_func_wav, "source_aggregated", False):
+            inact = inactive_labels
+            return self.loss_func_wav(enh_wav, ref_clean, inact)
         inact = (inactive_labels.reshape(-1)
                  if inactive_labels is not None else None)
         return self.loss_func_wav(enh_wav.reshape(N * M, -1),

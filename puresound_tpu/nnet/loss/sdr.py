@@ -121,9 +121,11 @@ class SDRLoss:
         else:
             inactive_mask = inactive_labels.reshape(-1).astype(bool)
             active_mask = ~inactive_mask
-            inact = inactive_sdr_loss(
-                s1.reshape(s1.shape[0], -1), s2.reshape(s2.shape[0], -1),
-                reduction=False).reshape(-1)
+            # per-item inactive loss at the same granularity as snr
+            # ([N] for 2-D inputs, [N*M] for source-aggregated 3-D inputs)
+            s1f = s1.reshape(-1, s1.shape[-1])
+            s2f = s2.reshape(-1, s2.shape[-1])
+            inact = inactive_sdr_loss(s1f, s2f, reduction=False).reshape(-1)
 
         if self.threshold is not None:
             # keep active items with loss above the threshold; if none

@@ -130,3 +130,29 @@ class DssTask(NsTask):
             variables["batch_stats"] = self.state.batch_stats
         return self.model.apply(variables, noisy,
                                 method=SiMoTaskWrapModule.inference)
+
+    def gen_logging(self, epoch: int, prefix: str):
+        """Log near/far outputs separately (dss.py:331-342)."""
+        import jax.numpy as jnp
+
+        from ..src.audio import AudioIO
+        from ..src.utils import load_text_as_dict
+
+        eval_dir = self.hparam["DATASET"].get("eval")
+        if not eval_dir or not __import__("os").path.isfile(
+                f"{eval_dir}/wav2scp.txt"):
+            return
+        test_audio = load_text_as_dict(f"{eval_dir}/wav2scp.txt")
+        sr = self.hparam["DATASET"]["sample_rate"]
+        for key in test_audio.keys():
+            wav, file_sr = AudioIO.open(f_path=test_audio[key][0])
+            if file_sr != sr:
+                wav = AudioIO.resample(wav, file_sr, sr)
+            out = self.inference(jnp.asarray(wav))
+            if self.tf_writer:
+                import numpy as np
+
+                self.tf_writer.add_ep_audio(f"{prefix}{key}_near.wav",
+                                            np.asarray(out[:, 0]), epoch, sr)
+                self.tf_writer.add_ep_audio(f"{prefix}{key}_far.wav",
+                                            np.asarray(out[:, 1]), epoch, sr)

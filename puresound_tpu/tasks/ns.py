@@ -243,8 +243,10 @@ class NsTask(BaseTrainer):
     def gen_logging(self, epoch: int, prefix: str):
         import jax.numpy as jnp
 
+        import os
+
         eval_dir = self.hparam["DATASET"].get("eval")
-        if not eval_dir:
+        if not eval_dir or not os.path.isfile(f"{eval_dir}/wav2scp.txt"):
             return
         test_audio = load_text_as_dict(f"{eval_dir}/wav2scp.txt")
         sr = self.hparam["DATASET"]["sample_rate"]
