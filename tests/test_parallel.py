@@ -112,11 +112,16 @@ def test_streaming_step_shards_over_streams(rng):
     y_ref, _ = jax.jit(step)(chunk, dvec, state)
 
     mesh = make_mesh()
-    dp = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())  # scalars (frame counter) replicate
 
     def put(x):
-        return jax.device_put(x, dp if getattr(x, "ndim", 0) > 0 else rep)
+        # shard whichever axis carries the stream batch (B); some state
+        # leaves are [D, B, H], the frame counter is a scalar (replicated)
+        axes = getattr(x, "shape", ())
+        for i, n in enumerate(axes):
+            if n == B:
+                spec = P(*([None] * i + ["dp"]))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
     y_sh, new_state = jax.jit(step)(
         put(chunk), put(dvec), jax.tree_util.tree_map(put, state))
