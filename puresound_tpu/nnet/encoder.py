@@ -182,8 +182,10 @@ class ConvSTFT(nn.Module):
             return jnp.stack([mags, phase], axis=-1)
         raise NotImplementedError(self.output_format)
 
-    def _synthesize(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
-        """Hermitian-extend [N, F, T] spectra and synthesize the waveform."""
+    def synthesis_frames(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame synthesis (Hermitian extension + inverse-DFT matmul +
+        window / n_fft) WITHOUT overlap-add — streaming engines OLA with a
+        carry buffer. re/im: [N, F, T] -> [N, T, n_fft]."""
         if not self.iSTFT:
             raise ValueError("construct with iSTFT=True to use inverse()")
         # Hermitian extension: F = n_fft//2+1 -> n_fft
@@ -194,7 +196,12 @@ class ConvSTFT(nn.Module):
             "nft,fs->nts", im_full, self._sin_basis
         )  # [N, T, n_fft]
         window = jnp.asarray(self._window_np)
-        frames = frames * window[None, None, :] / self.n_fft
+        return frames * window[None, None, :] / self.n_fft
+
+    def _synthesize(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+        """Hermitian-extend [N, F, T] spectra and synthesize the waveform."""
+        frames = self.synthesis_frames(re, im)
+        window = jnp.asarray(self._window_np)
         sig = overlap_add(frames, self._hop)  # [N, L]
         T = re.shape[2]
         w_sum = window_sumsquare(window, T, self._hop, self.n_fft)

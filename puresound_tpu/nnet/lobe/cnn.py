@@ -81,9 +81,12 @@ class Conv2d(nn.Module):
         if self.use_bias:
             self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pad=None) -> jnp.ndarray:
+        """pad overrides the configured padding (used by frame-streaming
+        paths that supply their own time context)."""
         y = jax.lax.conv_general_dilated(
-            x, self.w.astype(x.dtype), window_strides=self.stride, padding=self.pad,
+            x, self.w.astype(x.dtype), window_strides=self.stride,
+            padding=self.pad if pad is None else pad,
             rhs_dilation=self.dilation, dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
         if self.use_bias:

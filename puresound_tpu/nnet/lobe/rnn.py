@@ -227,6 +227,14 @@ class SingleRNN(nn.Module):
         y = self.proj(y)
         return jnp.swapaxes(y, 1, 2)
 
+    def step(self, x_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """Streaming single-frame step (uni-directional LSTM only).
+
+        x_t: [B, C], h/c: [1, B, H] -> (y [B, C], h', c')."""
+        assert self._rt == "LSTM" and not self.bidirectional
+        y, (h, c) = self.rnn.step(x_t, h, c)
+        return self.proj(y), h, c
+
 
 class FSMN(nn.Module):
     """Feedforward sequential memory network layer.

@@ -1,0 +1,121 @@
+"""Streaming noise-suppression engine (STFT-domain DPCRN models).
+
+Extends the streaming story beyond the reference (which only streams SkiM):
+a causal DPCRN NS model runs as a chunked stateful jitted step batched over
+streams — conv layers carry a 1-frame time context, the DPRNN bottleneck's
+inter-LSTM carries (h, c), and the iSTFT overlap-add keeps an (n_fft - hop)
+sample tail.
+
+Latency: output lags input by (n_fft - hop) samples (24 ms at 512/128) —
+the inherent OLA synthesis delay — plus the chunk length.
+
+Equivalence contract (tested): streamed chunks of x equal offline
+`inference` on [zeros(n_fft - hop), x] for samples past the first window
+(the offline edge normalizer differs on the very first n_fft - hop samples).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.stft import overlap_add
+from ..nnet.base_nn import apply_tf_masks, get_mask, wav_output_constrain
+from ..nnet.encoder import ConvEncDec
+
+
+class StreamingNS(nn.Module):
+    """Streaming wrapper sharing the SoTaskWrapModule param structure for
+    STFT-domain NS models (ConvEncDec encoder + DPCRN-style masker with
+    init_stream_state / stream_frames)."""
+
+    encoder: nn.Module
+    masker: nn.Module
+    mask_constraint: str = "linear"
+    output_constraint: str = "linear"
+    drop_first_bin: bool = True
+    f_type: str = "Complex"
+    mask_type: str = "Complex"
+
+    def setup(self):
+        if not isinstance(self.encoder, ConvEncDec):
+            raise TypeError("StreamingNS requires a ConvEncDec (STFT) encoder")
+
+    @property
+    def _n_fft(self) -> int:
+        return self.encoder.fft_length
+
+    @property
+    def _hop(self) -> int:
+        return self.encoder.hop_length
+
+    def init_all(self, chunk: jnp.ndarray):
+        """Init helper touching all params via the offline paths."""
+        feats = self.encoder(chunk)
+        re, im = feats[..., 0], feats[..., 1]
+        if self.drop_first_bin:
+            re, im = re[:, 1:], im[:, 1:]
+        ri = jnp.concatenate([re, im], axis=1)
+        mask = self.masker(ri)
+        return self.encoder.inverse(feats)
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        tail = self._n_fft - self._hop
+        # steady-state periodic window-sum-square normalizer (one hop period)
+        from ..dsp.stft import hann_window
+
+        win = hann_window(self._n_fft).astype(np.float64) ** 2
+        wsum = np.zeros(self._hop)
+        for k in range(self._n_fft // self._hop):
+            wsum += win[k * self._hop : (k + 1) * self._hop]
+        self_norm = jnp.asarray(wsum.astype(np.float32))
+        return {
+            "enc_tail": jnp.zeros((batch, tail), dtype),
+            "ola_tail": jnp.zeros((batch, tail), dtype),
+            "wsum": self_norm,
+            "masker": self.masker.init_stream_state(batch, dtype),
+        }
+
+    def step(self, chunk: jnp.ndarray, state: dict) -> Tuple[jnp.ndarray, dict]:
+        """Advance every stream by a chunk of S samples (S % hop == 0).
+
+        Returns ([B, S], new state): the enhanced signal delayed by
+        n_fft - hop samples relative to the input.
+        """
+        n_fft, hop = self._n_fft, self._hop
+        B, S = chunk.shape
+        assert S % hop == 0, "chunk length must be a multiple of the hop"
+        K = S // hop
+
+        # --- analysis
+        buf = jnp.concatenate([state["enc_tail"], chunk], axis=-1)
+        feats = self.encoder(buf)  # [B, F, K, 2]
+        new_enc_tail = buf[:, -(n_fft - hop):]
+        re, im = feats[..., 0], feats[..., 1]
+        if self.drop_first_bin:
+            re, im = re[:, 1:], im[:, 1:]
+        ri = jnp.concatenate([re, im], axis=1)  # [B, C, K]
+
+        # --- mask
+        mask, masker_state = self.masker.stream_frames(ri, state["masker"])
+        mask = get_mask(mask, self.mask_constraint)
+        enh = apply_tf_masks(ri, mask, mask_type=self.mask_type,
+                             f_type=self.f_type)
+
+        # --- synthesis
+        enh_re, enh_im = jnp.split(enh, 2, axis=1)
+        if self.drop_first_bin:
+            pad = jnp.zeros((B, 1, K), enh_re.dtype)
+            enh_re = jnp.concatenate([pad, enh_re], axis=1)
+            enh_im = jnp.concatenate([pad, enh_im], axis=1)
+        frames = self.encoder.encoder.synthesis_frames(enh_re, enh_im)
+        ola = overlap_add(frames, hop)  # [B, S + n_fft - hop]
+        ola = ola.at[:, : n_fft - hop].add(state["ola_tail"])
+        emit = ola[:, :S] / jnp.tile(state["wsum"], K)[None, :]
+        new_ola_tail = ola[:, S:]
+
+        out = wav_output_constrain(emit, self.output_constraint)
+        return out, {"enc_tail": new_enc_tail, "ola_tail": new_ola_tail,
+                     "wsum": state["wsum"], "masker": masker_state}
