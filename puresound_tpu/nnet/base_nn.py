@@ -21,9 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .encoder import ConvEncDec, FbankEnc
-from .lobe.pooling import AttentiveStatisticsPooling
-from .lobe.trivial import Magnitude, SpecAugment
+from .encoder import ConvEncDec
 
 
 # ---------------------------------------------------------------------------

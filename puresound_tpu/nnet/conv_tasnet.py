@@ -6,7 +6,7 @@ embedding is injected by broadcast-concat or FiLM exactly as the reference.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .norm import get_norm, apply_norm, is_batchnorm
+from .norm import get_norm, apply_norm
 
 
 def _uniform_init(scale):

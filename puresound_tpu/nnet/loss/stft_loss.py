@@ -7,7 +7,7 @@ to fft_size; reproduced here with framing + rFFT.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax

@@ -18,7 +18,7 @@ differences are:
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

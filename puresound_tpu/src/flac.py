@@ -7,7 +7,6 @@ decorrelation modes. Spec: https://xiph.org/flac/format.html
 """
 from __future__ import annotations
 
-import struct
 from typing import Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ implemented natively (numpy/scipy) following the published algorithms:
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from scipy.linalg import solve_toeplitz

@@ -408,6 +408,8 @@ class BaseTrainer:
                     self.best_epoch if np.isfinite(self.best_epoch) else -1),
                 "overall_step": np.asarray(self.overall_step),
             },
+            "scheduler": {k: np.asarray(v)
+                          for k, v in self.scheduler.state_dict().items()},
         }
 
     def save_ckpt(self, filename: str, epoch: int, loss: Dict) -> None:
@@ -440,6 +442,10 @@ class BaseTrainer:
         be = float(meta["best_epoch"])
         self.best_epoch = np.inf if be < 0 else be
         self.overall_step = int(meta["overall_step"])
+        if "scheduler" in tree:
+            self.scheduler.load_state_dict(
+                {k: (int(v) if k in ("step_count", "bad_epochs") else float(v))
+                 for k, v in tree["scheduler"].items()})
         self.set_learning_rate(float(meta["learning_rate"]))
         return int(meta["epoch"]), float(meta["learning_rate"]), float(meta["loss"])
 

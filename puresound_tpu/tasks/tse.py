@@ -13,7 +13,7 @@ import numpy as np
 
 from ..src.audio import AudioIO
 from ..src.utils import load_text_as_dict
-from .base import BaseTrainer, pad_stack
+from .base import pad_stack
 from .ns import NsTask, _AugmentedDataset
 
 

@@ -4,8 +4,6 @@ the reference (egs/tse/model.py:89-642).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..nnet.base_nn import SoTaskWrapModule
