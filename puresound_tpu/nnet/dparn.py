@@ -13,6 +13,7 @@ from .lobe.norm import LayerNormLast
 from .lobe.rnn import SingleRNN
 from .lobe.trivial import spectral_compression
 from .unet import Unet
+from .dual_path_streaming import DualPathStreaming
 
 
 class DPARNblock2D(nn.Module):
@@ -61,8 +62,28 @@ class DPARNblock2D(nn.Module):
             y = res + y
         return y
 
+    def step(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """Streaming single-frame step. The intra self-attention runs over
+        the FREQUENCY axis within the frame (frame-local); only the inter
+        (time) LSTM carries state. x: [B, CH, F, 1]; h/c: [1, B*F, hidden]."""
+        N, CH, F, _ = x.shape
+        res = x
+        hseq = x.transpose(0, 3, 2, 1).reshape(N, F, CH)  # one frame
+        hseq = self.intra_atten1(jnp.swapaxes(hseq, 1, 2), causal=False)
+        hseq = self.intra_atten2(hseq, causal=False)  # [N, CH, F]
+        hseq = jnp.swapaxes(hseq, 1, 2)  # [N, F, CH]
+        hseq = self.intra_norm(self.intra_fc(hseq))
+        x = res + hseq.reshape(N, 1, F, CH).transpose(0, 3, 2, 1)
 
-class _DPARNBase(Unet):
+        res = x
+        y = x.transpose(0, 2, 3, 1).reshape(N * F, CH)
+        y, h, c = self.inter_rnn.step(y, h, c)
+        y = self.inter_norm(y)
+        y = y.reshape(N, F, 1, CH).transpose(0, 3, 1, 2)
+        return res + y, h, c
+
+
+class _DPARNBase(DualPathStreaming, Unet):
     rnn_hidden: int = 128
     nhead: int = 1
     spectral_compress: bool = False

@@ -89,3 +89,30 @@ def test_streaming_ns_rejects_noncausal():
     variables = m.init(KEY, x)
     with pytest.raises(AssertionError):
         m.apply(variables, 1, method=DPCRN.init_stream_state)
+
+
+def test_dparn_stream_frames_equals_offline(rng):
+    """DPARN streaming (attention intra is frame-local) == offline."""
+    from puresound_tpu.nnet.dparn import DPARN
+
+    m = DPARN(input_type="RI", input_dim=128, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8, 16, 16, 32), transpose_t_size=2,
+              transpose_delay=False, kernel_t=(2, 2, 2, 2, 2),
+              stride_t=(1, 1, 1, 1, 1), dilation_t=(1, 1, 1, 1, 1),
+              kernel_f=(5, 3, 3, 3, 3), stride_f=(2, 2, 1, 1, 1),
+              dilation_f=(1, 1, 1, 1, 1), delay=(0, 0, 0, 0, 0),
+              rnn_hidden=16, nhead=4)
+    B, C, T = 2, 128, 18
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    variables = m.init(KEY, x)
+    y_off = m.apply(variables, x)
+
+    state = m.apply(variables, B, method=DPARN.init_stream_state)
+    outs = []
+    for k in range(0, T, 6):
+        y, state = m.apply(variables, x[:, :, k:k + 6], state,
+                           method=DPARN.stream_frames)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_off),
+                               atol=2e-5, rtol=1e-4)
