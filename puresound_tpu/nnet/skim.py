@@ -412,6 +412,12 @@ class SkiM(nn.Module):
         from ..ops.skim_stream_kernel import fused_skim_frames
 
         assert self.causal, "fused streaming requires a causal SkiM"
+        if (self.embed_dim and self.block_with_embed
+                and any(self.block_with_embed)
+                and self.embed_fusion.lower() != "film"):
+            raise NotImplementedError(
+                "fused streaming supports FiLM fusion only; use step_frames "
+                "for Gate-fused models")
         B, F, C = x.shape
         assert self.seg_size % F == 0, (
             f"chunk frames {F} must divide seg_size {self.seg_size}")

@@ -466,6 +466,35 @@ class BaseTrainer:
                 variables["batch_stats"], state_dict["batch_stats"])
         return out
 
+    @staticmethod
+    def average_checkpoints(filenames, variables: Dict) -> Dict:
+        """Average the params (and batch_stats) of several checkpoints into
+        a fresh variable tree — the TRAIN.model_average option the reference
+        declares in its config schema but never implements."""
+        import jax
+        from flax import serialization
+
+        acc = None
+        for fn in filenames:
+            with open(fn, "rb") as f:
+                sd = serialization.msgpack_restore(f.read())
+            part = {"params": sd["params"]}
+            if variables.get("batch_stats"):
+                part["batch_stats"] = sd["batch_stats"]
+            if acc is None:
+                acc = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), part)
+            else:
+                acc = jax.tree_util.tree_map(lambda a, x: a + np.asarray(x, np.float64),
+                                             acc, part)
+        n = float(len(filenames))
+        avg = jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+        out = dict(variables)
+        out["params"] = serialization.from_state_dict(variables["params"], avg["params"])
+        if variables.get("batch_stats"):
+            out["batch_stats"] = serialization.from_state_dict(
+                variables["batch_stats"], avg["batch_stats"])
+        return out
+
     # -------------------------------------------------------------- running
     def train_one_epoch(self, current_epoch: int) -> Dict:
         raise NotImplementedError

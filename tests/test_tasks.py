@@ -218,3 +218,37 @@ def test_dataloader_batch_sampler():
                         collate_fn=lambda x: x, prefetch=0)
     batches = list(loader)
     assert len(batches) == 3 and all(len(b) == 4 for b in batches)
+
+
+def test_checkpoint_averaging(tmp_path):
+    """average_checkpoints (TRAIN.model_average — declared but unimplemented
+    in the reference) averages params across epochs."""
+    import os
+
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    man = _make_ns_data(tmp_path)
+    ds = NsDataset(man, resample_to=SR, max_length=1)
+    loader = DataLoader(ds, batch_size=3, collate_fn=NsCollateFunc())
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    task = NsTask(_hparam(tmp_path), model, init_fn, "cpu", loader, loader)
+    os.makedirs(task.hparam["TRAIN"]["model_save_dir"], exist_ok=True)
+    paths = []
+    for e in range(2):
+        task.train_one_epoch(e)
+        p = os.path.join(task.hparam["TRAIN"]["model_save_dir"], f"epoch_{e}.ckpt")
+        task.save_ckpt(p, e, {"total_loss": 0.0})
+        paths.append(p)
+    variables = init_fn()
+    avg = BaseTrainer.average_checkpoints(paths, variables)
+    leaf = jax.tree_util.tree_leaves(avg["params"])[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+    # averaged differs from either checkpoint
+    last = jax.tree_util.tree_leaves(task.state.params)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(last))
