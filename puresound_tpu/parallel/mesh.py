@@ -67,24 +67,35 @@ class TrainState(struct.PyTreeNode):
 def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     grad_clip: Optional[float] = None,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    remat: bool = False) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     The returned step(state, batch, rng) -> (state, metrics) where batch is
     a dict of model call kwargs (noisy/enroll/ref_clean/...). When a mesh is
     given, the batch is expected sharded on "dp" and params replicated; XLA
     derives the gradient all-reduce from the shardings.
+
+    remat=True rematerializes the forward pass during backprop
+    (jax.checkpoint): trades FLOPs for HBM so long inputs / large batches
+    fit on-chip.
     """
     loss_kwargs = loss_kwargs or {}
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        def loss_fn(params):
+        def forward(params, batch, rng):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            out, updates = model.apply(
+            return model.apply(
                 variables, **batch, train=True, **loss_kwargs,
                 mutable=["batch_stats"], rngs={"dropout": rng})
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, updates = forward(params, batch, rng)
             loss = out[0] if isinstance(out, tuple) else out
             detail = out[1] if isinstance(out, tuple) else None
             return loss, (updates.get("batch_stats", {}), detail)

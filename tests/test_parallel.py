@@ -151,3 +151,27 @@ def test_jax_export_roundtrip(rng):
     y1 = np.asarray(fn(x))
     y2 = np.asarray(restored.call(x))
     np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_remat_train_step_matches(rng):
+    """remat=True (jax.checkpoint) must give identical grads/updates."""
+    model = _tiny_tse()
+    B, L = 4, 400
+    batch = {
+        "noisy": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "enroll": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "ref_clean": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+    }
+    variables = model.init(KEY, **batch, train=False)
+    tx = optax.adam(1e-3)
+
+    def run(remat):
+        state = TrainState.create(variables["params"], {}, tx)
+        step = make_train_step(model, grad_clip=10.0, donate=False, remat=remat)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["loss"]), float(metrics["grad_norm"])
+
+    l0, g0 = run(False)
+    l1, g1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5)
