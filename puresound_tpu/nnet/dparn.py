@@ -62,24 +62,25 @@ class DPARNblock2D(nn.Module):
             y = res + y
         return y
 
-    def step(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
-        """Streaming single-frame step. The intra self-attention runs over
-        the FREQUENCY axis within the frame (frame-local); only the inter
-        (time) LSTM carries state. x: [B, CH, F, 1]; h/c: [1, B*F, hidden]."""
-        N, CH, F, _ = x.shape
+    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """Streaming chunk step. The intra self-attention runs over the
+        FREQUENCY axis (frame-local) batched over all K frames; only the
+        inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B*F, hidden]."""
+        N, CH, F, K = x.shape
         res = x
-        hseq = x.transpose(0, 3, 2, 1).reshape(N, F, CH)  # one frame
+        hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
         hseq = self.intra_atten1(jnp.swapaxes(hseq, 1, 2), causal=False)
-        hseq = self.intra_atten2(hseq, causal=False)  # [N, CH, F]
-        hseq = jnp.swapaxes(hseq, 1, 2)  # [N, F, CH]
+        hseq = self.intra_atten2(hseq, causal=False)  # [N*K, CH, F]
+        hseq = jnp.swapaxes(hseq, 1, 2)  # [N*K, F, CH]
         hseq = self.intra_norm(self.intra_fc(hseq))
-        x = res + hseq.reshape(N, 1, F, CH).transpose(0, 3, 2, 1)
+        x = res + hseq.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
 
         res = x
-        y = x.transpose(0, 2, 3, 1).reshape(N * F, CH)
-        y, h, c = self.inter_rnn.step(y, h, c)
+        seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
+        y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
+        y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
-        y = y.reshape(N, F, 1, CH).transpose(0, 3, 1, 2)
+        y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
         return res + y, h, c
 
 

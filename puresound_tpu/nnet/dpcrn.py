@@ -56,22 +56,24 @@ class DPRNNblock2D(nn.Module):
             y = res + y
         return y
 
-    def step(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
-        """Streaming single-frame step. x: [B, CH, F, 1]; the inter (time)
-        LSTM carries (h, c) of shape [1, B*F, hidden]; intra (freq) is
-        frame-local. Identical math to __call__ with T == 1."""
-        N, CH, F, _ = x.shape
+    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+        """Streaming chunk step. x: [B, CH, F, K]; the inter (time) LSTM
+        carries (h, c) of shape [1, B*F, hidden]. The intra (frequency)
+        pass is frame-local and runs batched over all K frames; only the
+        inter LSTM scans (K steps). Identical math to __call__."""
+        N, CH, F, K = x.shape
         res = x
-        hseq = x.transpose(0, 3, 2, 1).reshape(N, F, CH)  # one frame
-        hseq = self.intra_rnn(jnp.swapaxes(hseq, 1, 2))   # [N, CH, F]
-        hseq = self.intra_norm(jnp.swapaxes(hseq, 1, 2))  # [N, F, CH]
-        x = res + hseq.reshape(N, 1, F, CH).transpose(0, 3, 2, 1)
+        hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
+        hseq = self.intra_rnn(jnp.swapaxes(hseq, 1, 2))   # [N*K, CH, F]
+        hseq = self.intra_norm(jnp.swapaxes(hseq, 1, 2))  # [N*K, F, CH]
+        x = res + hseq.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
 
         res = x
-        y = x.transpose(0, 2, 3, 1).reshape(N * F, CH)
-        y, h, c = self.inter_rnn.step(y, h, c)
+        seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
+        y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
+        y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
-        y = y.reshape(N, F, 1, CH).transpose(0, 3, 1, 2)
+        y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
         return res + y, h, c
 
 

@@ -3,7 +3,7 @@
 
 Mixed into the model classes; requires causal configs (time kernels 2,
 strides 1, no delay/lookahead) and bottleneck blocks exposing
-`step(x_frame, h, c)`.
+`step_chunk(x_frames, h, c)`.
 """
 from __future__ import annotations
 
@@ -50,49 +50,44 @@ class DualPathStreaming:
                 and not self.skip_conv
                 and not self.spectral_compress)
 
-    def _frame_step(self, st: dict, x_t: jnp.ndarray):
-        """One frame through down convs -> DPRNN blocks -> up convs.
+    def stream_frames(self, x: jnp.ndarray, state: dict):
+        """Process a chunk of frames through the streaming path.
 
-        x_t: [B, C] (RI-concat feature frame) -> mask frame [B, C]."""
+        x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
+        chunked input exactly (causal configs).
+
+        TPU-first chunked form: convolutions and the frame-local intra
+        (frequency) pass run BATCHED over all K frames (conv layers just
+        prepend their 1-frame carry); only the inter (time) LSTM scans —
+        and it scans K cheap steps. No per-frame serialization of the
+        expensive frequency pass.
+        """
         n = self._n_cnn
-        x = self._pack_input(x_t[:, :, None])  # [B, 2, F, 1]
-        skips = [x]
+        B, C, K = x.shape
+        h = self._pack_input(x)  # [B, 2, F, K]
+        skips = [h]
         new_down = []
         for i in range(n):
-            new_down.append(x[..., 0])
-            inp2 = jnp.concatenate([st["down"][i][..., None], x], axis=-1)
+            new_down.append(h[..., -1])
+            inp = jnp.concatenate([state["down"][i][..., None], h], axis=-1)
             kf = self.kernel_f[i]
-            x = self.cnn_down[i](inp2, pad=((kf // 2, kf // 2), (0, 0)))
-            x = self.down_act[i](apply_norm(self.down_norm[i], x, False))
-            skips.append(x)
+            h = self.cnn_down[i](inp, pad=((kf // 2, kf // 2), (0, 0)))
+            h = self.down_act[i](apply_norm(self.down_norm[i], h, False))
+            skips.append(h)
 
-        x, h1, c1 = self.dprnn_block1.step(x, st["h1"], st["c1"])
-        x, h2, c2 = self.dprnn_block2.step(x, st["h2"], st["c2"])
+        h, h1, c1 = self.dprnn_block1.step_chunk(h, state["h1"], state["c1"])
+        h, h2, c2 = self.dprnn_block2.step_chunk(h, state["h2"], state["c2"])
 
         new_up = []
         for j in range(n):
-            x = jnp.concatenate([x, skips[-j - 1]], axis=1)
-            new_up.append(x[..., 0])
-            inp2 = jnp.concatenate([st["up"][j][..., None], x], axis=-1)
-            y_full = self.cnn_up[j](inp2)  # time length 3 (transposed)
-            x = y_full[..., 1:2]  # the current causal output frame
+            h = jnp.concatenate([h, skips[-j - 1]], axis=1)
+            new_up.append(h[..., -1])
+            inp = jnp.concatenate([state["up"][j][..., None], h], axis=-1)
+            y_full = self.cnn_up[j](inp)  # time length K+2 (transposed)
+            h = y_full[..., 1 : K + 1]  # causal outputs for this chunk
             if self.up_norm[j] is not None:
-                x = self.up_act[j](apply_norm(self.up_norm[j], x, False))
-        mask = self._unpack_output(x)[:, :, 0]  # [B, C]
-        new_st = dict(st, down=new_down, up=new_up, h1=h1, c1=c1, h2=h2, c2=c2)
-        return new_st, mask
-
-    def stream_frames(self, x: jnp.ndarray, state: dict):
-        """Process frames through the streaming path.
-
-        x: [B, C, T] -> (mask [B, C, T], new state). Matches __call__ on
-        chunked input exactly (causal configs)."""
-        scan = nn.scan(
-            lambda mdl, carry, xt: mdl._frame_step(carry, xt),
-            variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False},
-            in_axes=0, out_axes=0,
-        )
-        xs = x.transpose(2, 0, 1)  # [T, B, C]
-        state, ys = scan(self, state, xs)
-        return ys.transpose(1, 2, 0), state
+                h = self.up_act[j](apply_norm(self.up_norm[j], h, False))
+        mask = self._unpack_output(h)  # [B, C, K]
+        new_state = dict(state, down=new_down, up=new_up,
+                         h1=h1, c1=c1, h2=h2, c2=c2)
+        return mask, new_state
