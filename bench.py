@@ -117,7 +117,8 @@ def main():
     # with a single cond per chunk. Still < 20 ms latency budget.
     chunk_ms = 15.0
     chunk_samples = int(16000 * chunk_ms / 1000)
-    fused = not os.environ.get("BENCH_NO_FUSED")
+    fused = (not os.environ.get("BENCH_NO_FUSED")
+             and jax.devices()[0].platform == "tpu")
     best_streams = 0
     best = None
     results = []

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .lobe.norm import LayerNormLast, apply_norm
+from .lobe.norm import LayerNormLast
 from .lobe.rnn import SingleRNN
 from .lobe.trivial import spectral_compression
 from .unet import Unet
