@@ -250,11 +250,14 @@ class DataLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for b in self._batches():
                     q.put(self._make(b))
+            except BaseException as e:  # surface worker failures to the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -263,6 +266,8 @@ class DataLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
 

@@ -162,3 +162,22 @@ def test_native_audio_decoder_parity():
     w_s = w_s[None] if w_s.ndim == 1 else w_s.T
     assert sr_cw == sr_s
     np.testing.assert_allclose(w_cw, w_s, atol=0)
+
+
+def test_fbank_magphase_inverse_roundtrip(rng):
+    """FbankEnc MagPhase forward + pinv-mel inverse reconstructs speech-band
+    content (lossy through the mel bottleneck, but bounded)."""
+    x = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    model = FbankEnc(fft_length=512, hop_length=128, trainable=False,
+                     output_format="MagPhase", n_banks=128, iSTFT=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mel, phase = model.apply(params, jnp.asarray(x))
+    assert mel.shape[1] == 128
+    y = np.asarray(model.apply(params, mel, phase, method=FbankEnc.inverse))
+    assert np.isfinite(y).all()
+    L = y.shape[-1]
+    # mel bottleneck is lossy; demand correlation, not equality
+    a = y[0, 512:L - 512]
+    b = x[0, 512:L - 512]
+    corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.9

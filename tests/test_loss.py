@@ -133,7 +133,8 @@ def test_ge2e_matches_torch(torch_oracle, rng, method):
     with torch.no_grad():
         t_val = tm(torch.from_numpy(dvecs)).item()
     jm = GE2ELoss(nspks=nspks, putts=putts, loss_method=method)
-    p = {"params": {"w": jnp.asarray(float(tm.w)), "b": jnp.asarray(float(tm.b))}}
+    p = {"params": {"w": jnp.asarray(float(tm.w.detach())),
+                    "b": jnp.asarray(float(tm.b.detach()))}}
     j_val = float(jm.apply(p, jnp.asarray(dvecs)))
     np.testing.assert_allclose(j_val, t_val, atol=1e-3, rtol=1e-4)
 
