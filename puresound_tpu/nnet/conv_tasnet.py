@@ -56,6 +56,25 @@ class TCN(nn.Module):
         x = self.out_conv(x)
         return x + res
 
+    @property
+    def ctx_frames(self) -> int:
+        return self.dconv.ctx_frames
+
+    def init_ctx(self, batch: int, dtype=jnp.float32):
+        return jnp.zeros((batch, self.hid_channels, self.ctx_frames), dtype)
+
+    def step_chunk(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                   ctx: jnp.ndarray):
+        """Causal streaming chunk: x [B, C, K] + carried depthwise context
+        -> (y [B, C, K], ctx'). The 1x1 convs and norms are frame-local."""
+        res = x
+        if embed is not None:
+            e = jnp.broadcast_to(embed[:, :, None], (*embed.shape, x.shape[-1]))
+            x = jnp.concatenate([x, e], axis=1)
+        x = self.in_act(apply_norm(self.in_norm, self.in_conv(x), False))
+        x, new_ctx = self.dconv.step_chunk(x, ctx)
+        return self.out_conv(x) + res, new_ctx
+
 
 class GatedTCN(nn.Module):
     """Gated two-branch TCN; the gate branch takes the embedding by concat
@@ -122,6 +141,43 @@ class GatedTCN(nn.Module):
             x = x + res
         return x
 
+    @property
+    def ctx_frames(self) -> int:
+        return self._padd
+
+    def init_ctx(self, batch: int, dtype=jnp.float32):
+        """Two contexts: the raw hidden stream (left branch pads it with
+        zeros offline) and the post-FiLM/concat stream (the right branch
+        pads x_r AFTER conditioning, so zeros here match offline exactly)."""
+        right_ch = self.hid_channels + (0 if self.use_film else self.emb_dim)
+        return {"h": jnp.zeros((batch, self.hid_channels, self._padd), dtype),
+                "r": jnp.zeros((batch, right_ch, self._padd), dtype)}
+
+    def step_chunk(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                   ctx: dict):
+        """Causal streaming chunk: x [B, C, K] -> (y [B, C, K], ctx')."""
+        assert self.causal, "step_chunk requires a causal GatedTCN"
+        res = x
+        h = self.in_conv(x)
+        if embed is not None:
+            if not self.use_film:
+                e = jnp.broadcast_to(embed[:, :, None],
+                                     (*embed.shape, h.shape[-1]))
+                x_r = jnp.concatenate([h, e], axis=1)
+            else:
+                cond = embed[:, :, None]
+                x_r = self.cond_scale(cond) * h + self.cond_bias(cond)
+        else:
+            x_r = h
+        h_full = jnp.concatenate([ctx["h"], h], axis=-1)
+        r_full = jnp.concatenate([ctx["r"], x_r], axis=-1)
+        new_ctx = {"h": h_full[..., -self._padd:], "r": r_full[..., -self._padd:]}
+        left = self.left_act(apply_norm(self.left_norm,
+                                        self.left_conv(h_full, pad=0), False))
+        right = jax.nn.sigmoid(self.right_act(apply_norm(
+            self.right_norm, self.right_conv(r_full, pad=0), False)))
+        return self.out_conv(left * right) + res, new_ctx
+
 
 class ConvTasNet(nn.Module):
     """Repeated TCN stacks with dilation basic**i and per-layer embedding
@@ -178,3 +234,33 @@ class ConvTasNet(nn.Module):
                 else:
                     x = layer(x, train=train)
         return x
+
+    # -------------------------------------------------------------- streaming
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        """Streaming state: one dilated-conv context ring per TCN layer
+        (the whole masker is convolutional, so this is all the state)."""
+        assert self.causal, "streaming requires a causal ConvTasNet"
+        ctxs = []
+        for stack in self.tcn_list:
+            for layer in stack:
+                ctxs.append(layer.init_ctx(batch, dtype))
+        return {"ctx": ctxs}
+
+    def step_frames(self, x: jnp.ndarray, dvec: Optional[jnp.ndarray],
+                    state: dict):
+        """Streaming chunk step matching the SkiM streaming API.
+
+        x: [B, K, C] frames -> ([B, C, K] mask frames, new state).
+        Numerically identical to the offline forward on chunked input."""
+        if self.embed_norm and dvec is not None:
+            dvec = dvec / jnp.linalg.norm(dvec, axis=1, keepdims=True).clip(1e-12)
+        h = jnp.swapaxes(x, 1, 2)  # [B, C, K]
+        new_ctx = []
+        idx = 0
+        for stack in self.tcn_list:
+            for i, layer in enumerate(stack):
+                e = dvec if self.tcn_with_embed[i] else None
+                h, c = layer.step_chunk(h, e, state["ctx"][idx])
+                new_ctx.append(c)
+                idx += 1
+        return h, dict(state, ctx=new_ctx)

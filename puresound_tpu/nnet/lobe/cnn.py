@@ -46,9 +46,12 @@ class Conv1d(nn.Module):
         if self.use_bias:
             self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.padding:
-            x = jnp.pad(x, ((0, 0), (0, 0), (self.padding, self.padding)))
+    def __call__(self, x: jnp.ndarray, pad: Optional[int] = None) -> jnp.ndarray:
+        """pad overrides the configured symmetric padding (streaming paths
+        supply their own time context and pass pad=0)."""
+        padding = self.padding if pad is None else pad
+        if padding:
+            x = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
         y = jax.lax.conv_general_dilated(
             x, self.w.astype(x.dtype), window_strides=(self.stride,), padding="VALID",
             rhs_dilation=(self.dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
@@ -187,6 +190,26 @@ class DepthwiseSeparableConv1d(nn.Module):
         if self.skip:
             res = res + self.skip_conv(x)
         return res
+
+    @property
+    def ctx_frames(self) -> int:
+        """Causal streaming context length at the depthwise input."""
+        return self._padding
+
+    def step_chunk(self, x: jnp.ndarray, ctx: jnp.ndarray):
+        """Causal streaming chunk. x: [B, C, K]; ctx: [B, hid, (k-1)*d]
+        carried depthwise-input context. Returns (y [B, C_out, K], ctx')."""
+        assert self.causal, "step_chunk requires a causal DSConv"
+        h = (self.in_act(apply_norm(self.in_norm, self.in_conv(x), False))
+             if self.hid_channels is not None else x)
+        h_full = jnp.concatenate([ctx, h], axis=-1)
+        new_ctx = h_full[..., -self._padding:]
+        y = self.dw_act(apply_norm(self.dw_norm,
+                                   self.dw_conv(h_full, pad=0), False))
+        y = self.pw_act(apply_norm(self.pw_norm, self.pw_conv(y), False))
+        if self.skip:
+            y = y + self.skip_conv(x)
+        return y, new_ctx
 
 
 class SpectralTransform(nn.Module):

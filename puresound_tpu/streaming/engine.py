@@ -53,8 +53,11 @@ class StreamingTSE(nn.Module):
         if not isinstance(self.encoder, FreeEncDec):
             raise TypeError("StreamingTSE requires a FreeEncDec encoder "
                             "(time-domain streaming models)")
-        if not isinstance(self.masker, SkiM):
-            raise TypeError("StreamingTSE requires a SkiM masker")
+        if not (hasattr(self.masker, "init_state")
+                and hasattr(self.masker, "step_frames")):
+            raise TypeError("StreamingTSE requires a masker with the "
+                            "streaming API (init_state/step_frames): "
+                            "SkiM or causal ConvTasNet")
 
     def init_all(self, chunk: jnp.ndarray, enroll: jnp.ndarray):
         """Initialization helper: touches every parameterized submodule via

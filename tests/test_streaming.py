@@ -178,3 +178,93 @@ def test_streaming_batch_independence(rng):
         y_single = run(x[i:i + 1], dvec[i:i + 1], 1)
         np.testing.assert_allclose(np.asarray(y_batch[i:i + 1]),
                                    np.asarray(y_single), atol=1e-5)
+
+
+def test_conv_tasnet_streaming_equals_offline(rng):
+    """Causal ConvTasNet masker streaming == offline (pure-conv context)."""
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+
+    m = ConvTasNet(input_dim=16, embed_dim=8, embed_norm=True, tcn_kernel=3,
+                   tcn_dim=12, tcn_dilated_basic=2, per_tcn_stack=3,
+                   repeat_tcn=2, tcn_with_embed=(1, 0, 0), tcn_norm="cLN",
+                   dconv_norm="cLN", causal=True, tcn_layer="normal")
+    B, C, T = 2, 16, 48
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    p = m.init(KEY, x, e)
+    y_off = m.apply(p, x, e)
+
+    frames = jnp.swapaxes(x, 1, 2)
+    state = m.apply(p, B, method=ConvTasNet.init_state)
+    outs = []
+    for k in range(0, T, 12):
+        y, state = m.apply(p, frames[:, k:k + 12, :], e, state,
+                           method=ConvTasNet.step_frames)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_off),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gated_tcn_streaming_equals_offline(rng):
+    """Causal GatedTCN streaming (with FiLM embed) == offline."""
+    from puresound_tpu.nnet.conv_tasnet import GatedTCN
+
+    m = GatedTCN(16, 12, kernel=3, dilation=4, emb_dim=8, causal=True,
+                 tcn_norm="cLN", use_film=True)
+    B, C, T = 2, 16, 40
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    p = m.init(KEY, x, e)
+    y_off = m.apply(p, x, e)
+
+    ctx = m.apply(p, B, method=GatedTCN.init_ctx)
+    outs = []
+    for k in range(0, T, 10):
+        y, ctx = m.apply(p, x[:, :, k:k + 10], e, ctx,
+                         method=GatedTCN.step_chunk)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_off),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_tse_conv_tasnet_engine(rng):
+    """Full StreamingTSE pipeline with a causal ConvTasNet masker."""
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+
+    encoder = FreeEncDec(win_length=32, hop_length=16, laten_length=16,
+                         output_active=False)
+    masker = ConvTasNet(input_dim=16, embed_dim=8, embed_norm=True,
+                        tcn_kernel=3, tcn_dim=12, tcn_dilated_basic=2,
+                        per_tcn_stack=3, repeat_tcn=2,
+                        tcn_with_embed=(1, 0, 0), tcn_norm="bN1d",
+                        dconv_norm="bN1d", causal=True, tcn_layer="normal")
+    speaker_net = tuple(
+        [TCN(16, 12, 3, dilation=1, causal=False, tcn_norm="gLN",
+             dconv_norm="gGN")]
+        + [AttentiveStatisticsPooling(16, 8), Conv1d(32, 8, 1, use_bias=False)])
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net, mask_constraint="ReLU")
+    engine = StreamingTSE(encoder=encoder, masker=masker,
+                          speaker_net=speaker_net, mask_constraint="ReLU")
+
+    L = 16 * 30
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((2, 640)).astype(np.float32) * 0.1)
+    params = offline.init(KEY, x, enroll, method=SoTaskWrapModule.inference)
+    y_off = offline.apply(params, offline_equivalent_input(x, 32, 16), enroll,
+                          method=SoTaskWrapModule.inference)
+
+    dvec = engine.apply(params, enroll, method=StreamingTSE.embed)
+    state = engine.apply(params, 2, method=StreamingTSE.init_state)
+    outs = []
+    chunk = 16 * 5
+    for i in range(0, L, chunk):
+        y, state = engine.apply(params, x[:, i:i + chunk], dvec, state,
+                                method=StreamingTSE.step)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream),
+                               np.asarray(y_off[:, :y_stream.shape[-1]]),
+                               atol=2e-5, rtol=1e-4)
