@@ -192,6 +192,99 @@ class Unet(nn.Module):
         x = self._up(x, skips, train)
         return self._unpack_output(x)
 
+    # ------------------------------------------------------------- streaming
+    def causal_streamable(self) -> bool:
+        """Chunked streaming needs 1-frame conv context per down layer (time
+        kernel 2, stride 1, no per-layer delay) and the semi-causal or causal
+        transpose mode; skip_conv adds no state but isn't exercised by the
+        streamable zoo configs."""
+        return (all(k == 2 for k in self.kernel_t)
+                and all(s == 1 for s in self.stride_t)
+                and all(d == 1 for d in self.dilation_t)
+                and all(d == 0 for d in self.delay)
+                and self.transpose_t_size == 2
+                and not self.skip_conv
+                and self.multi_output == 1)
+
+    @property
+    def stream_delay_frames(self) -> int:
+        """Mask-output delay in frames. With transpose_delay each up layer's
+        output needs one FUTURE frame (offline trims the transpose output on
+        the LEFT), so streaming emits the mask `n_layers` frames late — this
+        is the documented lookahead (e.g. 6 layers * 128 hop = 768 samples
+        for tse_unet_tcn_v0_causal, +384 OLA = 1152; reference unet.py:298).
+        The first `stream_delay_frames` emitted frames are warm-up garbage."""
+        return len(self.kernel_t) if self.transpose_delay else 0
+
+    def _stream_freqs(self):
+        freqs = [self.num_freq]
+        for s in self.stride_f:
+            f = freqs[-1]
+            freqs.append(f // s + (0 if f % s == 0 else 1))
+        return freqs
+
+    def _init_unet_stream_state(self, batch: int, dtype=jnp.float32) -> dict:
+        assert self.causal_streamable(), (
+            "streaming needs time kernels 2, strides/dilations 1, no delay, "
+            "transpose_t_size 2, no skip_conv")
+        freqs, chans, n = self._stream_freqs(), self._chans, self._n_cnn
+        state = {
+            "down": [jnp.zeros((batch, chans[i], freqs[i]), dtype)
+                     for i in range(n)],
+            "up": [jnp.zeros((batch, 2 * chans[n - j], freqs[n - j]), dtype)
+                   for j in range(n)],
+        }
+        if self.transpose_delay:
+            # up layer j's stream is j frames behind real time; FIFO of j
+            # down frames realigns the skip connection with it
+            state["skipq"] = [
+                jnp.zeros((batch, chans[n - j], freqs[n - j], j), dtype)
+                for j in range(n)]
+        return state
+
+    def _stream_down(self, x: jnp.ndarray, state: dict):
+        """x: [B, C, K] frames -> (bottleneck [B, ch, F, K], skips, updates)."""
+        h = self._pack_input(x)
+        skips = [h]
+        new_down = []
+        for i in range(self._n_cnn):
+            new_down.append(h[..., -1])
+            inp = jnp.concatenate([state["down"][i][..., None], h], axis=-1)
+            kf = self.kernel_f[i]
+            h = self.cnn_down[i](inp, pad=((kf // 2, kf // 2), (0, 0)))
+            h = self.down_act[i](apply_norm(self.down_norm[i], h, False))
+            skips.append(h)
+        return h, skips, new_down
+
+    def _stream_up(self, h: jnp.ndarray, skips, state: dict):
+        """h: bottleneck output [B, ch, F, K] -> (mask [B, C, K], updates).
+
+        Streaming a transpose layer keeps the last input frame pending; the
+        conv over [pending | K inputs] yields K+2 raw frames of which
+        [1 : K+1] are exactly the offline (left-trimmed) outputs delayed by
+        one frame (causal mode: the same slice IS the offline output)."""
+        K = h.shape[-1]
+        n = self._n_cnn
+        new_up, new_skipq = [], []
+        for j in range(n):
+            skip_now = skips[-j - 1]
+            if self.transpose_delay and j > 0:
+                cat = jnp.concatenate([state["skipq"][j], skip_now], axis=-1)
+                skip_use = cat[..., :K]
+                new_skipq.append(cat[..., K:])
+            else:
+                skip_use = skip_now
+                new_skipq.append(state["skipq"][j]
+                                 if self.transpose_delay else None)
+            h = jnp.concatenate([h, skip_use], axis=1)
+            new_up.append(h[..., -1])
+            inp = jnp.concatenate([state["up"][j][..., None], h], axis=-1)
+            y = self.cnn_up[j](inp)[..., 1 : K + 1]
+            if self.up_norm[j] is not None:
+                y = self.up_act[j](apply_norm(self.up_norm[j], y, False))
+            h = y
+        return self._unpack_output(h), new_up, new_skipq
+
 
 class UnetTcn(Unet):
     """Unet with a TCN bottleneck on flattened (ch*freq) features and
@@ -254,6 +347,42 @@ class UnetTcn(Unet):
         x = x.reshape(N, ch, F, T)
         x = self._up(x, skips, train)
         return self._unpack_output(x)
+
+    # ------------------------------------------------------------- streaming
+    def init_stream_state(self, batch: int, dtype=jnp.float32) -> dict:
+        assert self.causal, "streaming requires a causal TCN bottleneck"
+        state = self._init_unet_stream_state(batch, dtype)
+        state["tcn"] = [layer.init_ctx(batch, dtype)
+                        for stack in self.tcn_list for layer in stack]
+        return state
+
+    def stream_frames(self, x: jnp.ndarray, state: dict,
+                      dvec: Optional[jnp.ndarray] = None):
+        """Chunked streaming step: x [B, C, K] -> (mask [B, C, K], state').
+
+        With transpose_delay the emitted mask lags the input by
+        `stream_delay_frames` frames (first emissions are warm-up):
+        stream[..., t] == offline[..., t - delay]. Causal mode
+        (transpose_delay=False) is frame-exact with no delay."""
+        if self.embed_norm and dvec is not None:
+            dvec = dvec / jnp.linalg.norm(dvec, axis=1, keepdims=True).clip(1e-12)
+        h, skips, new_down = self._stream_down(x, state)
+        B, ch, Fb, K = h.shape
+        t = h.reshape(B, ch * Fb, K)
+        new_tcn = []
+        idx = 0
+        for stack in self.tcn_list:
+            for i, layer in enumerate(stack):
+                e = dvec if self.tcn_with_embed[i] else None
+                t, c = layer.step_chunk(t, e, state["tcn"][idx])
+                new_tcn.append(c)
+                idx += 1
+        h = t.reshape(B, ch, Fb, K)
+        mask, new_up, new_skipq = self._stream_up(h, skips, state)
+        new_state = dict(state, down=new_down, up=new_up, tcn=new_tcn)
+        if self.transpose_delay:
+            new_state["skipq"] = new_skipq
+        return mask, new_state
 
 
 class UnetFsmn(Unet):

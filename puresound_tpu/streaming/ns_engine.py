@@ -1,21 +1,25 @@
-"""Streaming noise-suppression engine (STFT-domain DPCRN models).
+"""Streaming engine for STFT-domain models (NS DPCRN/DPARN, TSE UnetTcn).
 
 Extends the streaming story beyond the reference (which only streams SkiM):
-a causal DPCRN NS model runs as a chunked stateful jitted step batched over
-streams — conv layers carry a 1-frame time context, the DPRNN bottleneck's
-inter-LSTM carries (h, c), and the iSTFT overlap-add keeps an (n_fft - hop)
+a causal STFT-domain model runs as a chunked stateful jitted step batched
+over streams — conv layers carry a 1-frame time context, recurrent
+bottlenecks carry (h, c), and the iSTFT overlap-add keeps an (n_fft - hop)
 sample tail.
 
 Latency: output lags input by (n_fft - hop) samples (24 ms at 512/128) —
-the inherent OLA synthesis delay — plus the chunk length.
+the inherent OLA synthesis delay — plus the chunk length, plus
+`masker.stream_delay_frames * hop` samples when the masker has algorithmic
+lookahead (UnetTcn transpose_delay: 6 frames * 128 = 768, totalling the
+documented 1152-sample lookahead; reference unet.py:298 config).
 
 Equivalence contract (tested): streamed chunks of x equal offline
-`inference` on [zeros(n_fft - hop), x] for samples past the first window
-(the offline edge normalizer differs on the very first n_fft - hop samples).
+`inference` on [zeros(n_fft - hop), x] delayed by the masker's
+stream-delay, for samples past the first window (the offline edge
+normalizer differs on the very first n_fft - hop samples).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,11 +32,15 @@ from ..nnet.encoder import ConvEncDec
 
 class StreamingNS(nn.Module):
     """Streaming wrapper sharing the SoTaskWrapModule param structure for
-    STFT-domain NS models (ConvEncDec encoder + DPCRN-style masker with
-    init_stream_state / stream_frames)."""
+    STFT-domain models (ConvEncDec encoder + a masker exposing
+    init_stream_state / stream_frames). With `speaker_net` set it serves
+    STFT-domain TSE (e.g. causal UnetTcn): `embed` the enrollment once,
+    then pass the dvec to every `step`."""
 
     encoder: nn.Module
     masker: nn.Module
+    speaker_net: Optional[tuple] = None
+    encoder_spk: Optional[nn.Module] = None
     mask_constraint: str = "linear"
     output_constraint: str = "linear"
     drop_first_bin: bool = True
@@ -51,15 +59,46 @@ class StreamingNS(nn.Module):
     def _hop(self) -> int:
         return self.encoder.hop_length
 
-    def init_all(self, chunk: jnp.ndarray):
+    @property
+    def _mask_delay(self) -> int:
+        return getattr(self.masker, "stream_delay_frames", 0)
+
+    @property
+    def _feat_ch(self) -> int:
+        bins = self._n_fft // 2 + 1 - (1 if self.drop_first_bin else 0)
+        return 2 * bins
+
+    def init_all(self, chunk: jnp.ndarray,
+                 enroll: Optional[jnp.ndarray] = None):
         """Init helper touching all params via the offline paths."""
         feats = self.encoder(chunk)
         re, im = feats[..., 0], feats[..., 1]
         if self.drop_first_bin:
             re, im = re[:, 1:], im[:, 1:]
         ri = jnp.concatenate([re, im], axis=1)
-        mask = self.masker(ri)
+        if self.speaker_net is not None:
+            mask = self.masker(ri, self.embed(enroll))
+        else:
+            mask = self.masker(ri)
         return self.encoder.inverse(feats)
+
+    # ------------------------------------------------------------ embedding
+    def embed(self, enroll: jnp.ndarray) -> jnp.ndarray:
+        """Enrollment waveform [B, L] -> speaker embedding [B, E]."""
+        enc = self.encoder_spk if self.encoder_spk is not None else self.encoder
+        feats = enc(enroll)
+        if isinstance(enc, ConvEncDec):
+            re, im = feats[..., 0], feats[..., 1]
+            if self.drop_first_bin:
+                re, im = re[:, 1:], im[:, 1:]
+            feats = jnp.concatenate([re, im], axis=1)
+        x = feats
+        for layer in self.speaker_net:
+            try:
+                x = layer(x, train=False)
+            except TypeError:
+                x = layer(x)
+        return x.squeeze(-1)
 
     def init_state(self, batch: int, dtype=jnp.float32) -> dict:
         tail = self._n_fft - self._hop
@@ -71,18 +110,25 @@ class StreamingNS(nn.Module):
         for k in range(self._n_fft // self._hop):
             wsum += win[k * self._hop : (k + 1) * self._hop]
         self_norm = jnp.asarray(wsum.astype(np.float32))
-        return {
+        state = {
             "enc_tail": jnp.zeros((batch, tail), dtype),
             "ola_tail": jnp.zeros((batch, tail), dtype),
             "wsum": self_norm,
             "masker": self.masker.init_stream_state(batch, dtype),
         }
+        if self._mask_delay > 0:
+            # lookahead maskers emit mask[t - delay] at time t; delay the
+            # feature stream to pair each mask with its own frame
+            state["feat_q"] = jnp.zeros(
+                (batch, self._feat_ch, self._mask_delay), dtype)
+        return state
 
-    def step(self, chunk: jnp.ndarray, state: dict) -> Tuple[jnp.ndarray, dict]:
+    def step(self, chunk: jnp.ndarray, state: dict,
+             dvec: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
-        n_fft - hop samples relative to the input.
+        n_fft - hop (+ stream_delay_frames * hop) samples vs the input.
         """
         n_fft, hop = self._n_fft, self._hop
         B, S = chunk.shape
@@ -99,9 +145,19 @@ class StreamingNS(nn.Module):
         ri = jnp.concatenate([re, im], axis=1)  # [B, C, K]
 
         # --- mask
-        mask, masker_state = self.masker.stream_frames(ri, state["masker"])
+        if dvec is not None:
+            mask, masker_state = self.masker.stream_frames(
+                ri, state["masker"], dvec)
+        else:
+            mask, masker_state = self.masker.stream_frames(ri, state["masker"])
         mask = get_mask(mask, self.mask_constraint)
-        enh = apply_tf_masks(ri, mask, mask_type=self.mask_type,
+        feats_use = ri
+        new_feat_q = None
+        if self._mask_delay > 0:
+            cat = jnp.concatenate([state["feat_q"], ri], axis=-1)
+            feats_use = cat[..., :K]
+            new_feat_q = cat[..., K:]
+        enh = apply_tf_masks(feats_use, mask, mask_type=self.mask_type,
                              f_type=self.f_type)
 
         # --- synthesis
@@ -117,5 +173,8 @@ class StreamingNS(nn.Module):
         new_ola_tail = ola[:, S:]
 
         out = wav_output_constrain(emit, self.output_constraint)
-        return out, {"enc_tail": new_enc_tail, "ola_tail": new_ola_tail,
+        new_state = {"enc_tail": new_enc_tail, "ola_tail": new_ola_tail,
                      "wsum": state["wsum"], "masker": masker_state}
+        if new_feat_q is not None:
+            new_state["feat_q"] = new_feat_q
+        return out, new_state

@@ -79,16 +79,44 @@ def test_streaming_ns_engine_equals_offline(rng):
                                atol=3e-5, rtol=1e-3)
 
 
-def test_streaming_ns_rejects_noncausal():
+def test_streaming_ns_rejects_nonstreamable():
+    """Per-layer delay lookahead in the down path can't stream."""
+    m = DPCRN(input_type="RI", input_dim=64, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8), transpose_t_size=2, transpose_delay=False,
+              kernel_t=(2, 2), stride_t=(1, 1), dilation_t=(1, 1),
+              kernel_f=(5, 3), stride_f=(2, 2), dilation_f=(1, 1),
+              delay=(1, 0), rnn_hidden=8)
+    x = jnp.zeros((1, 64, 8))
+    variables = m.init(KEY, x)
+    with pytest.raises(AssertionError):
+        m.apply(variables, 1, method=DPCRN.init_stream_state)
+
+
+def test_dpcrn_transpose_delay_stream_equals_offline(rng):
+    """ns_dpcrn_v0-style lookahead config (transpose_delay=True): streamed
+    mask == offline mask delayed by n_layers frames (skip-FIFO realignment)."""
     m = DPCRN(input_type="RI", input_dim=64, norm_type="bN2d", dropout=0.0,
               channels=(1, 8, 8), transpose_t_size=2, transpose_delay=True,
               kernel_t=(2, 2), stride_t=(1, 1), dilation_t=(1, 1),
               kernel_f=(5, 3), stride_f=(2, 2), dilation_f=(1, 1),
               delay=(0, 0), rnn_hidden=8)
-    x = jnp.zeros((1, 64, 8))
+    B, C, T = 2, 64, 30
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
     variables = m.init(KEY, x)
-    with pytest.raises(AssertionError):
-        m.apply(variables, 1, method=DPCRN.init_stream_state)
+    y_off = np.asarray(m.apply(variables, x))
+    D = m.stream_delay_frames
+    assert D == 2
+
+    for chunk in (5, 1):
+        state = m.apply(variables, B, method=DPCRN.init_stream_state)
+        outs = []
+        for k in range(0, T, chunk):
+            y, state = m.apply(variables, x[:, :, k:k + chunk], state,
+                               method=DPCRN.stream_frames)
+            outs.append(np.asarray(y))
+        y_stream = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(y_stream[..., D:], y_off[..., :T - D],
+                                   atol=2e-5, rtol=1e-4)
 
 
 def test_dparn_stream_frames_equals_offline(rng):
@@ -116,3 +144,97 @@ def test_dparn_stream_frames_equals_offline(rng):
     y_stream = jnp.concatenate(outs, axis=-1)
     np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_off),
                                atol=2e-5, rtol=1e-4)
+
+
+def _small_unet_tcn(input_dim=64, emb=8):
+    from puresound_tpu.nnet.unet import UnetTcn
+
+    return UnetTcn(
+        embed_dim=emb, embed_norm=True, input_type="RI", input_dim=input_dim,
+        activation_type="PReLU", norm_type="bN2d",
+        channels=(1, 4, 8, 8), transpose_t_size=2, transpose_delay=True,
+        skip_conv=False, kernel_t=(2, 2, 2), kernel_f=(5, 5, 5),
+        stride_t=(1, 1, 1), stride_f=(2, 2, 2),
+        dilation_t=(1, 1, 1), dilation_f=(1, 1, 1), delay=(0, 0, 0),
+        tcn_layer="gated", tcn_kernel=3, tcn_dim=16, tcn_dilated_basic=2,
+        per_tcn_stack=2, repeat_tcn=2, tcn_with_embed=(1, 0),
+        tcn_norm="bN1d", dconv_norm="bN1d", causal=True, tcn_use_film=False)
+
+
+def test_unet_tcn_stream_frames_equals_offline(rng):
+    """UnetTcn (transpose_delay): streamed mask == offline mask delayed by
+    stream_delay_frames; frame-by-frame chunking exercises the skip FIFOs."""
+    from puresound_tpu.nnet.unet import UnetTcn
+
+    m = _small_unet_tcn()
+    B, C, T = 2, 64, 40
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    dvec = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    variables = m.init(KEY, x, dvec)
+    y_off = np.asarray(m.apply(variables, x, dvec))
+    D = m.stream_delay_frames
+    assert D == 3
+
+    for chunk in (5, 1):
+        state = m.apply(variables, B, method=UnetTcn.init_stream_state)
+        outs = []
+        for k in range(0, T, chunk):
+            y, state = m.apply(variables, x[:, :, k:k + chunk], state, dvec,
+                               method=UnetTcn.stream_frames)
+            outs.append(np.asarray(y))
+        y_stream = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(y_stream[..., D:], y_off[..., :T - D],
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_tse_unet_tcn_engine(rng):
+    """Full STFT-TSE pipeline: streamed chunks == offline inference on the
+    zero-primed input, delayed by the masker lookahead (D * hop samples)."""
+    from puresound_tpu.nnet.lobe.cnn import Conv1d
+    from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+    from puresound_tpu.nnet.lobe.trivial import Magnitude
+
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = _small_unet_tcn(input_dim=n_fft)
+    speaker_net = (Magnitude(drop_first=False),
+                   AttentiveStatisticsPooling(n_fft // 2, 16),
+                   Conv1d(n_fft, 8, 1, use_bias=False))
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net, drop_first_bin=True,
+                               mask_constraint="linear")
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         speaker_net=speaker_net, mask_constraint="linear",
+                         drop_first_bin=True, f_type="real", mask_type="real")
+
+    L = hop * 40
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((2, 8 * hop)).astype(np.float32))
+    variables = offline.init(KEY, x, enroll,
+                             method=SoTaskWrapModule.inference)
+
+    pad = n_fft - hop
+    y_off = np.asarray(offline.apply(variables, jnp.pad(x, ((0, 0), (pad, 0))),
+                                     enroll, method=SoTaskWrapModule.inference))
+
+    dvec = engine.apply(variables, enroll, method=StreamingNS.embed)
+    dvec_off = np.asarray(offline.apply(
+        variables, enroll, method=SoTaskWrapModule.inference_tse_embedding))
+    np.testing.assert_allclose(np.asarray(dvec), dvec_off.reshape(dvec.shape),
+                               atol=1e-6)
+
+    state = engine.apply(variables, 2, method=StreamingNS.init_state)
+    outs = []
+    chunk = hop * 4
+    for i in range(0, L, chunk):
+        y, state = engine.apply(variables, x[:, i:i + chunk], state, dvec,
+                                method=StreamingNS.step)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+
+    Dh = masker.stream_delay_frames * hop
+    lo = n_fft
+    hi = y_stream.shape[-1]
+    np.testing.assert_allclose(y_stream[:, lo + Dh:hi], y_off[:, lo:hi - Dh],
+                               atol=3e-5, rtol=1e-3)
