@@ -1,6 +1,8 @@
-"""NS recipe CLI: train / dev / eval.
+"""NS recipe CLI: train / dev / eval / stream_eval.
 
-Parity: reference egs/ns/main.py:184-198 (same actions, manifests, metrics).
+Parity: reference egs/ns/main.py:184-198 (same actions, manifests, metrics);
+stream_eval (chunked real-time streaming inference + RTF) is beyond the
+reference.
 """
 import argparse
 import os
@@ -147,6 +149,34 @@ def action_eval(hparam, backend, ckpt):
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
 
 
+def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+    """Chunked real-time streaming inference over the eval set: enhanced
+    wavs (aligned with the input) + per-utterance and average RTF."""
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+    from puresound_tpu.streaming.file_eval import build_engine, stream_signal
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/stream_eval_audio"
+    create_folder(out_dir)
+    model, variables = load_eval_model(hparam, ckpt)
+    engine = build_engine(model)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
+    sr = hparam["DATASET"]["sample_rate"]
+    rtfs = []
+    for key in test_audio.keys():
+        noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            noisy = AudioIO.resample(noisy, wav_sr, sr)
+        enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
+                                 chunk_ms=chunk_ms)
+        rtfs.append(rtf)
+        print(f"Streamed {key}: RTF {rtf:.1f}x real time")
+        AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
+    if rtfs:
+        print(f"Average RTF over {len(rtfs)} utts: {np.mean(rtfs):.1f}x "
+              f"({chunk_ms} ms chunks)")
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -162,6 +192,9 @@ def main(config):
         action_dev(hparam, config.backend, config.ckpt, config.metrics)
     elif config.action == "eval":
         action_eval(hparam, config.backend, config.ckpt)
+    elif config.action == "stream_eval":
+        action_stream_eval(hparam, config.backend, config.ckpt,
+                           config.chunk_ms)
     else:
         raise NameError("Unrecognize action.")
 
@@ -170,7 +203,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev", "eval"])
+                        choices=["train", "dev", "eval", "stream_eval"])
+    parser.add_argument("--chunk_ms", type=float, default=16.0,
+                        help="stream_eval chunk size in milliseconds")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

@@ -1,8 +1,9 @@
-"""TSE recipe CLI: train / dev / eval / tSNE / export_model.
+"""TSE recipe CLI: train / dev / eval / tSNE / export_model / stream_eval.
 
 Parity: reference egs/tse/main.py:449-466 (same actions, same manifests,
 same scoring); `export_model` serializes jax.export StableHLO artifacts of
-the four sub-nets instead of torch.jit traces.
+the four sub-nets instead of torch.jit traces; `stream_eval` (chunked
+real-time streaming inference + RTF) is beyond the reference.
 """
 import argparse
 import os
@@ -334,6 +335,47 @@ def action_export(hparam, backend, ckpt):
         print(f"exported {name}: {path} ({len(data)} bytes)")
 
 
+def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+    """Chunked real-time streaming TSE over the eval set: embed the
+    enrollment once, stream the mixture, write aligned enhanced wavs and
+    report per-utterance and average RTF."""
+    import jax.numpy as jnp
+
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+    from puresound_tpu.streaming.file_eval import build_engine, stream_signal
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/stream_eval_audio"
+    create_folder(out_dir)
+    model, variables = load_eval_model(hparam, ckpt)
+    engine = build_engine(model)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
+    enroll_dct = load_text_as_dict(f"{hparam['DATASET']['eval']}/ref2list.txt")
+    sr = hparam["DATASET"]["sample_rate"]
+    rtfs = []
+    for key in test_audio.keys():
+        noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            noisy = AudioIO.resample(noisy, wav_sr, sr)
+        enrolls = []
+        for p in enroll_dct[key]:
+            e, wav_sr = AudioIO.open(f_path=p, target_lvl=-28)
+            if wav_sr != sr:
+                e = AudioIO.resample(e, wav_sr, sr)
+            enrolls.append(e)
+        enroll = np.concatenate(enrolls, axis=-1).reshape(1, -1)
+        dvec = engine.apply(variables, jnp.asarray(enroll),
+                            method=type(engine).embed)
+        enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
+                                 chunk_ms=chunk_ms, dvec=dvec)
+        rtfs.append(rtf)
+        print(f"Streamed {key}: RTF {rtf:.1f}x real time")
+        AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
+    if rtfs:
+        print(f"Average RTF over {len(rtfs)} utts: {np.mean(rtfs):.1f}x "
+              f"({chunk_ms} ms chunks)")
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -354,6 +396,9 @@ def main(config):
         action_eval(hparam, config.backend, config.ckpt)
     elif config.action == "export_model":
         action_export(hparam, config.backend, config.ckpt)
+    elif config.action == "stream_eval":
+        action_stream_eval(hparam, config.backend, config.ckpt,
+                           config.chunk_ms)
     else:
         raise NameError("Unrecognize action.")
 
@@ -362,7 +407,10 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev", "eval", "tSNE", "export_model"])
+                        choices=["train", "dev", "eval", "tSNE",
+                                 "export_model", "stream_eval"])
+    parser.add_argument("--chunk_ms", type=float, default=16.0,
+                        help="stream_eval chunk size in milliseconds")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

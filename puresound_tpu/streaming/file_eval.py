@@ -1,0 +1,107 @@
+"""File-based streaming evaluation: run a waveform through a streaming
+engine in real-time-sized chunks, flush the pipeline delay, and report the
+real-time factor — the CLI-facing counterpart of the reference's demo-app
+chunk loop (egs/tse/demo/utils.py:100-128), generalized to every streaming
+engine here.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .engine import StreamingTSE
+from .ns_engine import StreamingNS
+
+
+def engine_delay_samples(engine) -> int:
+    """Samples by which the streamed output lags the input (to trim)."""
+    if isinstance(engine, StreamingNS):
+        hop = engine.encoder.hop_length
+        mask_delay = getattr(engine.masker, "stream_delay_frames", 0)
+        return (engine.encoder.fft_length - hop) + mask_delay * hop
+    # time-domain (FreeEncDec) engines: output aligns with the zero-primed
+    # offline signal; the (win - hop) prime is part of the contract, not lag
+    return 0
+
+
+def stream_signal(engine, variables, wav: np.ndarray, sr: int,
+                  chunk_ms: float = 16.0,
+                  dvec: Optional[np.ndarray] = None,
+                  ) -> Tuple[np.ndarray, float]:
+    """Stream `wav` [L] through `engine` chunk by chunk.
+
+    Returns (enhanced [L] aligned with the input, real-time factor where
+    RTF > 1 means faster than real time). Compile time is excluded (one
+    warm-up step on zeros).
+    """
+    import jax.numpy as jnp
+
+    hop = engine.encoder.hop_length
+    chunk = max(1, int(round(sr * chunk_ms / 1000.0)) // hop) * hop
+    delay = engine_delay_samples(engine)
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    L = wav.shape[0]
+    n_chunks = -(-(L + delay) // chunk)
+    x = np.zeros((1, n_chunks * chunk), np.float32)
+    x[0, :L] = wav
+
+    if isinstance(engine, StreamingNS):
+        if dvec is not None:
+            step = jax.jit(lambda v, c, s, d: engine.apply(
+                v, c, s, d, method=StreamingNS.step))
+            run = lambda c, s: step(variables, c, s, dvec)
+        else:
+            step = jax.jit(lambda v, c, s: engine.apply(
+                v, c, s, method=StreamingNS.step))
+            run = lambda c, s: step(variables, c, s)
+    elif isinstance(engine, StreamingTSE):
+        step = jax.jit(lambda v, c, d, s: engine.apply(
+            v, c, d, s, method=StreamingTSE.step))
+        run = lambda c, s: step(variables, c, dvec, s)
+    else:
+        raise TypeError(f"unknown streaming engine {type(engine)}")
+
+    init_state = lambda: engine.apply(variables, 1,
+                                      method=type(engine).init_state)
+    # warm-up compile, then stream for real
+    y, _ = run(jnp.zeros((1, chunk), jnp.float32), init_state())
+    y.block_until_ready()
+
+    state = init_state()
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        y, state = run(jnp.asarray(x[:, i * chunk:(i + 1) * chunk]), state)
+        outs.append(y)
+    outs[-1].block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    out = np.concatenate([np.asarray(o) for o in outs], axis=-1)[0]
+    audio_sec = n_chunks * chunk / sr
+    rtf = audio_sec / max(elapsed, 1e-9)
+    return out[delay:delay + L], rtf
+
+
+def build_engine(model):
+    """Build the matching streaming engine for an offline SoTaskWrapModule
+    (same param structure, so the trained variables load directly)."""
+    from ..nnet.encoder import ConvEncDec, FreeEncDec
+
+    if isinstance(model.encoder, ConvEncDec):
+        return StreamingNS(encoder=model.encoder, masker=model.masker,
+                           speaker_net=model.speaker_net,
+                           encoder_spk=model.encoder_spk,
+                           mask_constraint=model.mask_constraint,
+                           output_constraint=model.output_constraint,
+                           drop_first_bin=model.drop_first_bin,
+                           f_type=model.f_type, mask_type=model.mask_type)
+    if isinstance(model.encoder, FreeEncDec):
+        return StreamingTSE(encoder=model.encoder, masker=model.masker,
+                            speaker_net=model.speaker_net,
+                            encoder_spk=model.encoder_spk,
+                            mask_constraint=model.mask_constraint,
+                            output_constraint=model.output_constraint)
+    raise TypeError("no streaming engine for this encoder type")

@@ -238,3 +238,46 @@ def test_streaming_tse_unet_tcn_engine(rng):
     hi = y_stream.shape[-1]
     np.testing.assert_allclose(y_stream[:, lo + Dh:hi], y_off[:, lo:hi - Dh],
                                atol=3e-5, rtol=1e-3)
+
+
+def test_file_eval_stream_signal_alignment(rng):
+    """stream_signal returns an input-aligned signal equal to offline
+    inference on the zero-primed input (interior samples), including the
+    lookahead delay trim."""
+    from puresound_tpu.streaming.file_eval import (engine_delay_samples,
+                                                   stream_signal)
+
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = DPCRN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8), transpose_t_size=2,
+                   transpose_delay=True, kernel_t=(2, 2), stride_t=(1, 1),
+                   dilation_t=(1, 1), kernel_f=(5, 3), stride_f=(2, 2),
+                   dilation_f=(1, 1), delay=(0, 0), rnn_hidden=8)
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               drop_first_bin=True, mask_constraint="linear",
+                               f_type="Complex", mask_type="Complex")
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    delay = engine_delay_samples(engine)
+    assert delay == (n_fft - hop) + 2 * hop
+
+    L = 3210  # deliberately not a chunk multiple
+    x = rng.standard_normal(L).astype(np.float32) * 0.1
+    variables = offline.init(KEY, jnp.asarray(x[None, :hop * 8]),
+                             method=SoTaskWrapModule.inference)
+
+    out, rtf = stream_signal(engine, variables, x, sr=16000, chunk_ms=8.0)
+    assert out.shape == (L,) and rtf > 0
+
+    pad = n_fft - hop
+    y_off = np.asarray(offline.apply(
+        variables, jnp.pad(jnp.asarray(x[None]), ((0, 0), (pad, 0))),
+        method=SoTaskWrapModule.inference))[0]
+    # out[t] is aligned with the INPUT timeline; the offline output lives on
+    # the primed timeline (shifted by pad). Skip the first/last window edges
+    # (offline edge normalizer + offline frame-alignment truncation).
+    hi = L - 2 * n_fft  # offline also truncates the unaligned input tail
+    np.testing.assert_allclose(out[n_fft:hi], y_off[n_fft + pad:hi + pad],
+                               atol=3e-5, rtol=1e-3)
