@@ -104,6 +104,45 @@ def action_dev(hparam, backend, ckpt):
     print(f"SiSNR far: {np.mean(far_scores)}")
 
 
+def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+    """Chunked real-time streaming separation over the dev set: writes
+    per-source (near/far) aligned wavs and reports RTF."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+    from puresound_tpu.streaming.file_eval import build_engine, stream_signal
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/stream_eval_audio"
+    create_folder(out_dir)
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.load_params_from_ckpt(
+        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
+    engine = build_engine(model)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['dev']}/wav2scp.txt")
+    rtfs = []
+    for key in test_audio.keys():
+        mix, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            mix = AudioIO.resample(mix, wav_sr, sr)
+        out, rtf = stream_signal(engine, variables, np.asarray(mix), sr,
+                                 chunk_ms=chunk_ms)
+        rtfs.append(rtf)
+        print(f"Streamed {key}: RTF {rtf:.1f}x real time")
+        for m, tag in enumerate(["near", "far"][:out.shape[0]]):
+            AudioIO.save(out[m].reshape(1, -1),
+                         f"{out_dir}/{key}_{tag}.wav", sr)
+    if rtfs:
+        print(f"Average RTF over {len(rtfs)} utts: {np.mean(rtfs):.1f}x "
+              f"({chunk_ms} ms chunks)")
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -117,6 +156,9 @@ def main(config):
         action_train(hparam, config.backend)
     elif config.action == "dev":
         action_dev(hparam, config.backend, config.ckpt)
+    elif config.action == "stream_eval":
+        action_stream_eval(hparam, config.backend, config.ckpt,
+                           config.chunk_ms)
     else:
         raise NameError("Unrecognize action.")
 
@@ -125,7 +167,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev"])
+                        choices=["train", "dev", "stream_eval"])
+    parser.add_argument("--chunk_ms", type=float, default=16.0,
+                        help="stream_eval chunk size in milliseconds")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--ckpt", type=str, default=None)

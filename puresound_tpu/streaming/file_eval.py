@@ -14,11 +14,12 @@ import numpy as np
 
 from .engine import StreamingTSE
 from .ns_engine import StreamingNS
+from .simo_engine import StreamingDSS
 
 
 def engine_delay_samples(engine) -> int:
     """Samples by which the streamed output lags the input (to trim)."""
-    if isinstance(engine, StreamingNS):
+    if isinstance(engine, (StreamingNS, StreamingDSS)):
         hop = engine.encoder.hop_length
         mask_delay = getattr(engine.masker, "stream_delay_frames", 0)
         return (engine.encoder.fft_length - hop) + mask_delay * hop
@@ -57,6 +58,10 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
             step = jax.jit(lambda v, c, s: engine.apply(
                 v, c, s, method=StreamingNS.step))
             run = lambda c, s: step(variables, c, s)
+    elif isinstance(engine, StreamingDSS):
+        step = jax.jit(lambda v, c, s: engine.apply(
+            v, c, s, method=StreamingDSS.step))
+        run = lambda c, s: step(variables, c, s)
     elif isinstance(engine, StreamingTSE):
         step = jax.jit(lambda v, c, d, s: engine.apply(
             v, c, d, s, method=StreamingTSE.step))
@@ -79,17 +84,25 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     outs[-1].block_until_ready()
     elapsed = time.perf_counter() - t0
 
+    # [total] for SISO engines, [M, total] for SIMO (StreamingDSS)
     out = np.concatenate([np.asarray(o) for o in outs], axis=-1)[0]
     audio_sec = n_chunks * chunk / sr
     rtf = audio_sec / max(elapsed, 1e-9)
-    return out[delay:delay + L], rtf
+    return out[..., delay:delay + L], rtf
 
 
 def build_engine(model):
     """Build the matching streaming engine for an offline SoTaskWrapModule
     (same param structure, so the trained variables load directly)."""
+    from ..nnet.base_nn import SiMoTaskWrapModule
     from ..nnet.encoder import ConvEncDec, FreeEncDec
 
+    if isinstance(model, SiMoTaskWrapModule):
+        return StreamingDSS(encoder=model.encoder, masker=model.masker,
+                            mask_constraint=model.mask_constraint,
+                            output_constraint=model.output_constraint,
+                            drop_first_bin=model.drop_first_bin,
+                            f_type=model.f_type, mask_type=model.mask_type)
     if isinstance(model.encoder, ConvEncDec):
         return StreamingNS(encoder=model.encoder, masker=model.masker,
                            speaker_net=model.speaker_net,
