@@ -175,3 +175,52 @@ def test_remat_train_step_matches(rng):
     l1, g1 = run(True)
     np.testing.assert_allclose(l1, l0, rtol=1e-6)
     np.testing.assert_allclose(g1, g0, rtol=1e-5)
+
+
+def test_streaming_ns_step_shards_over_streams(rng):
+    """The STFT-domain serving step (StreamingNS/DSS family) also shards
+    over the stream axis — including the DPRNN carries whose stream axis is
+    fused with the frequency axis ([1, B*Fb, H])."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from puresound_tpu.nnet.dpcrn import DPCRN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+
+    n_fft, hop = 64, 16
+    masker = DPCRN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8), transpose_t_size=2,
+                   transpose_delay=False, kernel_t=(2, 2), stride_t=(1, 1),
+                   dilation_t=(1, 1), kernel_f=(5, 3), stride_f=(2, 2),
+                   dilation_f=(1, 1), delay=(0, 0), rnn_hidden=8)
+    engine = StreamingNS(
+        encoder=ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                           trainable=True, output_format="Complex"),
+        masker=masker, mask_constraint="linear", drop_first_bin=True)
+    B, S = 16, hop * 4
+    Fb = 8  # 32 freqs -> /2 -> /2
+    chunk = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    variables = engine.init(KEY, chunk, method=StreamingNS.init_all)
+    state = engine.apply(variables, B, method=StreamingNS.init_state)
+
+    def step(c, s):
+        return engine.apply(variables, c, s, method=StreamingNS.step)
+
+    y_ref, _ = jax.jit(step)(chunk, state)
+
+    mesh = make_mesh()
+
+    def put(x):
+        axes = getattr(x, "shape", ())
+        for i, n in enumerate(axes):
+            if n == B or n == B * Fb:  # plain or freq-fused stream axis
+                spec = P(*([None] * i + ["dp"]))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    y_sh, new_state = jax.jit(step)(put(chunk),
+                                    jax.tree_util.tree_map(put, state))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+    assert any(getattr(d, "sharding", None) is not None
+               and d.sharding.spec in (P("dp"), P(None, "dp"))
+               for d in jax.tree_util.tree_leaves(new_state))
