@@ -295,6 +295,36 @@ class FSMN(nn.Module):
             proj = proj + memory
         return self._out(proj, train), proj
 
+    # -------------------------------------------------------------- streaming
+    @property
+    def ctx_frames(self) -> int:
+        return self.l_context
+
+    def init_ctx(self, batch: int, dtype=jnp.float32):
+        assert self.r_context == 0, "streaming requires a causal FSMN"
+        assert self.dilation == 1, "streaming supports dilation 1"
+        return jnp.zeros((batch, self.project_dim, self.l_context), dtype)
+
+    def _context_stream(self, proj, ring):
+        """Causal context conv fed by the carried l_context-frame ring."""
+        full = jnp.concatenate([ring, proj], axis=-1)
+        ctx = jax.lax.conv_general_dilated(
+            full, self.ctx_w, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=self.project_dim)
+        return ctx, full[..., -self.l_context:]
+
+    def step_chunk(self, x, memory, ring, embed=None):
+        """Streaming chunk: (x [B,C,K], layer-chained memory, carried ring)
+        -> (out [B,C,K], new memory, new ring). Memory chains across LAYERS
+        within a forward (frame-local), so only the ring carries time."""
+        proj = self._project_in(x)
+        ctx, new_ring = self._context_stream(proj, ring)
+        proj = proj + ctx
+        if memory is not None:
+            proj = proj + memory
+        return self._out(proj, False), proj, new_ring
+
 
 class ConditionFSMN(FSMN):
     """FSMN with speaker-embedding conditioning (concat-proj or FiLM).
@@ -337,3 +367,26 @@ class ConditionFSMN(FSMN):
         if memory is not None:
             proj = proj + memory
         return self._out(proj, train), proj
+
+    def step_chunk(self, x, memory, ring, embed=None):
+        """Streaming chunk with conditioning; same contract as FSMN."""
+        proj = self._project_in(x)
+        ctx, new_ring = self._context_stream(proj, ring)
+        if not self.use_film:
+            K = x.shape[-1]
+            e = jnp.broadcast_to(embed[:, :, None],
+                                 (embed.shape[0], embed.shape[1], K))
+            condi = jnp.concatenate([ctx, e], axis=1)
+            condi = jnp.einsum("nct,pc->npt", condi, self.embed_proj_w[:, :, 0])
+            proj = proj + ctx + condi
+        else:
+            scale = jnp.einsum("ne,pe->np", embed,
+                               self.cond_scale_w[:, :, 0])[:, :, None]
+            bias = jnp.einsum("ne,pe->np", embed,
+                              self.cond_bias_w[:, :, 0])[:, :, None]
+            proj = scale * proj + bias
+            ctx = scale * ctx + bias
+            proj = proj + ctx
+        if memory is not None:
+            proj = proj + memory
+        return self._out(proj, False), proj, new_ring

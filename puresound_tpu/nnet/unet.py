@@ -434,3 +434,37 @@ class UnetFsmn(Unet):
         x = x.reshape(N, ch, F, T)
         x = self._up(x, skips, train)
         return self._unpack_output(x)
+
+    # ------------------------------------------------------------- streaming
+    def init_stream_state(self, batch: int, dtype=jnp.float32) -> dict:
+        assert self.fsmn_r_context == 0, (
+            "streaming requires causal FSMN layers (r_context 0)")
+        state = self._init_unet_stream_state(batch, dtype)
+        state["fsmn"] = [layer.init_ctx(batch, dtype)
+                         for layer in self.fsmn_list]
+        return state
+
+    def stream_frames(self, x: jnp.ndarray, state: dict,
+                      dvec: Optional[jnp.ndarray] = None):
+        """Chunked streaming step: x [B, C, K] -> (mask [B, C, K], state').
+        Same delay contract as UnetTcn.stream_frames (the FSMN memory chain
+        runs across layers within the chunk, only the context conv rings
+        carry time)."""
+        if self.embed_norm and dvec is not None:
+            dvec = dvec / jnp.linalg.norm(dvec, axis=1, keepdims=True).clip(1e-12)
+        h, skips, new_down = self._stream_down(x, state)
+        B, ch, Fb, K = h.shape
+        t = h.reshape(B, ch * Fb, K)
+        new_rings = []
+        memory = None
+        for i, layer in enumerate(self.fsmn_list):
+            e = dvec if self.fsmn_with_embed[i] else None
+            t, memory, ring = layer.step_chunk(t, memory, state["fsmn"][i],
+                                               embed=e)
+            new_rings.append(ring)
+        h = t.reshape(B, ch, Fb, K)
+        mask, new_up, new_skipq = self._stream_up(h, skips, state)
+        new_state = dict(state, down=new_down, up=new_up, fsmn=new_rings)
+        if self.transpose_delay:
+            new_state["skipq"] = new_skipq
+        return mask, new_state

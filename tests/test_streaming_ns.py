@@ -281,3 +281,39 @@ def test_file_eval_stream_signal_alignment(rng):
     hi = L - 2 * n_fft  # offline also truncates the unaligned input tail
     np.testing.assert_allclose(out[n_fft:hi], y_off[n_fft + pad:hi + pad],
                                atol=3e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("tdelay,film", [(False, True), (True, False)])
+def test_unet_fsmn_stream_frames_equals_offline(rng, tdelay, film):
+    """UnetFsmn streaming (FSMN context-conv rings; memory chains across
+    layers within the chunk) == offline, causal and lookahead modes, both
+    FiLM and concat-proj conditioning."""
+    from puresound_tpu.nnet.unet import UnetFsmn
+
+    m = UnetFsmn(
+        embed_dim=8, embed_norm=True, input_type="RI", input_dim=64,
+        activation_type="PReLU", norm_type="bN2d",
+        channels=(1, 4, 8, 8), transpose_t_size=2, transpose_delay=tdelay,
+        skip_conv=False, kernel_t=(2, 2, 2), kernel_f=(5, 5, 5),
+        stride_t=(1, 1, 1), stride_f=(2, 2, 2),
+        dilation_t=(1, 1, 1), dilation_f=(1, 1, 1), delay=(0, 0, 0),
+        fsmn_l_context=3, fsmn_r_context=0, fsmn_dim=16, num_fsmn=4,
+        fsmn_with_embed=(1, 0, 1, 0), fsmn_norm="bN1d", use_film=film)
+    B, C, T = 2, 64, 40
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    dvec = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    variables = m.init(KEY, x, dvec)
+    y_off = np.asarray(m.apply(variables, x, dvec))
+    D = m.stream_delay_frames
+    assert D == (3 if tdelay else 0)
+
+    state = m.apply(variables, B, method=UnetFsmn.init_stream_state)
+    outs = []
+    for k in range(0, T, 5):
+        y, state = m.apply(variables, x[:, :, k:k + 5], state, dvec,
+                           method=UnetFsmn.stream_frames)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(y_stream[..., D:],
+                               y_off[..., :T - D] if D else y_off,
+                               atol=2e-5, rtol=1e-4)
