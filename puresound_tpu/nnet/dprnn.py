@@ -137,3 +137,60 @@ class DPRNN(nn.Module):
         else:
             out = jnp.swapaxes(output.reshape(N, S * K, C)[:, :T, :], 1, 2)
         return self.out_conv(self.out_act(out))
+
+    # ------------------------------------------------------------- streaming
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        """Streaming state: carried inter-LSTM (h, c) per block, one pair
+        per (stream, intra-position) — [1, B*seg_size, H]. The intra LSTM
+        restarts from zero every segment (offline semantics), so it carries
+        nothing."""
+        assert self.causal and not self.seg_overlap, (
+            "streaming requires causal non-overlapping segments")
+        K, H = self.seg_size, self.hidden_size
+        z = lambda: jnp.zeros((1, batch * K, H), dtype)
+        return {"h": [z() for _ in range(self.n_blocks)],
+                "c": [z() for _ in range(self.n_blocks)]}
+
+    def condition_stream_state(self, state: dict, enroll_feats) -> dict:
+        """Embedding-free TSE (veve): write the enrollment-derived inter
+        initial hidden states into a fresh stream state (dprnn.py:120-126
+        reference semantics — conditioning enters ONCE, at stream start)."""
+        hiddens = self._get_hidden_states(enroll_feats)
+        return dict(state, h=[h for h, _ in hiddens],
+                    c=[c for _, c in hiddens])
+
+    def step_frames(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
+                    state: dict):
+        """Streaming chunk step matching the SkiM streaming API.
+
+        x: [B, T, C] frames with T a multiple of seg_size -> ([B, C, T]
+        mask frames, new state). Numerically identical to the offline
+        forward on segment-aligned input. For embedding-free TSE pass
+        embed=None and condition the state via `condition_stream_state`."""
+        B, T, C = x.shape
+        K = self.seg_size
+        assert T % K == 0, "chunk frames must be a multiple of seg_size"
+        S = T // K
+        output = x.reshape(B, S, K, C)
+        embed_rep = None
+        if embed is not None and not self.embedding_free_tse:
+            if self.embed_norm:
+                embed = embed / jnp.linalg.norm(embed, axis=1,
+                                                keepdims=True).clip(1e-12)
+            embed_rep = jnp.broadcast_to(
+                embed[:, None, :], (B, S, embed.shape[1])).reshape(B * S, -1)
+        hs, cs = list(state["h"]), list(state["c"])
+        for i in range(self.n_blocks):
+            o = output.reshape(B * S, K, C)
+            if embed_rep is not None and self.block_with_embed and self.block_with_embed[i]:
+                o = jnp.swapaxes(
+                    self.input_film[i](jnp.swapaxes(o, 1, 2), embed_rep), 1, 2)
+            intra_out, _ = self.intra_rnn[i](o)
+            o = o + self.intra_norm[i](self.intra_proj[i](intra_out))
+            inter_in = o.reshape(B, S, K, C).transpose(0, 2, 1, 3).reshape(B * K, S, C)
+            inter_out, (h, c) = self.inter_rnn[i](inter_in, (hs[i], cs[i]))
+            hs[i], cs[i] = h, c
+            o = inter_in + self.inter_norm[i](self.inter_proj[i](inter_out))
+            output = o.reshape(B, K, S, C).transpose(0, 2, 1, 3)
+        out = jnp.swapaxes(output.reshape(B, T, C), 1, 2)
+        return self.out_conv(self.out_act(out)), dict(state, h=hs, c=cs)

@@ -72,9 +72,13 @@ class StreamingTSE(nn.Module):
 
     # ------------------------------------------------------------ embedding
     def embed(self, enroll: jnp.ndarray) -> jnp.ndarray:
-        """Enrollment waveform [B, L] -> speaker embedding [B, E]."""
+        """Enrollment waveform [B, L] -> speaker embedding [B, E] (or the
+        raw enrollment features [B, C, T'] for embedding-free TSE, where
+        conditioning enters via `init_state`'s enroll_feats instead)."""
         enc = self.encoder_spk if self.encoder_spk is not None else self.encoder
         feats = enc(enroll)
+        if self.speaker_net is None:
+            return feats
         x = feats
         for layer in self.speaker_net:
             try:
@@ -84,12 +88,20 @@ class StreamingTSE(nn.Module):
         return x.squeeze(-1)
 
     # ---------------------------------------------------------------- state
-    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+    def init_state(self, batch: int, dtype=jnp.float32,
+                   enroll_feats: Optional[jnp.ndarray] = None) -> dict:
+        """enroll_feats: for embedding-free maskers (DPRNN veve), the
+        `embed` output — written into the masker's initial recurrent state
+        (reference dprnn.py:120-126); pass dvec=None to `step` then."""
         win, hop = self.encoder.win_length, self.encoder.hop_length
+        masker_state = self.masker.init_state(batch, dtype)
+        if enroll_feats is not None:
+            masker_state = self.masker.condition_stream_state(masker_state,
+                                                              enroll_feats)
         return {
             "enc_tail": jnp.zeros((batch, win - hop), dtype),
             "dec_tail": jnp.zeros((batch, win - hop), dtype),
-            "skim": self.masker.init_state(batch, dtype),
+            "skim": masker_state,
         }
 
     # ----------------------------------------------------------------- step

@@ -268,3 +268,95 @@ def test_streaming_tse_conv_tasnet_engine(rng):
     np.testing.assert_allclose(np.asarray(y_stream),
                                np.asarray(y_off[:, :y_stream.shape[-1]]),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_dprnn_veve_streaming_equals_offline(rng):
+    """Embedding-free DPRNN (veve): enrollment conditions the initial inter
+    states; streamed segments == offline, bit-identical ops."""
+    from puresound_tpu.nnet.dprnn import DPRNN
+
+    m = DPRNN(input_size=16, hidden_size=8, output_size=16, n_blocks=3,
+              seg_size=5, seg_overlap=False, causal=True, embed_dim=0,
+              embedding_free_tse=True)
+    B, C, T = 2, 16, 40
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    x_ct = jnp.swapaxes(x, 1, 2)
+    enroll = jnp.asarray(rng.standard_normal((B, 16, 17)).astype(np.float32))
+    variables = m.init(KEY, x_ct, enroll)
+    y_off = np.asarray(m.apply(variables, x_ct, enroll))
+
+    state = m.apply(variables, B, method=DPRNN.init_state)
+    state = m.apply(variables, state, enroll,
+                    method=DPRNN.condition_stream_state)
+    outs = []
+    for k in range(0, T, 10):  # two segments per chunk
+        y, state = m.apply(variables, x[:, k:k + 10], None, state,
+                           method=DPRNN.step_frames)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(y_stream, y_off, atol=1e-6, rtol=1e-5)
+
+
+def test_dprnn_film_streaming_equals_offline(rng):
+    """Standard-embedding DPRNN (FiLM per block) streams too."""
+    from puresound_tpu.nnet.dprnn import DPRNN
+
+    m = DPRNN(input_size=16, hidden_size=8, output_size=16, n_blocks=2,
+              seg_size=5, seg_overlap=False, causal=True, embed_dim=6,
+              embed_norm=True, block_with_embed=(1, 0))
+    B, C, T = 2, 16, 30
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    x_ct = jnp.swapaxes(x, 1, 2)
+    dvec = jnp.asarray(rng.standard_normal((B, 6)).astype(np.float32))
+    variables = m.init(KEY, x_ct, dvec)
+    y_off = np.asarray(m.apply(variables, x_ct, dvec))
+
+    state = m.apply(variables, B, method=DPRNN.init_state)
+    outs = []
+    for k in range(0, T, 5):
+        y, state = m.apply(variables, x[:, k:k + 5], dvec, state,
+                           method=DPRNN.step_frames)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(y_stream, y_off, atol=1e-6, rtol=1e-5)
+
+
+def test_streaming_tse_veve_engine(rng):
+    """Full veve pipeline through StreamingTSE: embed -> conditioned state
+    -> chunked steps == offline inference on the zero-primed input."""
+    from puresound_tpu.nnet.dprnn import DPRNN
+    from puresound_tpu.nnet.encoder import FreeEncDec
+
+    win, hop, seg = 16, 8, 5
+    encoder = FreeEncDec(win_length=win, hop_length=hop, laten_length=16,
+                         output_active=True)
+    masker = DPRNN(input_size=16, hidden_size=8, output_size=16, n_blocks=2,
+                   seg_size=seg, seg_overlap=False, causal=True, embed_dim=0,
+                   embedding_free_tse=True)
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=None, mask_constraint="ReLU",
+                               embedding_free_tse=True)
+    engine = StreamingTSE(encoder=encoder, masker=masker, speaker_net=None,
+                          mask_constraint="ReLU")
+    chunk = seg * hop
+    B, L = 2, chunk * 6
+    mix = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((B, chunk * 4)).astype(np.float32))
+    variables = offline.init(KEY, mix, enroll,
+                             method=SoTaskWrapModule.inference)
+
+    feats = engine.apply(variables, enroll, method=StreamingTSE.embed)
+    assert feats.ndim == 3  # embedding-free: features, not a vector
+    state = engine.apply(variables, B, jnp.float32, feats,
+                         method=StreamingTSE.init_state)
+    outs = []
+    for i in range(0, L, chunk):
+        y, state = engine.apply(variables, mix[:, i:i + chunk], None, state,
+                                method=StreamingTSE.step)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+
+    y_off = np.asarray(offline.apply(
+        variables, jnp.pad(mix, ((0, 0), (win - hop, 0))), enroll,
+        method=SoTaskWrapModule.inference))[:, :L]
+    np.testing.assert_allclose(y_stream, y_off, atol=1e-5, rtol=1e-4)
