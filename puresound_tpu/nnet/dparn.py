@@ -62,10 +62,12 @@ class DPARNblock2D(nn.Module):
             y = res + y
         return y
 
-    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+                   fused: bool = False):
         """Streaming chunk step. The intra self-attention runs over the
         FREQUENCY axis (frame-local) batched over all K frames; only the
-        inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B*F, hidden]."""
+        inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B*F, hidden].
+        fused=True runs the inter recurrence through the Pallas scan."""
         N, CH, F, K = x.shape
         res = x
         hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
@@ -77,7 +79,18 @@ class DPARNblock2D(nn.Module):
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
-        y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
+        if fused:
+            import jax as _jax
+
+            from ..ops.lstm_scan_kernel import lstm_scan, pick_b_tile
+
+            cell = self.inter_rnn.rnn.fwd
+            y, hT, cT = lstm_scan(cell.input_proj(seq), h[0], c[0],
+                                  cell.w_hh, b_tile=pick_b_tile(N * F),
+                                  interpret=_jax.default_backend() == "cpu")
+            h, c = hT[None], cT[None]
+        else:
+            y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)

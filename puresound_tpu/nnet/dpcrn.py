@@ -56,21 +56,51 @@ class DPRNNblock2D(nn.Module):
             y = res + y
         return y
 
-    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+                   fused: bool = False):
         """Streaming chunk step. x: [B, CH, F, K]; the inter (time) LSTM
         carries (h, c) of shape [1, B*F, hidden]. The intra (frequency)
         pass is frame-local and runs batched over all K frames; only the
-        inter LSTM scans (K steps). Identical math to __call__."""
+        inter LSTM scans (K steps). Identical math to __call__.
+
+        fused=True runs both recurrences through the Pallas VMEM-resident
+        scan (ops/lstm_scan_kernel.py) — input projections stay as hoisted
+        XLA matmuls; only the serial carry loop moves into the kernel."""
+        import jax as _jax
+
+        from ..ops.lstm_scan_kernel import lstm_scan, pick_b_tile
+
+        interp = _jax.default_backend() == "cpu"
         N, CH, F, K = x.shape
         res = x
         hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
-        hseq = self.intra_rnn(jnp.swapaxes(hseq, 1, 2))   # [N*K, CH, F]
-        hseq = self.intra_norm(jnp.swapaxes(hseq, 1, 2))  # [N*K, F, CH]
+        if fused:
+            lstm = self.intra_rnn.rnn
+            Hh = self.hidden_size
+            z = jnp.zeros((N * K, Hh), hseq.dtype)
+            bt = pick_b_tile(N * K)
+            y_f, _, _ = lstm_scan(lstm.fwd.input_proj(hseq), z, z,
+                                  lstm.fwd.w_hh, b_tile=bt, interpret=interp)
+            y_b, _, _ = lstm_scan(lstm.bwd.input_proj(hseq), z, z,
+                                  lstm.bwd.w_hh, reverse=True, b_tile=bt,
+                                  interpret=interp)
+            hseq = self.intra_rnn.proj(jnp.concatenate([y_f, y_b], axis=-1))
+            hseq = self.intra_norm(hseq)                  # [N*K, F, CH]
+        else:
+            hseq = self.intra_rnn(jnp.swapaxes(hseq, 1, 2))   # [N*K, CH, F]
+            hseq = self.intra_norm(jnp.swapaxes(hseq, 1, 2))  # [N*K, F, CH]
         x = res + hseq.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
-        y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
+        if fused:
+            cell = self.inter_rnn.rnn.fwd
+            y, hT, cT = lstm_scan(cell.input_proj(seq), h[0], c[0],
+                                  cell.w_hh, b_tile=pick_b_tile(N * F),
+                                  interpret=interp)
+            h, c = hT[None], cT[None]
+        else:
+            y, (h, c) = self.inter_rnn.rnn(seq, (h, c))
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)

@@ -38,7 +38,8 @@ class DualPathStreaming:
         state.update(h1=carry(), c1=carry(), h2=carry(), c2=carry())
         return state
 
-    def stream_frames(self, x: jnp.ndarray, state: dict):
+    def stream_frames(self, x: jnp.ndarray, state: dict,
+                      fused: bool = False):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -53,8 +54,10 @@ class DualPathStreaming:
         expensive frequency pass.
         """
         h, skips, new_down = self._stream_down(x, state)
-        h, h1, c1 = self.dprnn_block1.step_chunk(h, state["h1"], state["c1"])
-        h, h2, c2 = self.dprnn_block2.step_chunk(h, state["h2"], state["c2"])
+        h, h1, c1 = self.dprnn_block1.step_chunk(h, state["h1"], state["c1"],
+                                                 fused=fused)
+        h, h2, c2 = self.dprnn_block2.step_chunk(h, state["h2"], state["c2"],
+                                                 fused=fused)
         mask, new_up, new_skipq = self._stream_up(h, skips, state)
         new_state = dict(state, down=new_down, up=new_up,
                          h1=h1, c1=c1, h2=h2, c2=c2)

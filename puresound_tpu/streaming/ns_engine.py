@@ -124,11 +124,14 @@ class StreamingNS(nn.Module):
         return state
 
     def step(self, chunk: jnp.ndarray, state: dict,
-             dvec: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, dict]:
+             dvec: Optional[jnp.ndarray] = None,
+             fused: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
         n_fft - hop (+ stream_delay_frames * hop) samples vs the input.
+        fused=True routes the masker's recurrences through the Pallas
+        VMEM-resident LSTM scan (DPCRN/DPARN maskers).
         """
         n_fft, hop = self._n_fft, self._hop
         B, S = chunk.shape
@@ -145,11 +148,13 @@ class StreamingNS(nn.Module):
         ri = jnp.concatenate([re, im], axis=1)  # [B, C, K]
 
         # --- mask
+        kw = {"fused": True} if fused else {}
         if dvec is not None:
             mask, masker_state = self.masker.stream_frames(
-                ri, state["masker"], dvec)
+                ri, state["masker"], dvec, **kw)
         else:
-            mask, masker_state = self.masker.stream_frames(ri, state["masker"])
+            mask, masker_state = self.masker.stream_frames(ri, state["masker"],
+                                                           **kw)
         mask = get_mask(mask, self.mask_constraint)
         feats_use = ri
         new_feat_q = None

@@ -55,3 +55,53 @@ def test_fused_streaming_rejects_misaligned_chunk(rng):
     with pytest.raises(AssertionError):
         m.apply(p, jnp.zeros((8, 3, 16)), e, state, b_tile=8, interpret=True,
                 method=SkiM.step_frames_fused)
+
+
+def test_lstm_scan_kernel_matches_cell_scan(rng):
+    """Pallas lstm_scan == LSTMCellParams.scan, forward and reverse,
+    tiled and untiled (interpret mode on CPU)."""
+    from puresound_tpu.nnet.lobe.rnn import LSTMCellParams
+    from puresound_tpu.ops.lstm_scan_kernel import lstm_scan
+
+    B, T, C, H = 8, 10, 12, 16
+    cell = LSTMCellParams(C, H)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1)
+    v = cell.init(KEY, x[:, 0], h0, c0, method=LSTMCellParams.step)
+    xp = cell.apply(v, x, method=LSTMCellParams.input_proj)
+    w_hh = v["params"]["w_hh"]
+
+    for reverse in (False, True):
+        y_ref, (hT, cT) = cell.apply(v, x, h0, c0, reverse,
+                                     method=LSTMCellParams.scan)
+        for bt in (0, 4):
+            y, h2, c2 = lstm_scan(xp, h0, c0, w_hh, reverse=reverse,
+                                  b_tile=bt, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(h2), np.asarray(hT),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(c2), np.asarray(cT),
+                                       atol=1e-6)
+
+
+def test_dpcrn_fused_step_chunk_matches_stock(rng):
+    """DPCRN stream_frames(fused=True) == stock path (Pallas recurrences)."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = DPCRN(input_type="RI", input_dim=64, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8), transpose_t_size=2, transpose_delay=False,
+              kernel_t=(2, 2), stride_t=(1, 1), dilation_t=(1, 1),
+              kernel_f=(5, 3), stride_f=(2, 2), dilation_f=(1, 1),
+              delay=(0, 0), rnn_hidden=8)
+    B, C, T = 2, 64, 12
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    v = m.init(KEY, x)
+    state = m.apply(v, B, method=DPCRN.init_stream_state)
+    y0, s0 = m.apply(v, x, state, method=DPCRN.stream_frames)
+    y1, s1 = m.apply(v, x, state, True, method=DPCRN.stream_frames)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
