@@ -44,14 +44,15 @@ def _make_kernel(T: int, dot_dtype):
 
         @pl.when(t == 0)
         def _():
-            h_scr[:] = h0_ref[:]
-            c_scr[:] = c0_ref[:]
+            h_scr[:] = h0_ref[:].astype(jnp.float32)
+            c_scr[:] = c0_ref[:].astype(jnp.float32)
 
-        h = h_scr[:]
+        h = h_scr[:]  # carry always f32 (bf16 inputs still get f32 state)
         c = c_scr[:]
-        gates = xp_ref[0] + jnp.dot(h.astype(dot_dtype),
-                                    whh_ref[:].astype(dot_dtype),
-                                    preferred_element_type=jnp.float32)
+        gates = (xp_ref[0].astype(jnp.float32)
+                 + jnp.dot(h.astype(dot_dtype),
+                           whh_ref[:].astype(dot_dtype),
+                           preferred_element_type=jnp.float32))
         H = h.shape[-1]
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
@@ -61,12 +62,12 @@ def _make_kernel(T: int, dot_dtype):
         h_new = o * jnp.tanh(c_new)
         h_scr[:] = h_new
         c_scr[:] = c_new
-        y_ref[0] = h_new
+        y_ref[0] = h_new.astype(y_ref.dtype)
 
         @pl.when(t == T - 1)
         def _():
-            hT_ref[:] = h_new
-            cT_ref[:] = c_new
+            hT_ref[:] = h_new.astype(hT_ref.dtype)
+            cT_ref[:] = c_new.astype(cT_ref.dtype)
 
     return kernel
 

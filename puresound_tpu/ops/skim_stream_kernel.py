@@ -78,8 +78,8 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
             entry["ln_b"] = weight_refs[idx]; idx += 1
             blocks.append(entry)
 
-        h_scr[:] = h_in_ref[:]
-        c_scr[:] = c_in_ref[:]
+        h_scr[:] = h_in_ref[:].astype(jnp.float32)
+        c_scr[:] = c_in_ref[:].astype(jnp.float32)
 
         def frame(t, _):
             x = x_ref[t]  # [Bt, C]
@@ -105,12 +105,12 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
                 c_scr[i] = c_new
                 proj = dot(h_new, blk["proj_w"]) + blk["proj_b"][:]
                 x = x + _ln(proj, blk["ln_g"][:], blk["ln_b"][:])
-            y_ref[t] = x
+            y_ref[t] = x.astype(y_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, F, frame, 0)
-        h_out_ref[:] = h_scr[:]
-        c_out_ref[:] = c_scr[:]
+        h_out_ref[:] = h_scr[:].astype(h_out_ref.dtype)
+        c_out_ref[:] = c_scr[:].astype(c_out_ref.dtype)
 
     return kernel
 

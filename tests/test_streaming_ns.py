@@ -317,3 +317,35 @@ def test_unet_fsmn_stream_frames_equals_offline(rng, tdelay, film):
     np.testing.assert_allclose(y_stream[..., D:],
                                y_off[..., :T - D] if D else y_off,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_serving_mode_snr(rng):
+    """Half-precision serving (to_half params + bf16 state): streamed
+    output stays within quantization distance of the f32 pipeline over a
+    long stream (no drift blow-up through the carried state)."""
+    from puresound_tpu.streaming.halfprec import to_half
+
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = _small_dpcrn(input_dim=n_fft)
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    L = hop * 4 * 30
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    variables = engine.init(KEY, x[:, :n_fft * 2], method=StreamingNS.init_all)
+
+    def stream(v, dt):
+        state = engine.apply(v, 2, dt, method=StreamingNS.init_state)
+        outs = []
+        for i in range(0, L, hop * 4):
+            y, state = engine.apply(v, x[:, i:i + hop * 4].astype(dt), state,
+                                    method=StreamingNS.step)
+            outs.append(np.asarray(y.astype(jnp.float32)))
+        return np.concatenate(outs, -1)
+
+    y32 = stream(variables, jnp.float32)
+    y16 = stream(to_half(variables), jnp.bfloat16)
+    noise = y16 - y32
+    snr = 10 * np.log10((y32 ** 2).sum() / max((noise ** 2).sum(), 1e-20))
+    assert snr > 35.0, f"bf16 serving SNR {snr:.1f} dB"
