@@ -104,7 +104,7 @@ def action_dev(hparam, backend, ckpt):
     print(f"SiSNR far: {np.mean(far_scores)}")
 
 
-def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False):
     """Chunked real-time streaming separation over the dev set: writes
     per-source (near/far) aligned wavs and reports RTF."""
     import jax
@@ -132,7 +132,7 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms):
         if wav_sr != sr:
             mix = AudioIO.resample(mix, wav_sr, sr)
         out, rtf = stream_signal(engine, variables, np.asarray(mix), sr,
-                                 chunk_ms=chunk_ms)
+                                 chunk_ms=chunk_ms, half=half)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         for m, tag in enumerate(["near", "far"][:out.shape[0]]):
@@ -158,7 +158,7 @@ def main(config):
         action_dev(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
-                           config.chunk_ms)
+                           config.chunk_ms, config.half)
     else:
         raise NameError("Unrecognize action.")
 
@@ -170,6 +170,8 @@ if __name__ == "__main__":
                         choices=["train", "dev", "stream_eval"])
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
+    parser.add_argument("--half", action="store_true",
+                        help="stream_eval in bfloat16 (serving mode)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--ckpt", type=str, default=None)

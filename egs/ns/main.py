@@ -149,7 +149,8 @@ def action_eval(hparam, backend, ckpt):
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
 
 
-def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+def action_stream_eval(hparam, backend, ckpt, chunk_ms,
+                       half=False, fused=False):
     """Chunked real-time streaming inference over the eval set: enhanced
     wavs (aligned with the input) + per-utterance and average RTF."""
     from puresound_tpu.src.audio import AudioIO
@@ -168,7 +169,7 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms):
         if wav_sr != sr:
             noisy = AudioIO.resample(noisy, wav_sr, sr)
         enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
-                                 chunk_ms=chunk_ms)
+                                 chunk_ms=chunk_ms, half=half, fused=fused)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
@@ -194,7 +195,7 @@ def main(config):
         action_eval(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
-                           config.chunk_ms)
+                           config.chunk_ms, config.half, config.fused)
     else:
         raise NameError("Unrecognize action.")
 
@@ -206,6 +207,10 @@ if __name__ == "__main__":
                         choices=["train", "dev", "eval", "stream_eval"])
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
+    parser.add_argument("--half", action="store_true",
+                        help="stream_eval in bfloat16 (serving mode)")
+    parser.add_argument("--fused", action="store_true",
+                        help="stream_eval with Pallas fused recurrences")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

@@ -335,7 +335,7 @@ def action_export(hparam, backend, ckpt):
         print(f"exported {name}: {path} ({len(data)} bytes)")
 
 
-def action_stream_eval(hparam, backend, ckpt, chunk_ms):
+def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False):
     """Chunked real-time streaming TSE over the eval set: embed the
     enrollment once, stream the mixture, write aligned enhanced wavs and
     report per-utterance and average RTF."""
@@ -367,7 +367,7 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms):
         dvec = engine.apply(variables, jnp.asarray(enroll),
                             method=type(engine).embed)
         enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
-                                 chunk_ms=chunk_ms, dvec=dvec)
+                                 chunk_ms=chunk_ms, dvec=dvec, half=half)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
@@ -398,7 +398,7 @@ def main(config):
         action_export(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
-                           config.chunk_ms)
+                           config.chunk_ms, config.half)
     else:
         raise NameError("Unrecognize action.")
 
@@ -411,6 +411,8 @@ if __name__ == "__main__":
                                  "export_model", "stream_eval"])
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
+    parser.add_argument("--half", action="store_true",
+                        help="stream_eval in bfloat16 (serving mode)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

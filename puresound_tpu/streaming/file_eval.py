@@ -31,14 +31,20 @@ def engine_delay_samples(engine) -> int:
 def stream_signal(engine, variables, wav: np.ndarray, sr: int,
                   chunk_ms: float = 16.0,
                   dvec: Optional[np.ndarray] = None,
+                  half: bool = False, fused: bool = False,
                   ) -> Tuple[np.ndarray, float]:
     """Stream `wav` [L] through `engine` chunk by chunk.
 
     Returns (enhanced [L] aligned with the input, real-time factor where
     RTF > 1 means faster than real time). Compile time is excluded (one
     warm-up step on zeros).
+
+    half=True serves in bfloat16 (params + state; see streaming/halfprec).
+    fused=True routes STFT-engine recurrences through the Pallas scan.
     """
     import jax.numpy as jnp
+
+    from .halfprec import to_half
 
     hop = engine.encoder.hop_length
     chunk = max(1, int(round(sr * chunk_ms / 1000.0)) // hop) * hop
@@ -46,17 +52,23 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     wav = np.asarray(wav, np.float32).reshape(-1)
     L = wav.shape[0]
     n_chunks = -(-(L + delay) // chunk)
+    dt = jnp.bfloat16 if half else jnp.float32
+    if half:
+        variables = to_half(variables)
+        if dvec is not None:
+            dvec = dvec.astype(dt)
     x = np.zeros((1, n_chunks * chunk), np.float32)
     x[0, :L] = wav
 
+    kw = {"fused": True} if fused else {}
     if isinstance(engine, StreamingNS):
         if dvec is not None:
             step = jax.jit(lambda v, c, s, d: engine.apply(
-                v, c, s, d, method=StreamingNS.step))
+                v, c, s, d, method=StreamingNS.step, **kw))
             run = lambda c, s: step(variables, c, s, dvec)
         else:
             step = jax.jit(lambda v, c, s: engine.apply(
-                v, c, s, method=StreamingNS.step))
+                v, c, s, method=StreamingNS.step, **kw))
             run = lambda c, s: step(variables, c, s)
     elif isinstance(engine, StreamingDSS):
         step = jax.jit(lambda v, c, s: engine.apply(
@@ -69,23 +81,25 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     else:
         raise TypeError(f"unknown streaming engine {type(engine)}")
 
-    init_state = lambda: engine.apply(variables, 1,
+    init_state = lambda: engine.apply(variables, 1, dt,
                                       method=type(engine).init_state)
     # warm-up compile, then stream for real
-    y, _ = run(jnp.zeros((1, chunk), jnp.float32), init_state())
+    y, _ = run(jnp.zeros((1, chunk), dt), init_state())
     y.block_until_ready()
 
     state = init_state()
     outs = []
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        y, state = run(jnp.asarray(x[:, i * chunk:(i + 1) * chunk]), state)
+        y, state = run(jnp.asarray(x[:, i * chunk:(i + 1) * chunk]).astype(dt),
+                       state)
         outs.append(y)
     outs[-1].block_until_ready()
     elapsed = time.perf_counter() - t0
 
     # [total] for SISO engines, [M, total] for SIMO (StreamingDSS)
-    out = np.concatenate([np.asarray(o) for o in outs], axis=-1)[0]
+    out = np.concatenate([np.asarray(o.astype(jnp.float32)) for o in outs],
+                         axis=-1)[0]
     audio_sec = n_chunks * chunk / sr
     rtf = audio_sec / max(elapsed, 1e-9)
     return out[..., delay:delay + L], rtf
