@@ -41,22 +41,29 @@ def build_engine():
                         speaker_net=speaker_net, mask_constraint="ReLU")
 
 
-def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True):
+def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
+                    dtype=None):
     import jax
     import jax.numpy as jnp
 
     from puresound_tpu.streaming.engine import StreamingTSE
 
-    state = engine.apply(params, B, method=StreamingTSE.init_state)
-    dvec = jnp.zeros((B, 192), jnp.float32)
+    dtype = dtype or jnp.float32
+    dot_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
+    if dtype == jnp.bfloat16:
+        from puresound_tpu.streaming.halfprec import to_half
+
+        params = to_half(params)
+    state = engine.apply(params, B, dtype, method=StreamingTSE.init_state)
+    dvec = jnp.zeros((B, 192), dtype)
     chunk = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, chunk_samples))
-        .astype(np.float32) * 0.1)
+        .astype(np.float32) * 0.1).astype(dtype)
 
     @jax.jit
     def step(chunk, dvec, state):
         return engine.apply(params, chunk, dvec, state, fused=fused,
-                            method=StreamingTSE.step)
+                            dot_dtype=dot_dtype, method=StreamingTSE.step)
 
     out, state = step(chunk, dvec, state)  # compile
     out.block_until_ready()
@@ -119,16 +126,33 @@ def main():
     chunk_samples = int(16000 * chunk_ms / 1000)
     fused = (not os.environ.get("BENCH_NO_FUSED")
              and jax.devices()[0].platform == "tpu")
+    # serving dtype: bf16 on TPU (measured 39.7 dB SNR vs f32, no carry
+    # drift — tests/test_streaming_ns.py::test_bf16_serving_mode_snr);
+    # BENCH_F32=1 opts out, and any bf16 failure falls back to f32.
+    dtype = (jnp.bfloat16 if fused and not os.environ.get("BENCH_F32")
+             else jnp.float32)
     best_streams = 0
     best = None
     results = []
     for B in (2048, 8192, 16384, 32768):
         try:
             ms = measure_step_ms(engine, variables, B, chunk_samples,
-                                 fused=fused)
+                                 fused=fused, dtype=dtype)
         except Exception as e:  # OOM etc.
-            print(f"# B={B} failed: {type(e).__name__}", file=sys.stderr)
-            break
+            if dtype == jnp.bfloat16 and not results:
+                print(f"# bf16 failed ({type(e).__name__}); f32 fallback",
+                      file=sys.stderr)
+                dtype = jnp.float32
+                try:
+                    ms = measure_step_ms(engine, variables, B, chunk_samples,
+                                         fused=fused, dtype=dtype)
+                except Exception as e2:
+                    print(f"# B={B} failed: {type(e2).__name__}",
+                          file=sys.stderr)
+                    break
+            else:
+                print(f"# B={B} failed: {type(e).__name__}", file=sys.stderr)
+                break
         rt_mult = chunk_ms / ms
         results.append((B, ms, rt_mult))
         if ms <= chunk_ms and B > best_streams:
@@ -162,6 +186,7 @@ def main():
             "device": str(jax.devices()[0]),
             "chunk_ms": chunk_ms,
             "fused_pallas_kernel": fused,
+            "serving_dtype": str(jnp.dtype(dtype).name),
             "step_ms_at_best_batch": round(step_ms, 3),
             "batches_tested": [[b, round(m, 2)] for b, m, _ in results],
             "denoise_rtf_single_stream": denoise_rtf,

@@ -82,13 +82,17 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
         c_scr[:] = c_in_ref[:].astype(jnp.float32)
 
         def frame(t, _):
-            x = x_ref[t]  # [Bt, C]
+            # loads cast to f32 immediately: bf16 inputs keep HBM traffic
+            # halved while all vector math runs f32 (Mosaic SIGABRTs on
+            # bf16 elementwise through this path)
+            x = x_ref[t].astype(jnp.float32)  # [Bt, C]
             for i in range(n_blocks):
                 blk = blocks[i]
                 if fused_flags[i]:
-                    xn = _ln(x, blk["fg"][:], blk["fb"][:])
-                    scale = dot(xn, blk["wsx"]) + se_ref[i]
-                    bias = dot(xn, blk["wbx"]) + be_ref[i]
+                    xn = _ln(x, blk["fg"][:].astype(jnp.float32),
+                             blk["fb"][:].astype(jnp.float32))
+                    scale = dot(xn, blk["wsx"]) + se_ref[i].astype(jnp.float32)
+                    bias = dot(xn, blk["wbx"]) + be_ref[i].astype(jnp.float32)
                     x = scale * xn + bias
                 h = h_scr[i]
                 c = c_scr[i]
