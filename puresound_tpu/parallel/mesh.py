@@ -68,7 +68,8 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     grad_clip: Optional[float] = None,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    compute_dtype=None) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     The returned step(state, batch, rng) -> (state, metrics) where batch is
@@ -79,17 +80,39 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
     remat=True rematerializes the forward pass during backprop
     (jax.checkpoint): trades FLOPs for HBM so long inputs / large batches
     fit on-chip.
+
+    compute_dtype=jnp.bfloat16 enables mixed precision: the forward/backward
+    run with bf16 params and activations (bf16 MXU rate, half the
+    activation HBM) while the master params, gradients, and optimizer state
+    stay float32 (the cast is differentiated through, so grads come out
+    f32; batch_stats updates are cast back to f32).
     """
     loss_kwargs = loss_kwargs or {}
 
+    def _cast(tree, dt):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
         def forward(params, batch, rng):
+            if compute_dtype is not None:
+                params = _cast(params, compute_dtype)
+                batch = _cast(batch, compute_dtype)
             variables = {"params": params}
             if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            return model.apply(
+                variables["batch_stats"] = (
+                    state.batch_stats if compute_dtype is None
+                    else _cast(state.batch_stats, compute_dtype))
+            out = model.apply(
                 variables, **batch, train=True, **loss_kwargs,
                 mutable=["batch_stats"], rngs={"dropout": rng})
+            if compute_dtype is not None:
+                out = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32)
+                    if hasattr(a, "dtype") and a.dtype == compute_dtype
+                    else a, out)
+            return out
 
         if remat:
             forward = jax.checkpoint(forward)

@@ -182,8 +182,13 @@ class NsTask(BaseTrainer):
 
         from ..parallel.mesh import make_train_step
 
-        self._train_step = make_train_step(self.model, grad_clip=self.hparam[
-            "OPTIMIZER"].get("gradiend_clip"), mesh=self._mesh, donate=False)
+        import jax.numpy as jnp
+
+        mp = self.hparam["TRAIN"].get("mixed_precision")
+        self._train_step = make_train_step(
+            self.model, grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),
+            mesh=self._mesh, donate=False,
+            compute_dtype=jnp.bfloat16 if mp else None)
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}

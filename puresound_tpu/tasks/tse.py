@@ -249,12 +249,16 @@ class TseTask(NsTask):
 
         from ..parallel.mesh import make_train_step
 
+        import jax.numpy as jnp
+
+        mp = self.hparam["TRAIN"].get("mixed_precision")
         self._train_step = make_train_step(
             self.model,
             loss_kwargs={"alpha": self.hparam["LOSS"].get("alpha", 10.0),
                          "return_loss_detail": True},
             grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),
-            mesh=self._mesh, donate=False)
+            mesh=self._mesh, donate=False,
+            compute_dtype=jnp.bfloat16 if mp else None)
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}

@@ -224,3 +224,43 @@ def test_streaming_ns_step_shards_over_streams(rng):
     assert any(getattr(d, "sharding", None) is not None
                and d.sharding.spec in (P("dp"), P(None, "dp"))
                for d in jax.tree_util.tree_leaves(new_state))
+
+
+def test_mixed_precision_train_step(rng):
+    """compute_dtype=bf16: loss decreases, master params/grad state stay
+    f32, metrics come out f32."""
+    import optax
+
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.parallel.mesh import TrainState, make_train_step
+
+    model = SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=16,
+                           output_active=True),
+        masker=ConvTasNet(input_dim=16, embed_dim=0, tcn_layer="normal",
+                          tcn_kernel=3, tcn_dim=8, tcn_dilated_basic=2,
+                          per_tcn_stack=2, repeat_tcn=1,
+                          tcn_with_embed=(0, 0), tcn_norm="gLN",
+                          dconv_norm="gGN", causal=False),
+        loss_func_wav=SDRLoss.init_mode("sisnr"), mask_constraint="ReLU")
+    B, L = 2, 256
+    noisy = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    clean = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    variables = model.init({"params": KEY}, noisy=noisy, enroll=None,
+                           ref_clean=clean, train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              optax.adam(1e-3))
+    step = jax.jit(make_train_step(model, compute_dtype=jnp.bfloat16))
+    batch = {"noisy": noisy, "enroll": None, "ref_clean": clean}
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert metrics["loss"].dtype == jnp.float32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
