@@ -252,3 +252,27 @@ def test_checkpoint_averaging(tmp_path):
     # averaged differs from either checkpoint
     last = jax.tree_util.tree_leaves(task.state.params)[0]
     assert not np.allclose(np.asarray(leaf), np.asarray(last))
+
+
+def test_ns_training_loop_mixed_precision(tmp_path):
+    """TRAIN.mixed_precision: bf16 compute trains (loss decreases) and
+    master params stay float32."""
+    man = _make_ns_data(tmp_path)
+    ds = NsDataset(man, resample_to=SR, max_length=1)
+    loader = DataLoader(ds, batch_size=3, shuffle=True,
+                        collate_fn=NsCollateFunc())
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    hp = _hparam(tmp_path, {"TRAIN": {"mixed_precision": True}})
+    task = NsTask(hp, model, init_fn, "cpu", loader, loader)
+    loss0 = task.train_one_epoch(0)["total_loss"]
+    for _ in range(3):
+        loss1 = task.train_one_epoch(0)["total_loss"]
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(task.state.params))
