@@ -17,13 +17,11 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..dsp.stft import overlap_add
-from ..nnet.base_nn import SoTaskWrapModule, get_mask, wav_output_constrain
+from ..nnet.base_nn import get_mask, wav_output_constrain
 from ..nnet.encoder import FreeEncDec
-from ..nnet.skim import SkiM
 
 
 class StreamingTSE(nn.Module):
