@@ -326,6 +326,38 @@ def action_export(hparam, backend, ckpt):
         "MaskNet": (mask_fn, (dummy_feats, dummy_dvec.squeeze(-1)
                               if dummy_dvec.ndim == 3 else dummy_dvec)),
     }
+    # streaming serving artifact: the whole chunked step (state pytree in/
+    # out) as one StableHLO — beyond the reference, whose traces are
+    # offline-only
+    try:
+        from puresound_tpu.streaming.file_eval import build_engine
+
+        engine = build_engine(model)
+        hop = model.encoder.hop_length
+        eng_cls = type(engine)
+        chunk = jnp.zeros((1, 4 * hop))
+        state0 = engine.apply(variables, 1, method=eng_cls.init_state)
+        dvec = engine.apply(variables, jnp.zeros((1, sr)),
+                            method=eng_cls.embed)
+        if dvec.ndim == 3:  # embedding-free: conditioning is in the state
+            def stream_fn(chunk, state):
+                return engine.apply(variables, chunk, None, state,
+                                    method=eng_cls.step)
+            stream_args = (chunk, state0)
+        elif eng_cls.__name__ == "StreamingNS":
+            def stream_fn(chunk, state, dvec):
+                return engine.apply(variables, chunk, state, dvec,
+                                    method=eng_cls.step)
+            stream_args = (chunk, state0, dvec)
+        else:
+            def stream_fn(chunk, dvec, state):
+                return engine.apply(variables, chunk, dvec, state,
+                                    method=eng_cls.step)
+            stream_args = (chunk, dvec, state0)
+        exports["StreamStep"] = (stream_fn, stream_args)
+    except TypeError as e:
+        print(f"streaming step not exportable for this model: {e}")
+
     for name, (fn, args) in exports.items():
         exp = jexport.export(jax.jit(fn))(*args)
         data = exp.serialize()

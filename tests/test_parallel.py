@@ -264,3 +264,46 @@ def test_mixed_precision_train_step(rng):
     assert metrics["loss"].dtype == jnp.float32
     assert all(p.dtype == jnp.float32
                for p in jax.tree_util.tree_leaves(state.params))
+
+
+def test_jax_export_streaming_step_roundtrip(rng):
+    """The whole streaming step (state pytree in/out) exports, serializes,
+    and restores — the serving-artifact path of export_model."""
+    from jax import export as jexport
+
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.lobe.cnn import Conv1d
+    from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+    from puresound_tpu.streaming.engine import StreamingTSE
+
+    engine = StreamingTSE(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=16,
+                           output_active=True),
+        masker=ConvTasNet(input_dim=16, embed_dim=4, tcn_layer="normal",
+                          tcn_kernel=3, tcn_dim=8, tcn_dilated_basic=2,
+                          per_tcn_stack=2, repeat_tcn=1,
+                          tcn_with_embed=(1, 0), tcn_norm="bN1d",
+                          dconv_norm="bN1d", causal=True),
+        speaker_net=(AttentiveStatisticsPooling(16, 8),
+                     Conv1d(32, 4, 1, use_bias=False)),
+        mask_constraint="ReLU")
+
+    chunk = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    enroll = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32))
+    variables = engine.init(KEY, chunk, enroll, method=StreamingTSE.init_all)
+    dvec = engine.apply(variables, enroll, method=StreamingTSE.embed)
+    state = engine.apply(variables, 1, method=StreamingTSE.init_state)
+
+    def step(chunk, dvec, state):
+        return engine.apply(variables, chunk, dvec, state,
+                            method=StreamingTSE.step)
+
+    exp = jexport.export(jax.jit(step))(chunk, dvec, state)
+    restored = jexport.deserialize(exp.serialize())
+    y1, s1 = jax.jit(step)(chunk, dvec, state)
+    y2, s2 = restored.call(chunk, dvec, state)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
