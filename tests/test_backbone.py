@@ -265,3 +265,27 @@ def test_unet_fsmn_shapes(rng):
     e = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
     p = jm.init(KEY, x, e)
     assert jm.apply(p, x, e).shape == (2, 64, 20)
+
+
+def test_dprnn_embedding_free_matches_torch(torch_oracle, rng):
+    """Embedding-free (veve) DPRNN: enrollment features condition the inter
+    initial hidden states — oracle parity in f64. Reference dprnn.py:120-126."""
+    torch = torch_oracle
+    from puresound.nnet.dprnn import DPRNN as TorchDPRNN
+
+    x = rng.standard_normal((2, 12, 40))
+    enroll = rng.standard_normal((2, 12, 30))
+    # NB reference quirk: embedding-free mode crashes unless
+    # block_with_embed is passed explicitly (dprnn.py:157 indexes None)
+    kw = dict(input_size=12, hidden_size=16, output_size=12, n_blocks=2,
+              seg_size=10, seg_overlap=False, causal=True, embed_dim=0,
+              embedding_free_tse=True)
+    tm = TorchDPRNN(block_with_embed=[0, 0], **kw).double()
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x), torch.from_numpy(enroll)).numpy()
+    with jax.enable_x64(True):
+        jm = DPRNN(block_with_embed=(0, 0), **kw)
+        p = tmap.variables(tmap.dprnn(tm))
+        j_out = np.asarray(jm.apply(p, jnp.asarray(x), jnp.asarray(enroll)))
+    np.testing.assert_allclose(j_out, t_out, atol=1e-9, rtol=1e-7)
