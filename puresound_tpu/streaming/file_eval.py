@@ -72,7 +72,7 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
             run = lambda c, s: step(variables, c, s)
     elif isinstance(engine, StreamingDSS):
         step = jax.jit(lambda v, c, s: engine.apply(
-            v, c, s, method=StreamingDSS.step))
+            v, c, s, method=StreamingDSS.step, **kw))
         run = lambda c, s: step(variables, c, s)
     elif isinstance(engine, StreamingTSE):
         step = jax.jit(lambda v, c, d, s: engine.apply(

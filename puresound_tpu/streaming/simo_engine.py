@@ -74,11 +74,13 @@ class StreamingDSS(nn.Module):
             "masker": self.masker.init_stream_state(batch, dtype),
         }
 
-    def step(self, chunk: jnp.ndarray, state: dict) -> Tuple[jnp.ndarray, dict]:
+    def step(self, chunk: jnp.ndarray, state: dict,
+             fused: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, M, S], new state): the M separated signals, each
-        delayed by n_fft - hop samples vs the input."""
+        delayed by n_fft - hop samples vs the input. fused=True routes the
+        masker recurrences through the Pallas LSTM scan."""
         n_fft, hop, M = self._n_fft, self._hop, self._n_src
         B, S = chunk.shape
         assert S % hop == 0, "chunk length must be a multiple of the hop"
@@ -90,7 +92,9 @@ class StreamingDSS(nn.Module):
         new_enc_tail = buf[:, -(n_fft - hop):]
 
         # --- M masks, applied to the repeated mixture (base_nn.py:338-347)
-        mask, masker_state = self.masker.stream_frames(ri, state["masker"])
+        kw = {"fused": True} if fused else {}
+        mask, masker_state = self.masker.stream_frames(ri, state["masker"],
+                                                       **kw)
         mask = get_mask(mask, self.mask_constraint)  # [B, M, C, K]
         C = ri.shape[1]
         rep = jnp.broadcast_to(ri[:, None], (B, M, C, K)).reshape(B * M, C, K)
