@@ -50,6 +50,9 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
 
     dtype = dtype or jnp.float32
     dot_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
+    # bf16 halves the kernel's VMEM pressure, unlocking the larger stream
+    # tile (measured 10.4 ms vs 12.4 ms at B=16384; 512 OOMs)
+    b_tile = 256 if dtype == jnp.bfloat16 else 128
     if dtype == jnp.bfloat16:
         from puresound_tpu.streaming.halfprec import to_half
 
@@ -63,7 +66,8 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
     @jax.jit
     def step(chunk, dvec, state):
         return engine.apply(params, chunk, dvec, state, fused=fused,
-                            dot_dtype=dot_dtype, method=StreamingTSE.step)
+                            b_tile=b_tile, dot_dtype=dot_dtype,
+                            method=StreamingTSE.step)
 
     out, state = step(chunk, dvec, state)  # compile
     out.block_until_ready()
