@@ -360,3 +360,42 @@ def test_streaming_tse_veve_engine(rng):
         variables, jnp.pad(mix, ((0, 0), (win - hop, 0))), enroll,
         method=SoTaskWrapModule.inference))[:, :L]
     np.testing.assert_allclose(y_stream, y_off, atol=1e-5, rtol=1e-4)
+
+
+def test_file_eval_stream_signal_tse(rng):
+    """stream_signal's time-domain branch: aligned output equals offline
+    inference on the zero-primed input (delay 0 for FreeEncDec engines)."""
+    from puresound_tpu.nnet.conv_tasnet import ConvTasNet
+    from puresound_tpu.nnet.lobe.cnn import Conv1d
+    from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+    from puresound_tpu.streaming.file_eval import stream_signal
+
+    win, hop = 16, 8
+    encoder = FreeEncDec(win_length=win, hop_length=hop, laten_length=16,
+                         output_active=True)
+    masker = ConvTasNet(input_dim=16, embed_dim=4, tcn_layer="normal",
+                        tcn_kernel=3, tcn_dim=8, tcn_dilated_basic=2,
+                        per_tcn_stack=2, repeat_tcn=1, tcn_with_embed=(1, 0),
+                        tcn_norm="bN1d", dconv_norm="bN1d", causal=True)
+    speaker_net = (AttentiveStatisticsPooling(16, 8),
+                   Conv1d(32, 4, 1, use_bias=False))
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net,
+                               mask_constraint="ReLU")
+    engine = StreamingTSE(encoder=encoder, masker=masker,
+                          speaker_net=speaker_net, mask_constraint="ReLU")
+
+    L = 1000  # not a chunk multiple
+    x = rng.standard_normal(L).astype(np.float32) * 0.1
+    enroll = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+    variables = offline.init(KEY, jnp.asarray(x[None, :128]), enroll,
+                             method=SoTaskWrapModule.inference)
+    dvec = engine.apply(variables, enroll, method=StreamingTSE.embed)
+    out, rtf = stream_signal(engine, variables, x, sr=16000, chunk_ms=4.0,
+                             dvec=np.asarray(dvec))
+    assert out.shape == (L,) and rtf > 0
+
+    y_off = np.asarray(offline.apply(
+        variables, jnp.pad(jnp.asarray(x[None]), ((0, 0), (win - hop, 0))),
+        enroll, method=SoTaskWrapModule.inference))[0]
+    np.testing.assert_allclose(out, y_off[:L], atol=1e-5, rtol=1e-4)
