@@ -17,7 +17,7 @@ separation (DSS), built TPU-first:
 Public surface (lazy imports to keep `import puresound_tpu` light):
     puresound_tpu.zoo            — named model configs + loss factories
     puresound_tpu.nnet           — encoders, backbones, losses, wrappers
-    puresound_tpu.streaming      — StreamingTSE / StreamingNS engines
+    puresound_tpu.streaming      — StreamingTSE/NS/DSS engines, stream_signal, to_half
     puresound_tpu.parallel       — mesh, TrainState, sharded train step
     puresound_tpu.tasks          — datasets, loaders, trainers
     puresound_tpu.src            — audio IO, augmentation, metrics
