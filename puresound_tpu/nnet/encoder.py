@@ -37,7 +37,7 @@ from ..dsp.stft import (
 def _conv1d_strided(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
     """VALID strided 1-D conv. x: [N, Ci, L], w: [Co, Ci, K] -> [N, Co, T]."""
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,), padding="VALID",
+        x, w.astype(x.dtype), window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
 
@@ -51,7 +51,8 @@ def _conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarra
     k = w.shape[-1]
     w_flip = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [Co, Ci, K]
     return jax.lax.conv_general_dilated(
-        x, w_flip, window_strides=(1,), padding=[(k - 1, k - 1)],
+        x, w_flip.astype(x.dtype), window_strides=(1,),
+        padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"),
     )
 

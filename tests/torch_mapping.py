@@ -309,3 +309,33 @@ def so_wrapper_tse_skim(m) -> dict:
         if sub is not None:
             children[f"speaker_net_{i}"] = sub
     return merge(children)
+
+
+def unet_updown(m) -> dict:
+    """Unet down/up conv stacks (reference unet.py Sequential layout:
+    [ZeroPad2d, Conv2d, norm, act, Dropout] / [ConvTranspose2d, norm?, act?])."""
+    children = {}
+    for i, seq in enumerate(m.cnn_down):
+        children[f"cnn_down_{i}"] = conv2d(seq[1])
+        children[f"down_norm_{i}"] = norm_any(seq[2])
+        children[f"down_act_{i}"] = prelu(seq[3])
+    for j, seq in enumerate(m.cnn_up):
+        children[f"cnn_up_{j}"] = conv_transpose2d(seq[0])
+        if len(seq) > 1:
+            children[f"up_norm_{j}"] = norm_any(seq[1])
+            children[f"up_act_{j}"] = prelu(seq[2])
+    return children
+
+
+def dprnn_block2d(m) -> dict:
+    return merge({"intra_rnn": single_rnn(m.intra_rnn),
+                  "intra_norm": layer_norm_last(m.intra_norm),
+                  "inter_rnn": single_rnn(m.inter_rnn),
+                  "inter_norm": layer_norm_last(m.inter_norm)})
+
+
+def dpcrn(m) -> dict:
+    children = unet_updown(m)
+    children["dprnn_block1"] = dprnn_block2d(m.dprnn_block1)
+    children["dprnn_block2"] = dprnn_block2d(m.dprnn_block2)
+    return merge(children)
