@@ -119,3 +119,56 @@ def test_ns_dpcrn_waveform_parity(torch_oracle):
     err = j - t
     snr = 10 * np.log10((t ** 2).sum() / np.maximum((err ** 2).sum(), 1e-300))
     assert snr > 60.0, f"NS waveform parity SNR {snr:.1f} dB"
+
+
+def test_ns_dparn_waveform_parity(torch_oracle):
+    """Full NS pipeline with the attention masker (DPARN): reference
+    weights transferred, outputs agree on the bundled test_case audio."""
+    torch = torch_oracle
+    import sys
+
+    sys.path.insert(0, "/root/reference/egs/ns")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    mix, _ = _load_audio()
+    mix = mix[:, : 16000]
+
+    torch.manual_seed(13)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("ns_dparn_v0_causal", None, verbose=False).double()
+        tm.eval()
+        with torch.no_grad():
+            t_out = tm.inference(torch.from_numpy(mix.astype(np.float64)))
+        t_out = t_out.numpy()
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        from puresound_tpu.zoo import init_ns_model
+
+        jm = init_ns_model("ns_dparn_v0_causal")
+        variables = tmap.variables(tmap.merge(
+            {"masker": tmap.dparn(tm.masker)}))
+        init_v = jm.init(jax.random.PRNGKey(0),
+                         jnp.asarray(mix.astype(np.float64)),
+                         method=SoTaskWrapModule.inference)
+        enc = dict(init_v["params"]["encoder"]["encoder"])
+        enc["wsin"] = jnp.asarray(
+            tm.encoder.encoder.wsin.detach().numpy().reshape(enc["wsin"].shape))
+        enc["wcos"] = jnp.asarray(
+            tm.encoder.encoder.wcos.detach().numpy().reshape(enc["wcos"].shape))
+        variables["params"]["encoder"] = {"encoder": enc}
+        j_out = np.asarray(jm.apply(variables,
+                                    jnp.asarray(mix.astype(np.float64)),
+                                    method=SoTaskWrapModule.inference))
+
+    n = min(t_out.shape[-1], j_out.shape[-1])
+    t, j = t_out[..., :n], j_out[..., :n]
+    snr = 10 * np.log10((t ** 2).sum()
+                        / np.maximum(((j - t) ** 2).sum(), 1e-300))
+    assert snr > 60.0, f"DPARN waveform parity SNR {snr:.1f} dB"

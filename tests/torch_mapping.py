@@ -339,3 +339,37 @@ def dpcrn(m) -> dict:
     children["dprnn_block1"] = dprnn_block2d(m.dprnn_block1)
     children["dprnn_block2"] = dprnn_block2d(m.dprnn_block2)
     return merge(children)
+
+
+def mha(m) -> dict:
+    return {"params": {"in_proj": _a(m.atten.in_proj_weight),
+                       "out_proj": _a(m.atten.out_proj.weight)}}
+
+
+def mha_self_atten_layer(m) -> dict:
+    children = {"self_atten": mha(m.self_atten),
+                "norm1": flax_layer_norm(m.norm1),
+                "norm2": flax_layer_norm(m.norm2)}
+    if not m.improved:
+        children["ff1"] = linear(m.feedforward[0])
+        children["ff2"] = linear(m.feedforward[3])
+    else:
+        children["recurrent"] = lstm(m.recurrent)
+        children["ff2"] = linear(m.feedforward[2])
+    return merge(children)
+
+
+def dparn_block2d(m) -> dict:
+    return merge({"intra_atten1": mha_self_atten_layer(m.intra_atten1),
+                  "intra_atten2": mha_self_atten_layer(m.intra_atten2),
+                  "intra_fc": linear(m.intra_fc),
+                  "intra_norm": layer_norm_last(m.intra_norm),
+                  "inter_rnn": single_rnn(m.inter_rnn),
+                  "inter_norm": layer_norm_last(m.inter_norm)})
+
+
+def dparn(m) -> dict:
+    children = unet_updown(m)
+    children["dprnn_block1"] = dparn_block2d(m.dprnn_block1)
+    children["dprnn_block2"] = dparn_block2d(m.dprnn_block2)
+    return merge(children)
