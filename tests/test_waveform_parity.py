@@ -172,3 +172,148 @@ def test_ns_dparn_waveform_parity(torch_oracle):
     snr = 10 * np.log10((t ** 2).sum()
                         / np.maximum(((j - t) ** 2).sum(), 1e-300))
     assert snr > 60.0, f"DPARN waveform parity SNR {snr:.1f} dB"
+
+
+def test_tse_conv_tasnet_waveform_parity(torch_oracle):
+    """Full TD ConvTasNet TSE (free filterbank + gated masker + TCN speaker
+    net): reference weights transferred, outputs agree on test_case audio."""
+    torch = torch_oracle
+    import sys
+
+    sys.path.insert(0, "/root/reference/egs/tse")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    mix, enroll = _load_audio()
+    mix, enroll = mix[:, : 16000], enroll[:, : 16000]
+
+    torch.manual_seed(17)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("td_tse_conv_tasnet_v0", None, None,
+                        verbose=False).double()
+        tm.eval()
+        with torch.no_grad():
+            t_out = tm.inference(torch.from_numpy(mix.astype(np.float64)),
+                                 torch.from_numpy(enroll.astype(np.float64)))
+        t_out = t_out.numpy()
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        jm = init_tse_model("td_tse_conv_tasnet_v0")
+        variables = tmap.variables(tmap.so_wrapper_td_conv_tasnet(tm))
+        j_out = np.asarray(jm.apply(variables,
+                                    jnp.asarray(mix.astype(np.float64)),
+                                    jnp.asarray(enroll.astype(np.float64)),
+                                    method=SoTaskWrapModule.inference))
+
+    n = min(t_out.shape[-1], j_out.shape[-1])
+    t, j = t_out[..., :n], j_out[..., :n]
+    snr = 10 * np.log10((t ** 2).sum()
+                        / np.maximum(((j - t) ** 2).sum(), 1e-300))
+    assert snr > 60.0, f"ConvTasNet TSE waveform parity SNR {snr:.1f} dB"
+
+
+def test_tse_unet_tcn_waveform_parity(torch_oracle):
+    """Full STFT-domain TSE (ConvSTFT + UnetTcn + GatedTCN speaker net):
+    reference weights transferred, outputs agree on test_case audio."""
+    torch = torch_oracle
+    import sys
+
+    sys.path.insert(0, "/root/reference/egs/tse")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    mix, enroll = _load_audio()
+    mix, enroll = mix[:, : 16000], enroll[:, : 16000]
+
+    torch.manual_seed(19)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("tse_unet_tcn_v0", None, None, verbose=False).double()
+        tm.eval()
+        with torch.no_grad():
+            t_out = tm.inference(torch.from_numpy(mix.astype(np.float64)),
+                                 torch.from_numpy(enroll.astype(np.float64)))
+        t_out = t_out.numpy()
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        jm = init_tse_model("tse_unet_tcn_v0")
+        children = {"masker": tmap.unet_tcn(tm.masker)}
+        children.update(tmap.so_wrapper_speaker_net(tm))
+        variables = tmap.variables(tmap.merge(children))
+        init_v = jm.init(jax.random.PRNGKey(0),
+                         jnp.asarray(mix.astype(np.float64)),
+                         jnp.asarray(enroll.astype(np.float64)),
+                         method=SoTaskWrapModule.inference)
+        enc = dict(init_v["params"]["encoder"]["encoder"])
+        enc["wsin"] = jnp.asarray(
+            tm.encoder.encoder.wsin.detach().numpy().reshape(enc["wsin"].shape))
+        enc["wcos"] = jnp.asarray(
+            tm.encoder.encoder.wcos.detach().numpy().reshape(enc["wcos"].shape))
+        variables["params"]["encoder"] = {"encoder": enc}
+        j_out = np.asarray(jm.apply(variables,
+                                    jnp.asarray(mix.astype(np.float64)),
+                                    jnp.asarray(enroll.astype(np.float64)),
+                                    method=SoTaskWrapModule.inference))
+
+    n = min(t_out.shape[-1], j_out.shape[-1])
+    t, j = t_out[..., :n], j_out[..., :n]
+    snr = 10 * np.log10((t ** 2).sum()
+                        / np.maximum(((j - t) ** 2).sum(), 1e-300))
+    assert snr > 60.0, f"UnetTcn TSE waveform parity SNR {snr:.1f} dB"
+
+
+def test_tse_veve_dprnn_waveform_parity(torch_oracle):
+    """Full embedding-free TSE (free filterbank + DPRNN conditioned through
+    inter initial states): reference weights transferred, outputs agree."""
+    torch = torch_oracle
+    import sys
+
+    sys.path.insert(0, "/root/reference/egs/tse")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    mix, enroll = _load_audio()
+    mix, enroll = mix[:, : 16000], enroll[:, : 16000]
+
+    torch.manual_seed(23)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("veve_dprnn_v0_causal", None, None,
+                        verbose=False).double()
+        tm.eval()
+        with torch.no_grad():
+            t_out = tm.inference(torch.from_numpy(mix.astype(np.float64)),
+                                 torch.from_numpy(enroll.astype(np.float64)))
+        t_out = t_out.numpy()
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        jm = init_tse_model("veve_dprnn_v0_causal")
+        variables = tmap.variables(tmap.merge(
+            {"encoder": tmap.free_encdec(tm.encoder),
+             "masker": tmap.dprnn(tm.masker)}))
+        j_out = np.asarray(jm.apply(variables,
+                                    jnp.asarray(mix.astype(np.float64)),
+                                    jnp.asarray(enroll.astype(np.float64)),
+                                    method=SoTaskWrapModule.inference))
+
+    n = min(t_out.shape[-1], j_out.shape[-1])
+    t, j = t_out[..., :n], j_out[..., :n]
+    snr = 10 * np.log10((t ** 2).sum()
+                        / np.maximum(((j - t) ** 2).sum(), 1e-300))
+    assert snr > 60.0, f"veve DPRNN waveform parity SNR {snr:.1f} dB"

@@ -373,3 +373,35 @@ def dparn(m) -> dict:
     children["dprnn_block1"] = dparn_block2d(m.dprnn_block1)
     children["dprnn_block2"] = dparn_block2d(m.dprnn_block2)
     return merge(children)
+
+
+def so_wrapper_speaker_net(m) -> dict:
+    """speaker_net children by list position (param-free layers skipped
+    but still consume an index)."""
+    children = {}
+    for i, layer in enumerate(m.speaker_net):
+        sub = speaker_net_layer(layer)
+        if sub is not None:
+            children[f"speaker_net_{i}"] = sub
+    return children
+
+
+def so_wrapper_td_conv_tasnet(m) -> dict:
+    """Full SoTaskWrapModule (FreeEncDec + ConvTasNet + speaker_net)."""
+    children = {"encoder": free_encdec(m.encoder),
+                "masker": conv_tasnet(m.masker)}
+    children.update(so_wrapper_speaker_net(m))
+    return merge(children)
+
+
+def unet_tcn(m) -> dict:
+    """UnetTcn masker: Unet stacks + nested (repeat x stack) TCN lists."""
+    import torch.nn as tnn
+
+    children = unet_updown(m)
+    for r, stack in enumerate(m.tcn_list):
+        for i, layer in enumerate(stack):
+            conv = (gated_tcn(layer) if type(layer).__name__ == "GatedTCN"
+                    else tcn(layer))
+            children[f"tcn_list_{r}_{i}"] = conv
+    return merge(children)
