@@ -134,8 +134,8 @@ class ConvSTFT(nn.Module):
         return self.freq_bins if self.freq_bins is not None else self.n_fft // 2 + 1
 
     def setup(self):
-        if self._win_length != self.n_fft:
-            raise ValueError("only window length == n_fft supported")
+        if self._win_length > self.n_fft:
+            raise ValueError("window length must be <= n_fft")
         wsin, wcos, _, _ = fourier_kernels(
             self.n_fft, win_length=self._win_length, freq_bins=self.freq_bins,
             fmin=self.fmin, fmax=self.fmax, sr=self.sr, freq_scale=self.freq_scale,
@@ -144,6 +144,14 @@ class ConvSTFT(nn.Module):
             window = hann_window(self._win_length)
         else:
             raise NotImplementedError(f"window type {self.win_type}")
+        if self._win_length < self.n_fft:
+            # Center-pad the window to n_fft (nnAudio semantics: the analysis
+            # sinusoids always span n_fft samples and the shorter window is
+            # zero-padded symmetrically).  The reference raises TypeError here
+            # (puresound/nnet/lobe/encoder.py:339-340); we support the full
+            # nnAudio surface instead — win_length == n_fft is unchanged.
+            lpad = (self.n_fft - self._win_length) // 2
+            window = np.pad(window, (lpad, self.n_fft - self._win_length - lpad))
         self._window_np = window
         wsin_w = wsin * window[None, :]
         wcos_w = wcos * window[None, :]
@@ -210,12 +218,23 @@ class ConvSTFT(nn.Module):
         return sig
 
     def inverse(self, X: jnp.ndarray) -> jnp.ndarray:
-        """X: [N, F, T, 2] complex -> [N, L]."""
+        """X: [N, F, T, 2] -> [N, L].
+
+        "Complex" format: X stacks (re, im).  "MagPhase": X stacks
+        (magnitude, phase) as produced by the forward pass — re-polarized to
+        (mag*cos, mag*sin) before synthesis.  The reference only inverts
+        Complex at the ConvSTFT level (encoder.py:421-424) and routes
+        MagPhase reconstruction through ConvMelSpectrogram.inverse
+        (encoder.py:550-598); here both live on ConvSTFT.
+        """
         if X.ndim != 4:
-            raise ValueError("inverse expects [N, freq, T, 2] complex input")
-        if self.output_format != "Complex":
-            raise NotImplementedError("inverse only supports Complex format")
-        return self._synthesize(X[..., 0], X[..., 1])
+            raise ValueError("inverse expects [N, freq, T, 2] input")
+        if self.output_format == "Complex":
+            return self._synthesize(X[..., 0], X[..., 1])
+        elif self.output_format == "MagPhase":
+            mag, phase = X[..., 0], X[..., 1]
+            return self._synthesize(mag * jnp.cos(phase), mag * jnp.sin(phase))
+        raise NotImplementedError(self.output_format)
 
 
 class ConvEncDec(nn.Module):
@@ -289,7 +308,11 @@ class FbankEnc(nn.Module):
             fmax=self.fmax, sr=self.sr, trainable=self.trainable,
             output_format="Complex", win_type=self.win_type,
         )
-        mel_fb = mel_filterbank(sr=16000, n_fft=self.fft_length, n_banks=self.n_banks)
+        # NOTE: the reference hardcodes sr=16000 here regardless of the
+        # configured rate (puresound/nnet/lobe/encoder.py:493-494) — a bug
+        # for any non-16 kHz config; we honor self.sr (identical for every
+        # zoo config, all of which run at 16 kHz).
+        mel_fb = mel_filterbank(sr=self.sr, n_fft=self.fft_length, n_banks=self.n_banks)
         mel_fb_t = mel_fb.T  # [n_fft//2+1, n_banks]
         inv_mel = np.linalg.pinv(mel_fb_t).astype(np.float32)
         if self.trainable:

@@ -1,69 +1,117 @@
-"""Sinc/Blackman FIR filters + spectral/time dropout augmentations.
+"""Sinc/Blackman FIR filters + frequency/time dropout augmentations.
 
-Parity: puresound/src/filter.py (lowpass :10, bandpass :29, notch :49,
-wav_drop_frequency :86, wav_drop_chunk :124).
+Parity: puresound/src/filter.py (lowpass_filter :10, get_bandpass_filter :29,
+get_notch_filter :50, wav_drop_frequency :86, wav_drop_chunk :124).  Cutoffs
+are normalized (f / f_s), speechbrain-style.
+
+Reference bugs reproduced-or-fixed (documented, per repo convention):
+- ref `get_bandpass_filter` calls `Filter.get_lowpass_filter`, a method that
+  does not exist (the method is named `lowpass_filter`) — AttributeError
+  upstream; fixed here by calling the real name.
+- ref `wav_drop_frequency`/`wav_drop_chunk` end with `out.unsqueeze(0)` on a
+  numpy array (no such method) — crash upstream; fixed here with `out[None]`,
+  matching the evident [1, L] intent of the docstrings.
+Everything that runs upstream is numerically identical here.
 """
 from __future__ import annotations
 
-import random
 from typing import Optional
 
 import numpy as np
 
-from .utils import fftconvolve
-
 
 class Filter:
     @staticmethod
-    def low_pass_filter(cutoff: float, sr: int = 16000, taps: int = 101) -> np.ndarray:
-        """Windowed-sinc lowpass FIR (Blackman window)."""
-        fc = cutoff / sr
-        n = np.arange(taps) - (taps - 1) / 2
-        h = np.sinc(2 * fc * n)
-        win = np.blackman(taps)
-        h = h * win
-        return (h / np.sum(h)).astype(np.float32)
+    def lowpass_filter(cutoff: float, win_width: Optional[int] = None) -> np.ndarray:
+        """Windowed-sinc lowpass FIR; kernel size 2*win_width+1.
+
+        cutoff is normalized (f/f_s). win_width defaults to int(2/cutoff).
+        """
+        if win_width is None:
+            win_width = int(2 / cutoff)
+        window = np.blackman(2 * win_width + 1)
+        t = np.arange(-win_width, win_width + 1, dtype=np.float32)
+        sinc = np.sinc(2 * cutoff * t)
+        return 2 * cutoff * sinc * window
 
     @staticmethod
-    def band_pass_filter(low_cut: float, high_cut: float, sr: int = 16000,
-                         taps: int = 101) -> np.ndarray:
-        lp_high = Filter.low_pass_filter(high_cut, sr, taps)
-        hp = -Filter.low_pass_filter(low_cut, sr, taps)
-        hp[(taps - 1) // 2] += 1
-        bp = np.convolve(lp_high, hp)[taps // 2 : taps // 2 + taps]
-        return bp.astype(np.float32)
+    def get_bandpass_filter(
+        cutoff_low: float, cutoff_high: float, win_width: Optional[int] = None
+    ) -> np.ndarray:
+        """Bandpass = lowpass(high) - lowpass(low), same kernel size."""
+        if win_width is None:
+            win_width = int(2 / (min(cutoff_low, cutoff_high)))
+        low_filter = Filter.lowpass_filter(cutoff_low, win_width)
+        high_filter = Filter.lowpass_filter(cutoff_high, win_width)
+        return high_filter - low_filter
 
     @staticmethod
-    def notch_filter(notch_freq: float, sr: int = 16000, taps: int = 101,
-                     band_width: float = 100.0) -> np.ndarray:
-        low = notch_freq - band_width / 2
-        high = notch_freq + band_width / 2
-        bp = Filter.band_pass_filter(low, high, sr, taps)
-        notch = -bp
-        notch[(taps - 1) // 2] += 1
-        return notch.astype(np.float32)
+    def get_notch_filter(
+        cutoff: float, notch_width: float = 0.05, win_width: Optional[int] = None
+    ) -> np.ndarray:
+        """Notch (band-reject) filter of length win_width centered at
+        cutoff+notch_width with reject band ±notch_width (normalized freqs)."""
+        if win_width is None:
+            win_width = int(2 / cutoff)
+        pad = win_width // 2
+        inputs = np.arange(win_width) - pad
 
-    @staticmethod
-    def wav_drop_frequency(wav: np.ndarray, sr: int = 16000,
-                           drop_freq: Optional[float] = None,
-                           band_width: float = 100.0,
-                           taps: int = 101) -> np.ndarray:
-        """Notch out a random (or given) frequency band."""
-        if drop_freq is None:
-            drop_freq = random.uniform(100, sr / 2 - 200)
-        h = Filter.notch_filter(drop_freq, sr, taps, band_width)
-        out = fftconvolve(wav, h.reshape(1, -1), mode="same")
-        return out.astype(np.float32)
+        # Avoid frequencies that are too low
+        cutoff = cutoff + notch_width
 
-    @staticmethod
-    def wav_drop_chunk(wav: np.ndarray, sr: int = 16000,
-                       drop_start: Optional[int] = None,
-                       drop_length_s: float = 0.1) -> np.ndarray:
-        """Zero out a random (or given) time chunk."""
-        L = wav.shape[-1]
-        n = int(sr * drop_length_s)
-        if drop_start is None:
-            drop_start = random.randint(0, max(L - n, 0))
-        out = wav.copy()
-        out[..., drop_start : drop_start + n] = 0.0
-        return out
+        # lowpass below the notch
+        hlpf = np.sinc(2 * (cutoff - notch_width) * inputs)
+        hlpf = hlpf * np.blackman(win_width)
+        hlpf = hlpf / np.sum(hlpf)
+
+        # highpass above the notch (spectral inversion)
+        hhpf = np.sinc(2 * (cutoff + notch_width) * inputs)
+        hhpf = hhpf * np.blackman(win_width)
+        hhpf = hhpf / -np.sum(hhpf)
+        hhpf[pad] += 1
+
+        return (hlpf + hhpf).reshape(-1)
+
+
+def wav_drop_frequency(
+    sig: np.ndarray, sr: int, cutoff_hz: float, drop_width_hz: float,
+    win_width: int = 512,
+) -> np.ndarray:
+    """Notch out a frequency band by time-domain convolution. [L] -> [1, L]."""
+    if sig.ndim == 2:
+        sig = sig.squeeze()
+    assert sig.ndim == 1
+
+    nyquist_fs = sr / 2
+    assert cutoff_hz < nyquist_fs
+    if cutoff_hz + drop_width_hz > nyquist_fs:
+        drop_width_hz = nyquist_fs - cutoff_hz
+
+    cutoff = cutoff_hz / sr
+    notch_width = drop_width_hz / sr
+
+    notch_filter = Filter.get_notch_filter(cutoff, notch_width, win_width)
+    out = np.convolve(sig, notch_filter, mode="same")
+    return out[None]
+
+
+def wav_drop_chunk(sig: np.ndarray, drop_start: float, drop_width: float) -> np.ndarray:
+    """Zero a time chunk. drop_start/drop_width are fractions of the length.
+    [L] -> [1, L]."""
+    assert drop_start < 1.0
+    assert 0 < drop_width < 1.0
+
+    if sig.ndim == 2:
+        sig = sig.squeeze()
+    assert sig.ndim == 1
+
+    if drop_start + drop_width > 1:
+        drop_width = 1 - drop_start
+
+    wav_len = sig.size
+    start_idx = int(drop_start * wav_len)
+    drop_len = int(drop_width * wav_len)
+    mask = np.ones_like(sig)
+    mask[start_idx : start_idx + drop_len] = 0.0
+    out = sig * mask
+    return out[None]

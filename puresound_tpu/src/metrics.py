@@ -166,8 +166,12 @@ class Metrics:
             enhanced = enhanced[0]
         L = min(clean.shape[-1], enhanced.shape[-1])
         clean, enhanced = clean[:L], enhanced[:L]
-        clean = clean / np.abs(clean).max()
-        enhanced = enhanced / np.abs(enhanced).max()
+        # All-zero signals (PVAD inactive targets, fully-suppressed outputs)
+        # must not become NaN — skip peak normalization for them.
+        c_peak = np.abs(clean).max()
+        e_peak = np.abs(enhanced).max()
+        clean = clean / c_peak if c_peak > 0 else clean
+        enhanced = enhanced / e_peak if e_peak > 0 else enhanced
         return clean, enhanced
 
     @staticmethod

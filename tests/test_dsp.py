@@ -181,3 +181,79 @@ def test_fbank_magphase_inverse_roundtrip(rng):
     b = x[0, 512:L - 512]
     corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert corr > 0.9
+
+
+def test_conv_stft_short_window_matches_torch_reference(torch_oracle, rng):
+    """win_length < n_fft: nnAudio semantics center-pad the window to n_fft.
+    The reference ConvSTFT raises on a short window (encoder.py:339-340), so
+    the oracle is the reference driven with the pre-padded window, which is
+    the exact computation nnAudio performs."""
+    torch = torch_oracle
+    from puresound.nnet.lobe.encoder import ConvSTFT as TorchConvSTFT
+
+    n_fft, win_length, hop = 256, 192, 64
+    x = rng.standard_normal((1, 4000)).astype(np.float32) * 0.3
+    twin = torch.hann_window(win_length)
+    lpad = (n_fft - win_length) // 2
+    twin_padded = torch.nn.functional.pad(twin, (lpad, n_fft - win_length - lpad))
+    tmodel = TorchConvSTFT(twin_padded, n_fft=n_fft, win_length=win_length,
+                           hop_length=hop, iSTFT=True, trainable=False,
+                           output_format="Complex", sr=16000)
+    tmodel.eval()
+
+    jmodel = ConvSTFT(n_fft=n_fft, win_length=win_length, hop_length=hop,
+                      iSTFT=True, trainable=False, output_format="Complex",
+                      sr=16000)
+    params = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x)[:, None, :]).numpy()
+    j_out = np.asarray(jmodel.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, atol=2e-4, rtol=1e-4)
+
+    with torch.no_grad():
+        t_wav = tmodel.inverse(torch.from_numpy(t_out)).numpy()
+    j_wav = np.asarray(jmodel.apply(params, jnp.asarray(j_out), method=ConvSTFT.inverse))
+    np.testing.assert_allclose(j_wav, t_wav, atol=2e-4, rtol=1e-4)
+
+
+def test_conv_stft_magphase_inverse_roundtrip(rng):
+    """MagPhase forward -> MagPhase inverse must equal the Complex-format
+    reconstruction of the same signal (reference routes this through
+    ConvMelSpectrogram.inverse, encoder.py:550-598; here it lives on
+    ConvSTFT directly)."""
+    x = rng.standard_normal((2, 8000)).astype(np.float32) * 0.2
+    mp = ConvSTFT(n_fft=512, hop_length=128, iSTFT=True, trainable=False,
+                  output_format="MagPhase", sr=16000)
+    cx = ConvSTFT(n_fft=512, hop_length=128, iSTFT=True, trainable=False,
+                  output_format="Complex", sr=16000)
+    p_mp = mp.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p_cx = cx.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    X_mp = mp.apply(p_mp, jnp.asarray(x))
+    X_cx = cx.apply(p_cx, jnp.asarray(x))
+    y_mp = np.asarray(mp.apply(p_mp, X_mp, method=ConvSTFT.inverse))
+    y_cx = np.asarray(cx.apply(p_cx, X_cx, method=ConvSTFT.inverse))
+    # skip the first/last window: the window sum-square is ~0 there and the
+    # mag/phase repolarization amplifies float noise on near-silent samples
+    L = y_mp.shape[-1]
+    np.testing.assert_allclose(y_mp[:, 512:L - 512], y_cx[:, 512:L - 512],
+                               atol=1e-4, rtol=1e-4)
+    # and the round trip itself reconstructs the signal
+    np.testing.assert_allclose(y_mp[:, 512:L - 512], x[:, 512:L - 512],
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_fbank_enc_honors_sample_rate(torch_oracle):
+    """FbankEnc must build its mel filterbank from the configured sr (the
+    reference hardcodes 16000, encoder.py:493-494 — a bug for 8 kHz
+    configs)."""
+    from puresound.nnet.lobe.stft import mel_filterbank as torch_mel_fb
+
+    model = FbankEnc(fft_length=512, hop_length=128, sr=8000,
+                     trainable=False, output_format="Magnitude", n_banks=40)
+    x = jnp.zeros((1, 4000), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    # bind to inspect the constant (non-param) filterbank
+    bound = model.bind(params)
+    fb = np.asarray(bound.stft and bound.filterbank)
+    ref = torch_mel_fb(sr=8000, n_fft=512, n_banks=40).numpy().T
+    np.testing.assert_allclose(fb, ref, atol=1e-6)
