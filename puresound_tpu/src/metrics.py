@@ -8,8 +8,8 @@ implemented natively (numpy/scipy) following the published algorithms:
   time-frequency weighted noisy speech", ICASSP 2010 (pystoi-compatible).
 - BSS-eval SDR: Vincent et al. 2006, single-source 512-tap projection
   (mir_eval.separation.bss_eval_sources semantics for 1 source).
-- PESQ (ITU-T P.862): not yet implemented natively; `pesq_wb/nb` raise
-  with guidance unless the `pesq` package is installed.
+- PESQ (ITU-T P.862/P.862.2-style): native implementation in
+  `pesq_native.py` (calibrated, not bit-conformant — see its docstring).
 """
 from __future__ import annotations
 
@@ -176,25 +176,22 @@ class Metrics:
 
     @staticmethod
     def pesq_wb(clean, enhanced):
+        """Wideband PESQ MOS-LQO via the native P.862.2-style implementation
+        (src/pesq_native.py). Same call contract as the reference's wrapper
+        around the `pesq` package (puresound/src/metrics.py:48-51)."""
+        from .pesq_native import pesq as _pesq
+
         clean, enhanced = Metrics.check_shape(clean, enhanced)
-        try:
-            from pesq import pesq as _pesq
-        except ImportError as e:
-            raise NotImplementedError(
-                "native PESQ (ITU-T P.862) not yet implemented and the pesq "
-                "package is unavailable in this environment") from e
-        return _pesq(16000, clean, enhanced, "wb")
+        return float(_pesq(16000, clean, enhanced, "wb"))
 
     @staticmethod
     def pesq_nb(clean, enhanced):
+        """Narrowband PESQ MOS-LQO. The reference declares fs=8000 even for
+        16 kHz audio (puresound/src/metrics.py:53-57); mirrored here."""
+        from .pesq_native import pesq as _pesq
+
         clean, enhanced = Metrics.check_shape(clean, enhanced)
-        try:
-            from pesq import pesq as _pesq
-        except ImportError as e:
-            raise NotImplementedError(
-                "native PESQ (ITU-T P.862) not yet implemented and the pesq "
-                "package is unavailable in this environment") from e
-        return _pesq(8000, clean, enhanced, "nb")
+        return float(_pesq(8000, clean, enhanced, "nb"))
 
     @staticmethod
     def stoi(clean, enhanced, sr: int = 16000) -> float:
@@ -216,9 +213,9 @@ class Metrics:
         clean, enhanced = Metrics.check_shape(clean, enhanced)
         clean2, noisy = Metrics.check_shape(clean, noisy)
         L = min(len(clean), len(noisy), len(enhanced))
-        return float(
-            _si_snr_np(enhanced[:L].reshape(1, -1), clean[:L].reshape(1, -1))
-            - _si_snr_np(noisy[:L].reshape(1, -1), clean2[:L].reshape(1, -1)))
+        diff = (_si_snr_np(enhanced[:L].reshape(1, -1), clean[:L].reshape(1, -1))
+                - _si_snr_np(noisy[:L].reshape(1, -1), clean2[:L].reshape(1, -1)))
+        return float(np.asarray(diff).reshape(-1)[0])
 
     @staticmethod
     def f1_score(y_true, y_pred) -> Dict[str, float]:
