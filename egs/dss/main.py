@@ -54,7 +54,8 @@ def action_train(hparam, backend):
                         vol_perturbed=hparam["DATASET"]["vol_perturbed"],
                         speed_perturbed=hparam["DATASET"]["speed_perturbed"])
         return DataLoader(ds, batch_size=hparam["TRAIN"]["batch_size"],
-                          shuffle=True, collate_fn=DssCollateFunc())
+                          shuffle=True, collate_fn=DssCollateFunc(),
+                          num_workers=int(hparam["TRAIN"].get("num_workers", 0)))
 
     def init_fn():
         sr = hparam["DATASET"]["sample_rate"]

@@ -54,10 +54,13 @@ def init_dataloader(hparam):
     )
     train_ds = NsDataset(folder=hparam["DATASET"]["train"], **common)
     dev_ds = NsDataset(folder=hparam["DATASET"]["dev"], **common)
+    n_work = int(hparam["TRAIN"].get("num_workers", 0))
     train = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],
-                       shuffle=True, collate_fn=NsCollateFunc())
+                       shuffle=True, collate_fn=NsCollateFunc(),
+                       num_workers=n_work)
     dev = DataLoader(dev_ds, batch_size=hparam["TRAIN"]["batch_size"],
-                     shuffle=True, collate_fn=NsCollateFunc())
+                     shuffle=True, collate_fn=NsCollateFunc(),
+                     num_workers=n_work)
     return train, dev
 
 

@@ -77,15 +77,21 @@ def init_dataloader(hparam):
         dev_sampler = SpeakerSampler(dev_ds.sampler_meta(),
                                      repeat * len(dev_ds) // (p_spks * p_utts),
                                      n_spks=p_spks, n_per=p_utts)
+        n_work = int(hparam["TRAIN"].get("num_workers", 0))
         train_loader = DataLoader(train_ds, batch_sampler=train_sampler,
-                                  collate_fn=TseCollateFunc())
+                                  collate_fn=TseCollateFunc(),
+                                  num_workers=n_work)
         dev_loader = DataLoader(dev_ds, batch_sampler=dev_sampler,
-                                collate_fn=TseCollateFunc())
+                                collate_fn=TseCollateFunc(),
+                                num_workers=n_work)
     else:
+        n_work = int(hparam["TRAIN"].get("num_workers", 0))
         train_loader = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],
-                                  shuffle=True, collate_fn=TseCollateFunc())
+                                  shuffle=True, collate_fn=TseCollateFunc(),
+                                  num_workers=n_work)
         dev_loader = DataLoader(dev_ds, batch_size=hparam["TRAIN"]["batch_size"],
-                                shuffle=True, collate_fn=TseCollateFunc())
+                                shuffle=True, collate_fn=TseCollateFunc(),
+                                num_workers=n_work)
     return train_loader, dev_loader
 
 

@@ -14,10 +14,13 @@ differences:
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import queue
 import random
 import threading
+import traceback
+from multiprocessing import shared_memory
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -204,14 +207,98 @@ class TaskDataset:
         return out
 
 
+def _batch_to_shm(batch):
+    """Serialize a collated batch for cross-process handoff.
+
+    numpy arrays are copied into one shared-memory block (no pipe pickling
+    of the bulk audio data); everything else rides the queue pickled.
+    """
+    if not isinstance(batch, dict):
+        return ("pickle", batch)
+    arrays: Dict[str, np.ndarray] = {}
+    others: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.nbytes > 0:
+            arrays[k] = np.ascontiguousarray(v)
+        else:
+            others[k] = v
+    if not arrays:
+        return ("pickle", batch)
+    total = sum(a.nbytes for a in arrays.values())
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    meta = {}
+    off = 0
+    for k, a in arrays.items():
+        view = np.ndarray(a.shape, a.dtype, buffer=shm.buf, offset=off)
+        view[...] = a
+        meta[k] = (off, a.shape, a.dtype.str)
+        off += a.nbytes
+    name = shm.name
+    # The consumer unlinks; stop this process's resource tracker from
+    # unlinking it again at worker exit (no `track=` kwarg before 3.13).
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    shm.close()
+    return ("shm", name, meta, others)
+
+
+def _batch_from_shm(payload):
+    if payload[0] == "pickle":
+        return payload[1]
+    _, name, meta, others = payload
+    shm = shared_memory.SharedMemory(name=name)
+    out = dict(others)
+    for k, (off, shape, dt) in meta.items():
+        out[k] = np.ndarray(shape, np.dtype(dt), buffer=shm.buf, offset=off).copy()
+    shm.close()
+    shm.unlink()
+    return out
+
+
+def _worker_loop(dataset, collate_fn, task_q, result_q):
+    """Worker process: pull (seq, indices, seed) tasks, push collated
+    batches via shared memory."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        seq, indices, batch_seed = task
+        try:
+            if batch_seed is not None:
+                random.seed(batch_seed)
+                np.random.seed(batch_seed % (2**32))
+            batch = collate_fn([dataset[i] for i in indices])
+            result_q.put(("ok", seq, _batch_to_shm(batch)))
+        except BaseException:
+            result_q.put(("err", seq, traceback.format_exc()))
+            break
+
+
 class DataLoader:
-    """Minimal host-side loader: shuffling, batching (or batch_sampler),
-    collate, and background thread prefetch."""
+    """Host-side loader: shuffling, batching (or batch_sampler), collate,
+    and prefetch.
+
+    num_workers == 0: single background prefetch thread (GIL-bound — fine
+    for light pipelines).  num_workers > 0: a pool of fork'd worker
+    processes builds batches in parallel and hands the collated numpy
+    arrays over through POSIX shared memory (reference counterpart:
+    torch DataLoader workers feeding the sox/RIR-heavy augmentation chain,
+    puresound/task/base.py usage at egs/tse/main.py:93-133).
+
+    `seed` makes augmentation deterministic per (epoch, batch) REGARDLESS
+    of num_workers: every batch is built under an RNG seeded from
+    (seed, epoch, batch_index), so a run is reproducible and worker-count
+    invariant — stronger than the reference's torch semantics.
+    """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  collate_fn: Optional[Callable] = None, num_workers: int = 0,
                  batch_sampler=None, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, seed: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -220,6 +307,8 @@ class DataLoader:
         self.batch_sampler = batch_sampler
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
 
     def _batches(self):
         if self.batch_sampler is not None:
@@ -227,7 +316,10 @@ class DataLoader:
             return
         idx = list(range(len(self.dataset)))
         if self.shuffle:
-            random.shuffle(idx)
+            if self.seed is not None:
+                random.Random(self.seed + 7919 * self._epoch).shuffle(idx)
+            else:
+                random.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:
@@ -240,22 +332,37 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make(self, indices):
+    def _batch_seed(self, seq: int) -> Optional[int]:
+        if self.seed is None:
+            return None
+        return (self.seed * 1_000_003 + self._epoch * 7919 + seq) % (2**63)
+
+    def _make(self, indices, seq: int):
+        s = self._batch_seed(seq)
+        if s is not None:
+            random.seed(s)
+            np.random.seed(s % (2**32))
         return self.collate_fn([self.dataset[i] for i in indices])
 
     def __iter__(self):
-        if self.prefetch <= 0:
-            for b in self._batches():
-                yield self._make(b)
-            return
+        self._epoch += 1
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess()
+        elif self.prefetch <= 0:
+            for seq, b in enumerate(self._batches()):
+                yield self._make(b, seq)
+        else:
+            yield from self._iter_thread()
+
+    def _iter_thread(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
 
         def worker():
             try:
-                for b in self._batches():
-                    q.put(self._make(b))
+                for seq, b in enumerate(self._batches()):
+                    q.put(self._make(b, seq))
             except BaseException as e:  # surface worker failures to the consumer
                 error.append(e)
             finally:
@@ -270,6 +377,63 @@ class DataLoader:
                     raise error[0]
                 break
             yield item
+
+    def _iter_multiprocess(self):
+        ctx = mp.get_context("fork")
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        workers = [ctx.Process(target=_worker_loop,
+                               args=(self.dataset, self.collate_fn, task_q, result_q),
+                               daemon=True)
+                   for _ in range(self.num_workers)]
+        for w in workers:
+            w.start()
+
+        batches = enumerate(self._batches())
+        max_outstanding = self.num_workers + max(self.prefetch, 1)
+        outstanding = 0
+        dispatched_all = False
+        pending: Dict[int, Any] = {}
+        next_seq = 0
+
+        def dispatch_one():
+            nonlocal outstanding, dispatched_all
+            try:
+                seq, b = next(batches)
+            except StopIteration:
+                dispatched_all = True
+                return
+            task_q.put((seq, list(b), self._batch_seed(seq)))
+            outstanding += 1
+
+        try:
+            while not dispatched_all and outstanding < max_outstanding:
+                dispatch_one()
+            while outstanding > 0:
+                status, seq, payload = result_q.get()
+                outstanding -= 1
+                if status == "err":
+                    raise RuntimeError(f"DataLoader worker failed:\n{payload}")
+                pending[seq] = payload
+                while next_seq in pending:
+                    batch = _batch_from_shm(pending.pop(next_seq))
+                    next_seq += 1
+                    yield batch
+                if not dispatched_all:
+                    dispatch_one()
+        finally:
+            for _ in workers:
+                task_q.put(None)
+            for w in workers:
+                w.join(timeout=2.0)
+                if w.is_alive():
+                    w.terminate()
+            # release any undelivered shared-memory blocks
+            for payload in pending.values():
+                try:
+                    _batch_from_shm(payload)
+                except Exception:
+                    pass
 
 
 def pad_stack(seqs: List[np.ndarray]) -> np.ndarray:
