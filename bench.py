@@ -1,11 +1,20 @@
-"""Benchmark: concurrent real-time 16 kHz streaming-TSE streams per chip.
+"""Benchmark: streaming capacity per chip + training throughput + rooflines.
 
-Runs the flagship streaming model (tse_skim_v0_causal structure: FreeEncDec
-32/16/128 + causal SkiM 128/256 x4 + FiLM) as the batched jitted streaming
-step on the available accelerator, finds the largest stream batch whose
-20 ms-chunk step latency stays under 20 ms (real time), and prints ONE JSON
-line. Baseline: 500 streams/chip (BASELINE.json north star; the reference
-itself publishes no throughput numbers).
+Headline: concurrent real-time 16 kHz streaming-TSE streams per chip —
+the flagship streaming model (tse_skim_v0_causal structure) as the batched
+jitted streaming step, reporting the largest MEASURED stream batch whose
+15 ms-chunk step stays under 15 ms (no extrapolation; binary-refined).
+Baseline: 500 streams/chip (BASELINE.json north star; the reference
+publishes no throughput numbers).
+
+Also measured (detail):
+- ns_streams_per_chip: streaming NS (DPCRN causal, bf16, fused dual-path
+  Pallas bottleneck) at 16 ms chunks.
+- train_step: flagship TSE train step (f32 + mixed bf16) ms and samples/s.
+- rooflines: FLOPs + HBM bytes per step (XLA cost analysis + analytic
+  Pallas kernel costs) vs v5e peaks -> MFU / bandwidth utilization.
+
+Prints ONE JSON line.
 """
 import json
 import os
@@ -13,6 +22,18 @@ import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 def build_engine():
@@ -41,8 +62,24 @@ def build_engine():
                         speaker_net=speaker_net, mask_constraint="ReLU")
 
 
-def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
-                    dtype=None):
+def _timeit(step, args, iters=30):
+    import jax
+
+    out = step(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+# ---------------------------------------------------------------------------
+# TSE streaming
+# ---------------------------------------------------------------------------
+
+def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
+                        dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +88,7 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
     dtype = dtype or jnp.float32
     dot_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
     # bf16 halves the kernel's VMEM pressure, unlocking the larger stream
-    # tile (measured 10.4 ms vs 12.4 ms at B=16384; 512 OOMs)
+    # tile (512 OOMs)
     b_tile = 256 if dtype == jnp.bfloat16 else 128
     if dtype == jnp.bfloat16:
         from puresound_tpu.streaming.halfprec import to_half
@@ -69,13 +106,182 @@ def measure_step_ms(engine, params, B, chunk_samples, iters=30, fused=True,
                             b_tile=b_tile, dot_dtype=dot_dtype,
                             method=StreamingTSE.step)
 
-    out, state = step(chunk, dvec, state)  # compile
-    out.block_until_ready()
+    return _timeit(step, (chunk, dvec, state)), step, (chunk, dvec, state)
+
+
+def tse_roofline(step, args, step_ms, B, frames):
+    """XLA cost of the step + analytic cost of the Pallas SkiM kernel."""
+    from puresound_tpu.utils.roofline import (fused_skim_kernel_cost,
+                                              summarize, xla_cost)
+
+    import jax
+
+    c = xla_cost(jax.jit(step).lower(*args).compile()) if not hasattr(
+        step, "lower") else xla_cost(step.lower(*args).compile())
+    k = fused_skim_kernel_cost(B=B, F=frames, C=128, H=256, n_blocks=4,
+                               fusion_modes=("film",) * 4)
+    return summarize(step_ms, c["flops"] + k["flops"], c["bytes"] + k["bytes"])
+
+
+# ---------------------------------------------------------------------------
+# NS streaming
+# ---------------------------------------------------------------------------
+
+def build_ns_engine():
+    import jax
+
+    from puresound_tpu.nnet.dpcrn import DPCRN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.zoo.ns import _UNET_KW
+
+    encoder = ConvEncDec(fft_length=512, win_type="hann", win_length=512,
+                         hop_length=128, trainable=True,
+                         output_format="Complex")
+    masker = DPCRN(transpose_delay=False, **_UNET_KW)
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    variables = engine.init(jax.random.PRNGKey(0), x0,
+                            method=StreamingNS.init_all)
+    return engine, variables
+
+
+def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
+                       dp_kernel=True):
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.streaming.halfprec import to_half
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+
+    vh = to_half(variables)
+    dt = jnp.bfloat16
+    state = engine.apply(vh, B, dt, dp_kernel=dp_kernel,
+                         method=StreamingNS.init_state)
+    chunk = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((B, chunk_samples))
+                        .astype(np.float32) * 0.1).astype(dt)
+
+    @jax.jit
+    def step(chunk, state):
+        return engine.apply(vh, chunk, state, fused=not dp_kernel,
+                            dp_kernel=dp_kernel, method=StreamingNS.step)
+
+    return _timeit(step, (chunk, state)), step, (chunk, state)
+
+
+def ns_roofline(step, args, step_ms, B, frames=2, Fb=64, CH=128, H=128,
+                dp_kernel=True):
+    import jax
+
+    from puresound_tpu.utils.roofline import summarize, xla_cost
+
+    c = xla_cost(step.lower(*args).compile())
+    flops, bts = c["flops"], c["bytes"]
+    if dp_kernel:
+        # analytic cost of the dual-path bottleneck kernel (custom call)
+        per_block = (2.0 * B * frames * Fb * (CH * 4 * H + H * 4 * H) * 2  # bi intra
+                     + 2.0 * B * frames * Fb * 2 * H * CH                   # intra proj
+                     + 2.0 * B * frames * Fb * (CH * 4 * H + H * 4 * H)     # inter
+                     + 2.0 * B * frames * Fb * H * CH)                      # inter proj
+        flops += 2 * per_block
+        io = 2 * (2 * B * frames * Fb * CH + 8 * B * Fb * H)  # x io + carries
+        bts += 2 * io + 4e6  # + one weight read
+    return summarize(step_ms, flops, bts)
+
+
+# ---------------------------------------------------------------------------
+# capacity search
+# ---------------------------------------------------------------------------
+
+def search_capacity(measure, budget_ms, start_batches, granularity=2048,
+                    max_refine=3):
+    """Largest measured B with step <= budget. Returns (best_B, best_ms,
+    results list)."""
+    results = []
+    lo = lo_ms = 0
+    hi = None
+    for B in start_batches:
+        try:
+            ms = measure(B)
+        except Exception as e:
+            print(f"# B={B} failed: {type(e).__name__}", file=sys.stderr)
+            hi = B
+            break
+        results.append([B, round(ms, 2)])
+        if ms <= budget_ms:
+            lo, lo_ms = B, ms
+        else:
+            hi = B
+            break
+    refines = 0
+    while hi is not None and lo > 0 and refines < max_refine:
+        mid = ((lo + hi) // 2) // granularity * granularity
+        if mid <= lo or mid >= hi:
+            break
+        try:
+            ms = measure(mid)
+        except Exception:
+            hi = mid
+            refines += 1
+            continue
+        results.append([mid, round(ms, 2)])
+        if ms <= budget_ms:
+            lo, lo_ms = mid, ms
+        else:
+            hi = mid
+        refines += 1
+    return lo, lo_ms, results
+
+
+# ---------------------------------------------------------------------------
+# training throughput
+# ---------------------------------------------------------------------------
+
+def measure_train(mixed: bool, B=8, seconds=2.0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.parallel import TrainState, make_train_step
+    from puresound_tpu.utils.roofline import summarize, xla_cost
+    from puresound_tpu.zoo import init_tse_model
+
+    model = init_tse_model("tse_skim_v0_causal",
+                           sig_loss=SDRLoss.init_mode("sisnr"))
+    L = int(16000 * seconds)
+    rng = np.random.default_rng(0)
+    batch = {
+        "noisy": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "enroll": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "ref_clean": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["noisy"],
+                           batch["enroll"], method=SoTaskWrapModule.inference)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              optax.adam(1e-3))
+    step = make_train_step(model, grad_clip=10.0,
+                           compute_dtype=jnp.bfloat16 if mixed else None)
+    key = jax.random.PRNGKey(1)
+    cost = xla_cost(step.lower(state, batch, key).compile())
+    # the step donates its state buffer: chain states through the loop
+    s, m = step(state, batch, key)  # compile + warm-up
+    m["loss"].block_until_ready()
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, state = step(chunk, dvec, state)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1000.0
+        s, m = step(s, batch, key)
+    m["loss"].block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    roof = summarize(ms, cost["flops"], cost["bytes"])
+    return ms, B * seconds * 1000.0 / ms, roof  # ms, audio-seconds/s
 
 
 def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
@@ -97,13 +303,8 @@ def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
     def infer(x):
         return model.apply(variables, x, method=SoTaskWrapModule.inference)
 
-    infer(x).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return seconds / dt
+    ms = _timeit(infer, (x,), iters=iters)
+    return seconds * 1000.0 / ms
 
 
 def main():
@@ -111,91 +312,114 @@ def main():
 
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
-
-    engine = build_engine()
-    rng = np.random.default_rng(0)
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from puresound_tpu.streaming.engine import StreamingTSE
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+    detail = {"platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0])}
+
+    # ---------------- TSE streaming capacity (headline) --------------------
+    engine = build_engine()
+    rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32))
     enroll0 = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
     variables = engine.init(jax.random.PRNGKey(0), x0, enroll0,
                             method=StreamingTSE.init_all)
 
-    # 15 ms chunks: 240 samples = 15 frames, which divides the SkiM
-    # seg_size (150) so the Pallas fused kernel handles segment boundaries
-    # with a single cond per chunk. Still < 20 ms latency budget.
-    chunk_ms = 15.0
+    chunk_ms = 15.0  # 240 samples = 15 frames (divides SkiM seg_size 150)
     chunk_samples = int(16000 * chunk_ms / 1000)
-    fused = (not os.environ.get("BENCH_NO_FUSED")
-             and jax.devices()[0].platform == "tpu")
-    # serving dtype: bf16 on TPU (measured 39.7 dB SNR vs f32, no carry
-    # drift — tests/test_streaming_ns.py::test_bf16_serving_mode_snr);
-    # BENCH_F32=1 opts out, and any bf16 failure falls back to f32.
+    fused = not os.environ.get("BENCH_NO_FUSED") and on_tpu
     dtype = (jnp.bfloat16 if fused and not os.environ.get("BENCH_F32")
              else jnp.float32)
-    best_streams = 0
-    best = None
-    results = []
-    for B in (2048, 8192, 16384, 32768):
-        try:
-            ms = measure_step_ms(engine, variables, B, chunk_samples,
-                                 fused=fused, dtype=dtype)
-        except Exception as e:  # OOM etc.
-            if dtype == jnp.bfloat16 and not results:
-                print(f"# bf16 failed ({type(e).__name__}); f32 fallback",
-                      file=sys.stderr)
-                dtype = jnp.float32
-                try:
-                    ms = measure_step_ms(engine, variables, B, chunk_samples,
-                                         fused=fused, dtype=dtype)
-                except Exception as e2:
-                    print(f"# B={B} failed: {type(e2).__name__}",
-                          file=sys.stderr)
-                    break
-            else:
-                print(f"# B={B} failed: {type(e).__name__}", file=sys.stderr)
-                break
-        rt_mult = chunk_ms / ms
-        results.append((B, ms, rt_mult))
-        if ms <= chunk_ms and B > best_streams:
-            best_streams = B
-            best = (B, ms, rt_mult)
-        if ms > 2 * chunk_ms:
-            break
 
-    if best is None:
-        # even the smallest batch missed real time; report fractional capacity
-        B, ms, rt = results[0]
-        value = B * chunk_ms / ms
-        step_ms = ms
+    last = {}
+
+    def tse_measure(B):
+        ms, step, args = measure_tse_step_ms(engine, variables, B,
+                                             chunk_samples, fused=fused,
+                                             dtype=dtype)
+        last[B] = (step, args, ms)
+        return ms
+
+    best_B, best_ms, tse_results = search_capacity(
+        tse_measure, chunk_ms, (8192, 16384, 32768), granularity=2048)
+    if best_B == 0:  # even the smallest batch missed; report fractional
+        B0, ms0 = tse_results[0]
+        value = B0 * chunk_ms / ms0
+        best_ms = ms0
     else:
-        B, ms, rt = best
-        value = B * rt  # streams at full real-time occupancy
-        step_ms = ms
+        value = best_B
+
+    detail.update(chunk_ms=chunk_ms, fused_pallas_kernel=fused,
+                  serving_dtype=str(jnp.dtype(dtype).name),
+                  step_ms_at_best_batch=round(best_ms, 3),
+                  batches_tested=tse_results,
+                  capacity_is_measured=best_B > 0)
+    if best_B in last and on_tpu:
+        try:
+            step, args, ms = last[best_B]
+            detail["tse_roofline"] = tse_roofline(step, args, ms, best_B, 15)
+        except Exception as e:
+            detail["tse_roofline"] = f"unavailable: {type(e).__name__}"
+
+    # ---------------- NS streaming capacity --------------------------------
+    if on_tpu and not os.environ.get("BENCH_SKIP_NS"):
+        try:
+            ns_engine, ns_vars = build_ns_engine()
+            ns_last = {}
+
+            def ns_measure(B):
+                ms, step, args = measure_ns_step_ms(ns_engine, ns_vars, B)
+                ns_last[B] = (step, args, ms)
+                return ms
+
+            ns_B, ns_ms, ns_results = search_capacity(
+                ns_measure, 16.0, (2048, 4096, 8192), granularity=512)
+            detail["ns_streams_per_chip"] = ns_B
+            detail["ns_step_ms"] = round(ns_ms, 3)
+            detail["ns_chunk_ms"] = 16.0
+            detail["ns_batches_tested"] = ns_results
+            detail["ns_dp_kernel"] = True
+            if ns_B in ns_last:
+                step, args, ms = ns_last[ns_B]
+                try:
+                    detail["ns_roofline"] = ns_roofline(step, args, ms, ns_B)
+                except Exception as e:
+                    detail["ns_roofline"] = f"unavailable: {type(e).__name__}"
+        except Exception as e:
+            detail["ns_streams_per_chip"] = f"failed: {type(e).__name__}"
+
+    # ---------------- training throughput ----------------------------------
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            ms32, sps32, roof32 = measure_train(mixed=False)
+            ms16, sps16, roof16 = measure_train(mixed=True)
+            detail["train_step"] = {
+                "batch": "8x2s",
+                "f32_ms": round(ms32, 2),
+                "mixed_bf16_ms": round(ms16, 2),
+                "audio_seconds_per_second_bf16": round(sps16 / 1000.0, 1),
+                "f32_roofline": roof32,
+                "bf16_roofline": roof16,
+            }
+        except Exception as e:
+            detail["train_step"] = f"failed: {type(e).__name__}"
 
     try:
-        denoise_rtf = round(measure_denoise_rtf(), 1)
+        detail["denoise_rtf_single_stream"] = round(measure_denoise_rtf(), 1)
+        detail["denoise_rtf_target"] = 20.0
     except Exception:
-        denoise_rtf = None
+        pass
 
     print(json.dumps({
         "metric": "concurrent_16khz_streaming_tse_streams_per_chip",
         "value": round(float(value), 1),
         "unit": "streams",
         "vs_baseline": round(float(value) / 500.0, 3),
-        "detail": {
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]),
-            "chunk_ms": chunk_ms,
-            "fused_pallas_kernel": fused,
-            "serving_dtype": str(jnp.dtype(dtype).name),
-            "step_ms_at_best_batch": round(step_ms, 3),
-            "batches_tested": [[b, round(m, 2)] for b, m, _ in results],
-            "denoise_rtf_single_stream": denoise_rtf,
-            "denoise_rtf_target": 20.0,
-        },
+        "detail": detail,
     }))
 
 

@@ -1,20 +1,23 @@
 #!/usr/bin/env bash
 # Create TSE manifests from Libri2Mix metadata.
-# Usage: ./create_metadata.sh <libri2mix_meta_dir> <librispeech_meta_dir> <corpus_root> <out_root>
+# Usage: ./create_metadata.sh <libri2mix_meta_dir> <corpus_root> <out_root> [librispeech_meta_dir]
+# The LibriSpeech metadata tables default to the bundled
+# local/librispeech_metadata/ (same tables the reference bundles); pass a
+# 4th argument to use regenerated ones (make_librispeech_metadata.py).
 # Parity: reference egs/tse/local/create_metadata.sh
 set -euo pipefail
 
-LIBRI2MIX_META=${1:?libri2mix metadata dir}
-LIBRISPEECH_META=${2:?librispeech metadata dir}
-CORPUS_ROOT=${3:?corpus root}
-OUT_ROOT=${4:?output root}
-
 SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 
+LIBRI2MIX_META=${1:?libri2mix metadata dir}
+CORPUS_ROOT=${2:?corpus root}
+OUT_ROOT=${3:?output root}
+LIBRISPEECH_META=${4:-$SCRIPT_DIR/librispeech_metadata}
+
 declare -A SETS=(
-  [train]="mixture_train-100_mix_clean.csv librispeech_train-100.csv"
-  [dev]="mixture_dev_mix_clean.csv librispeech_dev.csv"
-  [eval]="mixture_test_mix_clean.csv librispeech_test.csv"
+  [train]="mixture_train-100_mix_clean.csv train-clean-100"
+  [dev]="mixture_dev_mix_clean.csv dev-clean"
+  [eval]="mixture_test_mix_clean.csv test-clean"
 )
 
 for split in train dev eval; do

@@ -130,4 +130,47 @@ class DPCRN(DualPathStreaming, Unet):
         x = self._up(x, skips, train)
         return self._unpack_output(x)
 
+    # -------------------------------------------- fused bottleneck (Pallas)
+    def _dp_kernel_weights(self):
+        """Flat weight tuple for ops/dual_path_kernel.py (both blocks)."""
+        ws = []
+        for blk in (self.dprnn_block1, self.dprnn_block2):
+            H = blk.hidden_size
+            lstm = blk.intra_rnn.rnn
+            pk = blk.intra_rnn.proj.variables["params"]["kernel"]   # [2H, CH]
+            pb = blk.intra_rnn.proj.variables["params"]["bias"]
+            ln = blk.intra_norm.variables["params"]
+            inter = blk.inter_rnn.rnn.fwd
+            ipk = blk.inter_rnn.proj.variables["params"]["kernel"]  # [H, CH]
+            ipb = blk.inter_rnn.proj.variables["params"]["bias"]
+            iln = blk.inter_norm.variables["params"]
+            ws += [lstm.fwd.w_ih, lstm.fwd.w_hh, lstm.fwd.b_ih + lstm.fwd.b_hh,
+                   lstm.bwd.w_ih, lstm.bwd.w_hh, lstm.bwd.b_ih + lstm.bwd.b_hh,
+                   pk[:H], pk[H:], pb, ln["scale"], ln["bias"],
+                   inter.w_ih, inter.w_hh, inter.b_ih + inter.b_hh,
+                   ipk, ipb, iln["scale"], iln["bias"]]
+        return tuple(ws)
+
+    def bottleneck_kernel_chunk(self, x: jnp.ndarray, state: dict,
+                                interpret: bool = False):
+        """Both dual-path blocks through the VMEM-resident Pallas kernel.
+
+        x: [B, CH, F, K] -> (y [B, CH, F, K], new h1/c1/h2/c2). Requires the
+        kernel-native inter-carry layout ([F, B, H] per block —
+        init_stream_state(dp_kernel=True)).
+        """
+        from ..ops.dual_path_kernel import dual_path_chunk
+
+        B = x.shape[0]
+        xt = x.transpose(3, 2, 0, 1)  # [K, F, B, CH]
+        dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        b_tile = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+                      if B % t == 0)
+        y, h_out, c_out = dual_path_chunk(
+            xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
+            self._dp_kernel_weights(), b_tile=b_tile, interpret=interpret,
+            dot_dtype=dot_dtype)
+        return (y.transpose(2, 3, 1, 0), h_out[0], c_out[0],
+                h_out[1], c_out[1])
+
 

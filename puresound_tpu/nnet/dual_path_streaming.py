@@ -27,19 +27,27 @@ class DualPathStreaming:
                 and not self.skip_conv
                 and not self.spectral_compress)
 
-    def init_stream_state(self, batch: int, dtype=jnp.float32) -> dict:
+    def init_stream_state(self, batch: int, dtype=jnp.float32,
+                          dp_kernel: bool = False) -> dict:
         """Streaming state: 1-frame time context per conv layer (all time
         kernels are 2, causal) + inter-LSTM carries of both DPRNN blocks
-        (+ skip FIFOs when transpose_delay adds per-up-layer lookahead)."""
+        (+ skip FIFOs when transpose_delay adds per-up-layer lookahead).
+
+        dp_kernel=True lays the inter carries out kernel-natively
+        ([F, B, H] per block) for the fused dual-path Pallas kernel."""
         state = self._init_unet_stream_state(batch, dtype)
         Fb = self._stream_freqs()[-1]
         H = self.rnn_hidden
-        carry = lambda: jnp.zeros((1, batch * Fb, H), dtype)
+        if dp_kernel:
+            carry = lambda: jnp.zeros((Fb, batch, H), dtype)
+        else:
+            carry = lambda: jnp.zeros((1, batch * Fb, H), dtype)
         state.update(h1=carry(), c1=carry(), h2=carry(), c2=carry())
         return state
 
     def stream_frames(self, x: jnp.ndarray, state: dict,
-                      fused: bool = False):
+                      fused: bool = False, dp_kernel: bool = False,
+                      interpret: bool = False):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -52,12 +60,22 @@ class DualPathStreaming:
         prepend their 1-frame carry); only the inter (time) LSTM scans —
         and it scans K cheap steps. No per-frame serialization of the
         expensive frequency pass.
+
+        fused=True routes each recurrence through the Pallas lstm_scan.
+        dp_kernel=True (DPCRN only) replaces the WHOLE bottleneck — both
+        dual-path blocks incl. projections/norms/residuals — with one
+        VMEM-resident Pallas kernel (state from
+        init_stream_state(dp_kernel=True)).
         """
         h, skips, new_down = self._stream_down(x, state)
-        h, h1, c1 = self.dprnn_block1.step_chunk(h, state["h1"], state["c1"],
-                                                 fused=fused)
-        h, h2, c2 = self.dprnn_block2.step_chunk(h, state["h2"], state["c2"],
-                                                 fused=fused)
+        if dp_kernel:
+            h, h1, c1, h2, c2 = self.bottleneck_kernel_chunk(
+                h, state, interpret=interpret)
+        else:
+            h, h1, c1 = self.dprnn_block1.step_chunk(
+                h, state["h1"], state["c1"], fused=fused)
+            h, h2, c2 = self.dprnn_block2.step_chunk(
+                h, state["h2"], state["c2"], fused=fused)
         mask, new_up, new_skipq = self._stream_up(h, skips, state)
         new_state = dict(state, down=new_down, up=new_up,
                          h1=h1, c1=c1, h2=h2, c2=c2)

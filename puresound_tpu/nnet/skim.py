@@ -347,18 +347,21 @@ class SkiM(nn.Module):
         return self._output(jnp.swapaxes(y, 1, 2)), state
 
     # ---------------------------------------------- fused streaming (Pallas)
-    def _fused_flags(self):
-        return tuple(bool(self.block_with_embed and self.block_with_embed[i]
-                          and self.embed_dim
-                          and self.embed_fusion.lower() == "film")
+    def _fusion_modes(self):
+        """Per-block conditioning kind for the fused kernel: ""/"film"/"gate"."""
+        if not (self.embed_dim and self.block_with_embed):
+            return ("",) * self.n_blocks
+        kind = self.embed_fusion.lower()
+        return tuple(kind if self.block_with_embed[i] else ""
                      for i in range(self.n_blocks))
 
     def _fused_weights(self):
         """Flat per-block weight tuple for the Pallas streaming kernel."""
         ws = []
         C = self.input_size
+        modes = self._fusion_modes()
         for i in range(self.n_blocks):
-            if self._fused_flags()[i]:
+            if modes[i] == "film":
                 film = self.seg_input_fusion[i]
                 w_s = film.cond_scale.w[:, :, 0]   # [C_out, C+E]
                 w_b = film.cond_bias.w[:, :, 0]
@@ -367,6 +370,22 @@ class SkiM(nn.Module):
                 fg, fb = self._film_norm_params(film)
                 ws.append(fg)
                 ws.append(fb)
+            elif modes[i] == "gate":
+                gate = self.seg_input_fusion[i]
+                Hd = gate.hidden_size
+                gp = lambda conv: conv.w[:, :, 0]
+                ws.append(gp(gate.in_conv).T)                  # win [C, Hd]
+                ws.append(gp(gate.left_conv).T)                # wl [Hd, Hd]
+                ln_l = gate.left_norm.variables["params"]
+                ws.append(ln_l["gamma"])
+                ws.append(ln_l["beta"])
+                ws.append(gate.left_act.variables["params"]["alpha"])
+                ws.append(gp(gate.right_conv)[:, :Hd].T)       # wrx [Hd, Hd]
+                ln_r = gate.right_norm.variables["params"]
+                ws.append(ln_r["gamma"])
+                ws.append(ln_r["beta"])
+                ws.append(gate.right_act.variables["params"]["alpha"])
+                ws.append(gp(gate.out_conv).T)                 # wout [Hd, C]
             cell = self.seg_lstm[i].lstm.fwd
             ws.append(cell.w_ih)
             ws.append(cell.w_hh)
@@ -385,49 +404,58 @@ class SkiM(nn.Module):
         return p["scale"], p["bias"]
 
     def _embed_terms(self, embed, B, dtype):
-        """Frame-invariant FiLM terms per block: se/be [n_blocks, B, C]."""
+        """Frame-invariant conditioning terms per block.
+
+        FiLM: se/be [n_blocks, B, C] (embed columns of cond_scale/bias).
+        Gate: ge [n_blocks, B, Hg] (embed columns of right_conv).
+        """
         C = self.input_size
+        modes = self._fusion_modes()
+        gate_hs = [self.seg_input_fusion[i].hidden_size
+                   for i in range(self.n_blocks) if modes[i] == "gate"]
+        Hg = max(gate_hs) if gate_hs else 1
         se = jnp.zeros((self.n_blocks, B, C), dtype)
         be = jnp.zeros((self.n_blocks, B, C), dtype)
+        ge = jnp.zeros((self.n_blocks, B, Hg), dtype)
         if embed is None:
-            return se, be
+            return se, be, ge
         for i in range(self.n_blocks):
-            if self._fused_flags()[i]:
+            if modes[i] == "film":
                 film = self.seg_input_fusion[i]
                 w_s = film.cond_scale.w[:, C:, 0]  # [C, E]
                 w_b = film.cond_bias.w[:, C:, 0]
                 se = se.at[i].set(embed @ w_s.T)
                 be = be.at[i].set(embed @ w_b.T)
-        return se, be
+            elif modes[i] == "gate":
+                gate = self.seg_input_fusion[i]
+                w_re = gate.right_conv.w[:, gate.hidden_size:, 0]  # [Hd, E]
+                ge = ge.at[i, :, : gate.hidden_size].set(embed @ w_re.T)
+        return se, be, ge
 
     def step_frames_fused(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
                           state: dict, b_tile: int = 256,
                           interpret: bool = False, dot_dtype=jnp.float32):
         """Pallas-fused streaming step: VMEM-resident per-block state.
 
-        Requirements: causal SkiM, FiLM (or no) fusion, F divides seg_size,
-        and the stream batch divides b_tile. Numerically identical to
-        step_frames for chunk-aligned streams.
+        Requirements: causal SkiM, FiLM/Gate (or no) fusion, F divides
+        seg_size, and the stream batch divides b_tile. Numerically identical
+        to step_frames for chunk-aligned streams.
         """
         from ..ops.skim_stream_kernel import fused_skim_frames
 
         assert self.causal, "fused streaming requires a causal SkiM"
-        if (self.embed_dim and self.block_with_embed
-                and any(self.block_with_embed)
-                and self.embed_fusion.lower() != "film"):
-            raise NotImplementedError(
-                "fused streaming supports FiLM fusion only; use step_frames "
-                "for Gate-fused models")
+        modes = self._fusion_modes()
+        assert all(m in ("", "film", "gate") for m in modes), modes
         B, F, C = x.shape
         assert self.seg_size % F == 0, (
             f"chunk frames {F} must divide seg_size {self.seg_size}")
         embed = self._norm_embed(embed)
-        se, be = self._embed_terms(embed, B, x.dtype)
+        se, be, ge = self._embed_terms(embed, B, x.dtype)
         seg_h = jnp.concatenate([h for h in state["seg_h"]], axis=0)  # [n,B,H]
         seg_c = jnp.concatenate([c for c in state["seg_c"]], axis=0)
         y, h_out, c_out = fused_skim_frames(
-            x, se, be, seg_h, seg_c, self._fused_weights(),
-            fused_flags=self._fused_flags(), b_tile=b_tile,
+            x, se, be, ge, seg_h, seg_c, self._fused_weights(),
+            fusion_modes=modes, b_tile=b_tile,
             interpret=interpret, dot_dtype=dot_dtype)
         seg_h = [h_out[i][None] for i in range(self.n_blocks)]
         seg_c = [c_out[i][None] for i in range(self.n_blocks)]

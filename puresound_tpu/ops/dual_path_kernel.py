@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: fused DPCRN dual-path bottleneck (both blocks).
+
+The NS streaming breakdown (round 2) put 70% of the 16 ms chunk step in
+the two DPRNNblock2D blocks: each block round-trips the [B, CH, F, K]
+activation and its [B*K, F, 4H] / [B*F, K, 4H] LSTM intermediates through
+HBM between the intra scan, projections, norms, residuals, and the inter
+scan — ~10.8 ms of the 15.4 ms step at B=2048 (bf16).
+
+This kernel runs BOTH blocks for a whole chunk with everything VMEM
+resident per stream tile:
+
+- grid over stream tiles (b_tile streams per program)
+- per program: the [K, F, bt, CH] activation lives in VMEM scratch across
+  intra fwd/bwd scans, projections, layer norms, residuals, and the inter
+  scan of both blocks — the only HBM traffic is x in, y out, the four
+  inter carries, and one weight read
+- intra scan: fori over F with [bt, CH]x[CH, 4H] + [bt, H]x[H, 4H] MXU
+  dots per step; per-direction outputs accumulate in VMEM scratch
+- intra projection: one [F*bt, H]x[H, CH] dot per direction (MXU)
+- inter scan: K steps over [F*bt, CH] rows (single big MXU dot per step)
+
+Numerics match DPRNNblock2D.step_chunk exactly (LayerNormLast eps 1e-5,
+torch LSTM gate order, double bias). Inter carries use the kernel-native
+[F, B, H] layout (the stock path's [1, B*F, H] is B-outer) — created by
+`init_carries`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _lstm_gates(gates, c, H):
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
+# per-block weight order (18 arrays):
+#   intra fwd: w_ih_f [CH,4H], w_hh_f [H,4H], b_f [4H]
+#   intra bwd: w_ih_b, w_hh_b, b_b
+#   intra proj: pw_f [H,CH], pw_b [H,CH], pb [CH]  (Dense kernel split by dir)
+#   intra norm: ig [CH], ib [CH]
+#   inter: w_ih_i [CH,4H], w_hh_i [H,4H], b_i [4H]
+#   inter proj: pw_i [H,CH], pb_i [CH]
+#   inter norm: tg [CH], tb [CH]
+_PER_BLOCK = 18
+
+
+def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
+    def dot(a, w_ref):
+        return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
+                       preferred_element_type=jnp.float32)
+
+    def kernel(x_ref, *refs):
+        # refs: h_in[b], c_in[b] per block ... weights ... y, h_out[b],
+        # c_out[b], scratch: x_scr [K*F,bt,CH], yf_scr/yb_scr [F,bt,H]
+        n_carry = 2 * n_blocks
+        h_in = refs[:n_blocks]
+        c_in = refs[n_blocks:n_carry]
+        w_refs = refs[n_carry:n_carry + _PER_BLOCK * n_blocks]
+        y_ref = refs[n_carry + _PER_BLOCK * n_blocks]
+        h_out = refs[n_carry + _PER_BLOCK * n_blocks + 1:
+                     n_carry + _PER_BLOCK * n_blocks + 1 + n_blocks]
+        c_out = refs[-3 - n_blocks:-3]
+        x_scr, yf_scr, yb_scr = refs[-3], refs[-2], refs[-1]
+
+        bt = x_ref.shape[2]
+        CH = x_ref.shape[3]
+        # frame-major flat time-freq axis: dynamic indices stay on the
+        # leading axis (Mosaic-safe)
+        x_scr[:] = x_ref[:].astype(jnp.float32).reshape(K * F, bt, CH)
+
+        for b in range(n_blocks):
+            w = {}
+            names = ("w_ih_f", "w_hh_f", "b_f", "w_ih_b", "w_hh_b", "b_b",
+                     "pw_f", "pw_b", "pb", "ig", "ib",
+                     "w_ih_i", "w_hh_i", "b_i", "pw_i", "pb_i", "tg", "tb")
+            for j, name in enumerate(names):
+                w[name] = w_refs[b * _PER_BLOCK + j]
+
+            # ---------------- intra (frequency) pass, per frame ----------
+            for k in range(K):  # K is small and static (chunk frames)
+                base = k * F
+                zero = jnp.zeros((bt, H), jnp.float32)
+
+                def fwd_step(f, carry, _base=base):
+                    h, c = carry
+                    xt = x_scr[_base + f]
+                    gates = (dot(xt, w["w_ih_f"]) + dot(h, w["w_hh_f"])
+                             + w["b_f"][:])
+                    h, c = _lstm_gates(gates, c, H)
+                    yf_scr[f] = h
+                    return (h, c)
+
+                def bwd_step(i, carry, _base=base):
+                    h, c = carry
+                    f = F - 1 - i
+                    xt = x_scr[_base + f]
+                    gates = (dot(xt, w["w_ih_b"]) + dot(h, w["w_hh_b"])
+                             + w["b_b"][:])
+                    h, c = _lstm_gates(gates, c, H)
+                    yb_scr[f] = h
+                    return (h, c)
+
+                jax.lax.fori_loop(0, F, fwd_step, (zero, zero))
+                jax.lax.fori_loop(0, F, bwd_step, (zero, zero))
+
+                # projection of both directions + LN + residual (one shot
+                # over all F rows)
+                yf = yf_scr[:].reshape(F * bt, H)
+                yb = yb_scr[:].reshape(F * bt, H)
+                t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
+                t = _ln(t, w["ig"][:], w["ib"][:])
+                x_scr[base:base + F] = (x_scr[base:base + F]
+                                        + t.reshape(F, bt, CH))
+
+            # ---------------- inter (time) pass, K carried steps ----------
+            h = h_in[b][:].astype(jnp.float32).reshape(F * bt, H)
+            c = c_in[b][:].astype(jnp.float32).reshape(F * bt, H)
+            for k in range(K):
+                base = k * F
+                rows = x_scr[base:base + F].reshape(F * bt, CH)
+                gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
+                         + w["b_i"][:])
+                h, c = _lstm_gates(gates, c, H)
+                t = dot(h, w["pw_i"]) + w["pb_i"][:]
+                t = _ln(t, w["tg"][:], w["tb"][:])
+                x_scr[base:base + F] = (x_scr[base:base + F]
+                                        + t.reshape(F, bt, CH))
+            h_out[b][:] = h.reshape(F, bt, H).astype(h_out[b].dtype)
+            c_out[b][:] = c.reshape(F, bt, H).astype(c_out[b].dtype)
+
+        y_ref[:] = x_scr[:].reshape(K, F, bt, CH).astype(y_ref.dtype)
+
+    return kernel
+
+
+def init_carries(n_blocks: int, F: int, batch: int, H: int,
+                 dtype=jnp.float32):
+    """Kernel-native inter-LSTM carries: per block (h, c) of [F, B, H]."""
+    z = lambda: jnp.zeros((F, batch, H), dtype)
+    return [z() for _ in range(n_blocks)], [z() for _ in range(n_blocks)]
+
+
+@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype"))
+def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
+                    interpret: bool = False, dot_dtype=jnp.float32):
+    """Run a chunk through all dual-path blocks with VMEM-resident state.
+
+    Args:
+        x: [K, F, B, CH] bottleneck activations (frame-major).
+        h_in/c_in: per-block lists of [F, B, H] inter carries.
+        weights: flat tuple, _PER_BLOCK arrays per block (see module doc).
+
+    Returns: (y [K, F, B, CH], h_out, c_out — same structure as h_in).
+    """
+    K, F, B, CH = x.shape
+    n_blocks = len(h_in)
+    H = h_in[0].shape[-1]
+    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
+    n_tiles = B // b_tile
+
+    kernel = _make_kernel(n_blocks, K, F, H, dot_dtype)
+
+    grid = (n_tiles,)
+    specs_x = pl.BlockSpec((K, F, b_tile, CH), lambda i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_carry = pl.BlockSpec((F, b_tile, H), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                                     memory_space=pltpu.VMEM))
+
+    out_shape = ([jax.ShapeDtypeStruct((K, F, B, CH), x.dtype)]
+                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
+                    for _ in range(2 * n_blocks)])
+    out_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
+
+    scratch_shapes = [
+        pltpu.VMEM((K * F, b_tile, CH), jnp.float32),
+        pltpu.VMEM((F, b_tile, H), jnp.float32),
+        pltpu.VMEM((F, b_tile, H), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(x, *h_in, *c_in, *weights)
+    y = outs[0]
+    h_out = list(outs[1:1 + n_blocks])
+    c_out = list(outs[1 + n_blocks:])
+    return y, h_out, c_out

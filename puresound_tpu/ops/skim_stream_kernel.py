@@ -37,10 +37,16 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
+def _prelu(x, alpha):
+    """PReLU with a single learnable slope (alpha ref shape [1])."""
+    return jnp.maximum(x, 0.0) + alpha * jnp.minimum(x, 0.0)
+
+
+def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                  dot_dtype=jnp.float32):
     """Build the kernel body for a static (n_blocks, F, fusion pattern).
 
+    fusion_modes: per-block "" (no conditioning), "film", or "gate".
     dot_dtype=bfloat16 runs the gate/proj matmuls with bf16 inputs
     (f32 accumulation, f32 state) — ~2x MXU throughput for serving."""
 
@@ -48,9 +54,10 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
         return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
                        preferred_element_type=jnp.float32)
 
-    def kernel(x_ref, se_ref, be_ref, h_in_ref, c_in_ref,
+    def kernel(x_ref, se_ref, be_ref, ge_ref, h_in_ref, c_in_ref,
                # per-block weight refs, flattened:
-               # [film: wsx, wbx, fg, fb] (only for fused blocks)
+               # [film: wsx, wbx, fg, fb]  (film-fused blocks)
+               # [gate: win, wl, lg, lb, la, wrx, rg, rb, ra, wout]
                # [lstm: w_ih, w_hh, b, proj_w, proj_b, ln_g, ln_b]
                # then outputs (y, h_out, c_out) and scratch (h, c)
                *refs):
@@ -63,11 +70,13 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
         idx = 0
         for i in range(n_blocks):
             entry = {}
-            if fused_flags[i]:
-                entry["wsx"] = weight_refs[idx]; idx += 1
-                entry["wbx"] = weight_refs[idx]; idx += 1
-                entry["fg"] = weight_refs[idx]; idx += 1
-                entry["fb"] = weight_refs[idx]; idx += 1
+            if fusion_modes[i] == "film":
+                for name in ("wsx", "wbx", "fg", "fb"):
+                    entry[name] = weight_refs[idx]; idx += 1
+            elif fusion_modes[i] == "gate":
+                for name in ("g_win", "g_wl", "g_lg", "g_lb", "g_la",
+                             "g_wrx", "g_rg", "g_rb", "g_ra", "g_wout"):
+                    entry[name] = weight_refs[idx]; idx += 1
             entry["w_ih"] = weight_refs[idx]; idx += 1
             entry["w_hh"] = weight_refs[idx]; idx += 1
             entry["b"] = weight_refs[idx]; idx += 1
@@ -87,12 +96,30 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
             x = x_ref[t].astype(jnp.float32)  # [Bt, C]
             for i in range(n_blocks):
                 blk = blocks[i]
-                if fused_flags[i]:
+                if fusion_modes[i] == "film":
                     xn = _ln(x, blk["fg"][:].astype(jnp.float32),
                              blk["fb"][:].astype(jnp.float32))
                     scale = dot(xn, blk["wsx"]) + se_ref[i].astype(jnp.float32)
                     bias = dot(xn, blk["wbx"]) + be_ref[i].astype(jnp.float32)
                     x = scale * xn + bias
+                elif fusion_modes[i] == "gate":
+                    # Gate (trivial.py:61-126): u = in_conv(x);
+                    # left = PReLU(cLN(left_conv(u)));
+                    # right = sigmoid(PReLU(cLN(right_conv([u; e]))));
+                    # x += out_conv(left * right).  The embed branch of
+                    # right_conv is frame-invariant (ge).  cLN over the
+                    # channel axis of a 1-frame tensor == LN over features
+                    # (eps 1e-8, norm.py:28).
+                    u = dot(x, blk["g_win"])
+                    left = _prelu(
+                        _ln(dot(u, blk["g_wl"]), blk["g_lg"][:],
+                            blk["g_lb"][:], eps=1e-8),
+                        blk["g_la"][:].astype(jnp.float32))
+                    right = jax.nn.sigmoid(_prelu(
+                        _ln(dot(u, blk["g_wrx"]) + ge_ref[i].astype(jnp.float32),
+                            blk["g_rg"][:], blk["g_rb"][:], eps=1e-8),
+                        blk["g_ra"][:].astype(jnp.float32)))
+                    x = x + dot(left * right, blk["g_wout"])
                 h = h_scr[i]
                 c = c_scr[i]
                 gates = (dot(x, blk["w_ih"]) + dot(h, blk["w_hh"])
@@ -118,32 +145,37 @@ def _make_kernel(n_blocks: int, F: int, fused_flags: Sequence[bool],
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fused_flags", "b_tile", "interpret", "dot_dtype"))
-def fused_skim_frames(x, se, be, seg_h, seg_c, weights,
-                      fused_flags: tuple, b_tile: int = 256,
+@functools.partial(jax.jit, static_argnames=("fusion_modes", "b_tile", "interpret", "dot_dtype"))
+def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
+                      fusion_modes: tuple, b_tile: int = 256,
                       interpret: bool = False, dot_dtype=jnp.float32):
     """Run F frames through all SkiM blocks with VMEM-resident state.
 
     Args:
         x: [B, F, C] input frames.
         se/be: [n_blocks, B, C] frame-invariant FiLM embed terms (zeros for
-            non-fused blocks).
+            non-film blocks).
+        ge: [n_blocks, B, Hg] frame-invariant Gate embed branch
+            (right_conv's embed columns applied to the d-vector; zeros for
+            non-gate blocks; Hg=1 dummy when no gate block exists).
         seg_h/seg_c: [n_blocks, B, H] SegLSTM carries.
         weights: flat tuple of per-block weight arrays, ordered as
-            (for each block) [wsx, wbx, fg, fb]? + [w_ih, w_hh, b,
-            proj_w, proj_b, ln_g, ln_b].
-        fused_flags: static tuple marking FiLM blocks.
+            (for each block) [wsx, wbx, fg, fb] (film) or
+            [win, wl, lg, lb, la, wrx, rg, rb, ra, wout] (gate), then
+            [w_ih, w_hh, b, proj_w, proj_b, ln_g, ln_b].
+        fusion_modes: static tuple of "" | "film" | "gate" per block.
 
     Returns: (y [B, F, C], seg_h' [n_blocks, B, H], seg_c').
     """
     B, F, C = x.shape
     n_blocks, _, H = seg_h.shape
+    Hg = ge.shape[-1]
     assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
     n_tiles = B // b_tile
 
     x_t = jnp.swapaxes(x, 0, 1)  # [F, B, C] — frame-major for per-frame reads
 
-    kernel = _make_kernel(n_blocks, F, fused_flags, dot_dtype=dot_dtype)
+    kernel = _make_kernel(n_blocks, F, fusion_modes, dot_dtype=dot_dtype)
 
     grid = (n_tiles,)
     in_specs = [
@@ -153,6 +185,8 @@ def fused_skim_frames(x, se, be, seg_h, seg_c, weights,
                      memory_space=pltpu.VMEM),              # se
         pl.BlockSpec((n_blocks, b_tile, C), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),              # be
+        pl.BlockSpec((n_blocks, b_tile, Hg), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),              # ge
         pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),              # h in
         pl.BlockSpec((n_blocks, b_tile, H), lambda i: (0, i, 0),
@@ -190,5 +224,5 @@ def fused_skim_frames(x, se, be, seg_h, seg_c, weights,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(x_t, se, be, seg_h, seg_c, *weights)
+    )(x_t, se, be, ge, seg_h, seg_c, *weights)
     return jnp.swapaxes(y, 0, 1), h_out, c_out

@@ -100,7 +100,8 @@ class StreamingNS(nn.Module):
                 x = layer(x)
         return x.squeeze(-1)
 
-    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+    def init_state(self, batch: int, dtype=jnp.float32,
+                   dp_kernel: bool = False) -> dict:
         tail = self._n_fft - self._hop
         # steady-state periodic window-sum-square normalizer (one hop period)
         from ..dsp.stft import hann_window
@@ -110,11 +111,12 @@ class StreamingNS(nn.Module):
         for k in range(self._n_fft // self._hop):
             wsum += win[k * self._hop : (k + 1) * self._hop]
         self_norm = jnp.asarray(wsum.astype(np.float32))
+        masker_kw = {"dp_kernel": True} if dp_kernel else {}
         state = {
             "enc_tail": jnp.zeros((batch, tail), dtype),
             "ola_tail": jnp.zeros((batch, tail), dtype),
             "wsum": self_norm,
-            "masker": self.masker.init_stream_state(batch, dtype),
+            "masker": self.masker.init_stream_state(batch, dtype, **masker_kw),
         }
         if self._mask_delay > 0:
             # lookahead maskers emit mask[t - delay] at time t; delay the
@@ -125,13 +127,16 @@ class StreamingNS(nn.Module):
 
     def step(self, chunk: jnp.ndarray, state: dict,
              dvec: Optional[jnp.ndarray] = None,
-             fused: bool = False) -> Tuple[jnp.ndarray, dict]:
+             fused: bool = False,
+             dp_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
         n_fft - hop (+ stream_delay_frames * hop) samples vs the input.
         fused=True routes the masker's recurrences through the Pallas
-        VMEM-resident LSTM scan (DPCRN/DPARN maskers).
+        VMEM-resident LSTM scan (DPCRN/DPARN maskers). dp_kernel=True
+        (DPCRN only) fuses the whole dual-path bottleneck into one Pallas
+        kernel (state from init_state(dp_kernel=True)).
         """
         n_fft, hop = self._n_fft, self._hop
         B, S = chunk.shape
@@ -149,6 +154,8 @@ class StreamingNS(nn.Module):
 
         # --- mask
         kw = {"fused": True} if fused else {}
+        if dp_kernel:
+            kw = {"dp_kernel": True}
         if dvec is not None:
             mask, masker_state = self.masker.stream_frames(
                 ri, state["masker"], dvec, **kw)
