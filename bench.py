@@ -405,6 +405,13 @@ def main():
                 "f32_roofline": roof32,
                 "bf16_roofline": roof16,
             }
+            # throughput scaling: larger batch amortizes the launch/HBM
+            # overhead of the small (6.4M param) model
+            ms_b, sps_b, roof_b = measure_train(mixed=True, B=64)
+            detail["train_step"]["bf16_B64_ms"] = round(ms_b, 2)
+            detail["train_step"]["audio_seconds_per_second_bf16_B64"] = (
+                round(sps_b / 1000.0, 1))
+            detail["train_step"]["bf16_B64_roofline"] = roof_b
         except Exception as e:
             detail["train_step"] = f"failed: {type(e).__name__}"
 

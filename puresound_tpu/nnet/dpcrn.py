@@ -152,7 +152,8 @@ class DPCRN(DualPathStreaming, Unet):
         return tuple(ws)
 
     def bottleneck_kernel_chunk(self, x: jnp.ndarray, state: dict,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                b_tile: int = 0):
         """Both dual-path blocks through the VMEM-resident Pallas kernel.
 
         x: [B, CH, F, K] -> (y [B, CH, F, K], new h1/c1/h2/c2). Requires the
@@ -164,8 +165,11 @@ class DPCRN(DualPathStreaming, Unet):
         B = x.shape[0]
         xt = x.transpose(3, 2, 0, 1)  # [K, F, B, CH]
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-        b_tile = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1)
-                      if B % t == 0)
+        if not b_tile:
+            # 128 streams/tile keeps scratch (x + 2 direction buffers, f32)
+            # within VMEM alongside the weights at the default limit
+            b_tile = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1)
+                          if B % t == 0)
         y, h_out, c_out = dual_path_chunk(
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
             self._dp_kernel_weights(), b_tile=b_tile, interpret=interpret,

@@ -204,6 +204,8 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *h_in, *c_in, *weights)
     y = outs[0]
