@@ -163,7 +163,7 @@ class DPCRN(DualPathStreaming, Unet):
         from ..ops.dual_path_kernel import dual_path_chunk
 
         B = x.shape[0]
-        xt = x.transpose(3, 2, 0, 1)  # [K, F, B, CH]
+        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, CH]
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         if not b_tile:
             # 128 streams/tile keeps scratch (x + 2 direction buffers, f32)
@@ -174,7 +174,7 @@ class DPCRN(DualPathStreaming, Unet):
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
             self._dp_kernel_weights(), b_tile=b_tile, interpret=interpret,
             dot_dtype=dot_dtype)
-        return (y.transpose(2, 3, 1, 0), h_out[0], c_out[0],
+        return (y.transpose(2, 3, 0, 1), h_out[0], c_out[0],
                 h_out[1], c_out[1])
 
 

@@ -67,7 +67,7 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
 
     def kernel(x_ref, *refs):
         # refs: h_in[b], c_in[b] per block ... weights ... y, h_out[b],
-        # c_out[b], scratch: x_scr [K*F,bt,CH], yf_scr/yb_scr [F,bt,H]
+        # c_out[b], scratch: x_scr [F,K*bt,CH], yf_scr/yb_scr [F,K*bt,H]
         n_carry = 2 * n_blocks
         h_in = refs[:n_blocks]
         c_in = refs[n_blocks:n_carry]
@@ -80,9 +80,12 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
 
         bt = x_ref.shape[2]
         CH = x_ref.shape[3]
-        # frame-major flat time-freq axis: dynamic indices stay on the
-        # leading axis (Mosaic-safe)
-        x_scr[:] = x_ref[:].astype(jnp.float32).reshape(K * F, bt, CH)
+        R = K * bt  # rows per intra step: both frames' streams batch together
+        # x arrives [F, K, bt, CH]; flatten (K, bt) so every dynamic index
+        # stays on the leading axis (Mosaic-safe) and each serial scan step
+        # carries K*bt rows — 4x fewer sequential iterations than scanning
+        # per frame per direction.
+        x_scr[:] = x_ref[:].astype(jnp.float32).reshape(F, R, CH)
 
         for b in range(n_blocks):
             w = {}
@@ -92,59 +95,48 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
             for j, name in enumerate(names):
                 w[name] = w_refs[b * _PER_BLOCK + j]
 
-            # ---------------- intra (frequency) pass, per frame ----------
-            for k in range(K):  # K is small and static (chunk frames)
-                base = k * F
-                zero = jnp.zeros((bt, H), jnp.float32)
+            # -------- intra (frequency) pass: fwd + bwd fused per step ----
+            zero = jnp.zeros((R, H), jnp.float32)
 
-                def fwd_step(f, carry, _base=base):
-                    h, c = carry
-                    xt = x_scr[_base + f]
-                    gates = (dot(xt, w["w_ih_f"]) + dot(h, w["w_hh_f"])
-                             + w["b_f"][:])
-                    h, c = _lstm_gates(gates, c, H)
-                    yf_scr[f] = h
-                    return (h, c)
+            def intra_step(f, carry):
+                hf, cf, hb, cb = carry
+                xf = x_scr[f]
+                gf = dot(xf, w["w_ih_f"]) + dot(hf, w["w_hh_f"]) + w["b_f"][:]
+                hf, cf = _lstm_gates(gf, cf, H)
+                yf_scr[f] = hf
+                fb = F - 1 - f
+                xb = x_scr[fb]
+                gb = dot(xb, w["w_ih_b"]) + dot(hb, w["w_hh_b"]) + w["b_b"][:]
+                hb, cb = _lstm_gates(gb, cb, H)
+                yb_scr[fb] = hb
+                return (hf, cf, hb, cb)
 
-                def bwd_step(i, carry, _base=base):
-                    h, c = carry
-                    f = F - 1 - i
-                    xt = x_scr[_base + f]
-                    gates = (dot(xt, w["w_ih_b"]) + dot(h, w["w_hh_b"])
-                             + w["b_b"][:])
-                    h, c = _lstm_gates(gates, c, H)
-                    yb_scr[f] = h
-                    return (h, c)
+            jax.lax.fori_loop(0, F, intra_step, (zero, zero, zero, zero))
 
-                jax.lax.fori_loop(0, F, fwd_step, (zero, zero))
-                jax.lax.fori_loop(0, F, bwd_step, (zero, zero))
-
-                # projection of both directions + LN + residual (one shot
-                # over all F rows)
-                yf = yf_scr[:].reshape(F * bt, H)
-                yb = yb_scr[:].reshape(F * bt, H)
-                t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
-                t = _ln(t, w["ig"][:], w["ib"][:])
-                x_scr[base:base + F] = (x_scr[base:base + F]
-                                        + t.reshape(F, bt, CH))
+            # projection of both directions + LN + residual, all rows at once
+            yf = yf_scr[:].reshape(F * R, H)
+            yb = yb_scr[:].reshape(F * R, H)
+            t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
+            t = _ln(t, w["ig"][:], w["ib"][:])
+            x_scr[:] = x_scr[:] + t.reshape(F, R, CH)
 
             # ---------------- inter (time) pass, K carried steps ----------
             h = h_in[b][:].astype(jnp.float32).reshape(F * bt, H)
             c = c_in[b][:].astype(jnp.float32).reshape(F * bt, H)
             for k in range(K):
-                base = k * F
-                rows = x_scr[base:base + F].reshape(F * bt, CH)
+                rows = x_scr[:, k * bt:(k + 1) * bt, :].reshape(F * bt, CH)
                 gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
                          + w["b_i"][:])
                 h, c = _lstm_gates(gates, c, H)
                 t = dot(h, w["pw_i"]) + w["pb_i"][:]
                 t = _ln(t, w["tg"][:], w["tb"][:])
-                x_scr[base:base + F] = (x_scr[base:base + F]
-                                        + t.reshape(F, bt, CH))
+                x_scr[:, k * bt:(k + 1) * bt, :] = (
+                    x_scr[:, k * bt:(k + 1) * bt, :]
+                    + t.reshape(F, bt, CH))
             h_out[b][:] = h.reshape(F, bt, H).astype(h_out[b].dtype)
             c_out[b][:] = c.reshape(F, bt, H).astype(c_out[b].dtype)
 
-        y_ref[:] = x_scr[:].reshape(K, F, bt, CH).astype(y_ref.dtype)
+        y_ref[:] = x_scr[:].reshape(F, K, bt, CH).astype(y_ref.dtype)
 
     return kernel
 
@@ -162,13 +154,13 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
     """Run a chunk through all dual-path blocks with VMEM-resident state.
 
     Args:
-        x: [K, F, B, CH] bottleneck activations (frame-major).
+        x: [F, K, B, CH] bottleneck activations (freq-major).
         h_in/c_in: per-block lists of [F, B, H] inter carries.
         weights: flat tuple, _PER_BLOCK arrays per block (see module doc).
 
-    Returns: (y [K, F, B, CH], h_out, c_out — same structure as h_in).
+    Returns: (y [F, K, B, CH], h_out, c_out — same structure as h_in).
     """
-    K, F, B, CH = x.shape
+    F, K, B, CH = x.shape
     n_blocks = len(h_in)
     H = h_in[0].shape[-1]
     assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
@@ -177,7 +169,7 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
     kernel = _make_kernel(n_blocks, K, F, H, dot_dtype)
 
     grid = (n_tiles,)
-    specs_x = pl.BlockSpec((K, F, b_tile, CH), lambda i: (0, 0, i, 0),
+    specs_x = pl.BlockSpec((F, K, b_tile, CH), lambda i: (0, 0, i, 0),
                            memory_space=pltpu.VMEM)
     spec_carry = pl.BlockSpec((F, b_tile, H), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
@@ -186,15 +178,15 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
         in_specs.append(pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
                                      memory_space=pltpu.VMEM))
 
-    out_shape = ([jax.ShapeDtypeStruct((K, F, B, CH), x.dtype)]
+    out_shape = ([jax.ShapeDtypeStruct((F, K, B, CH), x.dtype)]
                  + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
                     for _ in range(2 * n_blocks)])
     out_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
 
     scratch_shapes = [
-        pltpu.VMEM((K * F, b_tile, CH), jnp.float32),
-        pltpu.VMEM((F, b_tile, H), jnp.float32),
-        pltpu.VMEM((F, b_tile, H), jnp.float32),
+        pltpu.VMEM((F, K * b_tile, CH), jnp.float32),
+        pltpu.VMEM((F, K * b_tile, H), jnp.float32),
+        pltpu.VMEM((F, K * b_tile, H), jnp.float32),
     ]
 
     outs = pl.pallas_call(
