@@ -103,22 +103,26 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
                 xf = x_scr[f]
                 gf = dot(xf, w["w_ih_f"]) + dot(hf, w["w_hh_f"]) + w["b_f"][:]
                 hf, cf = _lstm_gates(gf, cf, H)
-                yf_scr[f] = hf
+                yf_scr[f] = hf.astype(yf_scr.dtype)
                 fb = F - 1 - f
                 xb = x_scr[fb]
                 gb = dot(xb, w["w_ih_b"]) + dot(hb, w["w_hh_b"]) + w["b_b"][:]
                 hb, cb = _lstm_gates(gb, cb, H)
-                yb_scr[fb] = hb
+                yb_scr[fb] = hb.astype(yb_scr.dtype)
                 return (hf, cf, hb, cb)
 
             jax.lax.fori_loop(0, F, intra_step, (zero, zero, zero, zero))
 
-            # projection of both directions + LN + residual, all rows at once
-            yf = yf_scr[:].reshape(F * R, H)
-            yb = yb_scr[:].reshape(F * R, H)
-            t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
-            t = _ln(t, w["ig"][:], w["ib"][:])
-            x_scr[:] = x_scr[:] + t.reshape(F, R, CH)
+            # projection of both directions + LN + residual; chunked over F
+            # to bound the Mosaic stack temporaries (VMEM)
+            n_pchunk = 2 if F % 2 == 0 else 1
+            pc = F // n_pchunk
+            for p0 in range(0, F, pc):
+                yf = yf_scr[p0:p0 + pc].reshape(pc * R, H)
+                yb = yb_scr[p0:p0 + pc].reshape(pc * R, H)
+                t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
+                t = _ln(t, w["ig"][:], w["ib"][:])
+                x_scr[p0:p0 + pc] = x_scr[p0:p0 + pc] + t.reshape(pc, R, CH)
 
             # ---------------- inter (time) pass, K carried steps ----------
             h = h_in[b][:].astype(jnp.float32).reshape(F * bt, H)
@@ -183,10 +187,13 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
                     for _ in range(2 * n_blocks)])
     out_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
 
+    # direction buffers only feed the (dot_dtype) projection dots — store
+    # them at dot precision to halve their VMEM in serving mode
+    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
     scratch_shapes = [
         pltpu.VMEM((F, K * b_tile, CH), jnp.float32),
-        pltpu.VMEM((F, K * b_tile, H), jnp.float32),
-        pltpu.VMEM((F, K * b_tile, H), jnp.float32),
+        pltpu.VMEM((F, K * b_tile, H), scr_dt),
+        pltpu.VMEM((F, K * b_tile, H), scr_dt),
     ]
 
     outs = pl.pallas_call(

@@ -32,6 +32,7 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
                   chunk_ms: float = 16.0,
                   dvec: Optional[np.ndarray] = None,
                   half: bool = False, fused: bool = False,
+                  dp_kernel: bool = False,
                   ) -> Tuple[np.ndarray, float]:
     """Stream `wav` [L] through `engine` chunk by chunk.
 
@@ -41,6 +42,8 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
 
     half=True serves in bfloat16 (params + state; see streaming/halfprec).
     fused=True routes STFT-engine recurrences through the Pallas scan.
+    dp_kernel=True (DPCRN engines) fuses the whole dual-path bottleneck
+    into one VMEM-resident Pallas kernel (fastest serving path).
     """
     import jax.numpy as jnp
 
@@ -61,6 +64,8 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     x[0, :L] = wav
 
     kw = {"fused": True} if fused else {}
+    if dp_kernel:
+        kw = {"dp_kernel": True}
     if isinstance(engine, StreamingNS):
         if dvec is not None:
             step = jax.jit(lambda v, c, s, d: engine.apply(
@@ -81,8 +86,10 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     else:
         raise TypeError(f"unknown streaming engine {type(engine)}")
 
+    init_kw = {"dp_kernel": True} if dp_kernel else {}
     init_state = lambda: engine.apply(variables, 1, dt,
-                                      method=type(engine).init_state)
+                                      method=type(engine).init_state,
+                                      **init_kw)
     # warm-up compile, then stream for real
     y, _ = run(jnp.zeros((1, chunk), dt), init_state())
     y.block_until_ready()
