@@ -166,10 +166,10 @@ class DPCRN(DualPathStreaming, Unet):
         xt = x.transpose(2, 3, 0, 1)  # [F, K, B, CH]
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         if not b_tile:
-            # 64 streams/tile (x2 frames = 128 rows/scan step) is the
-            # largest tile whose scratch + Mosaic stack temporaries fit the
-            # 100 MB scoped-VMEM budget (128 needs ~104 MB)
-            b_tile = next(t for t in (64, 32, 16, 8, 4, 2, 1)
+            # 128 streams/tile (x2 frames = 256 rows/scan step) fits the
+            # 100 MB scoped-VMEM budget with the chunked proj/inter
+            # temporaries (unchunked needed ~104 MB)
+            b_tile = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1)
                           if B % t == 0)
         y, h_out, c_out = dual_path_chunk(
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],

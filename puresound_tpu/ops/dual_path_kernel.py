@@ -115,7 +115,7 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
 
             # projection of both directions + LN + residual; chunked over F
             # to bound the Mosaic stack temporaries (VMEM)
-            n_pchunk = 2 if F % 2 == 0 else 1
+            n_pchunk = 4 if F % 4 == 0 else (2 if F % 2 == 0 else 1)
             pc = F // n_pchunk
             for p0 in range(0, F, pc):
                 yf = yf_scr[p0:p0 + pc].reshape(pc * R, H)
@@ -125,20 +125,26 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
                 x_scr[p0:p0 + pc] = x_scr[p0:p0 + pc] + t.reshape(pc, R, CH)
 
             # ---------------- inter (time) pass, K carried steps ----------
-            h = h_in[b][:].astype(jnp.float32).reshape(F * bt, H)
-            c = c_in[b][:].astype(jnp.float32).reshape(F * bt, H)
-            for k in range(K):
-                rows = x_scr[:, k * bt:(k + 1) * bt, :].reshape(F * bt, CH)
-                gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
-                         + w["b_i"][:])
-                h, c = _lstm_gates(gates, c, H)
-                t = dot(h, w["pw_i"]) + w["pb_i"][:]
-                t = _ln(t, w["tg"][:], w["tb"][:])
-                x_scr[:, k * bt:(k + 1) * bt, :] = (
-                    x_scr[:, k * bt:(k + 1) * bt, :]
-                    + t.reshape(F, bt, CH))
-            h_out[b][:] = h.reshape(F, bt, H).astype(h_out[b].dtype)
-            c_out[b][:] = c.reshape(F, bt, H).astype(c_out[b].dtype)
+            # rows are (freq, stream)-independent: process F in halves to
+            # keep the [rows, 4H] gate temporaries inside the VMEM budget
+            n_ichunk = 2 if F % 2 == 0 else 1
+            ic = F // n_ichunk
+            for p0 in range(0, F, ic):
+                h = h_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+                c = c_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+                for k in range(K):
+                    rows = x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :].reshape(
+                        ic * bt, CH)
+                    gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
+                             + w["b_i"][:])
+                    h, c = _lstm_gates(gates, c, H)
+                    t = dot(h, w["pw_i"]) + w["pb_i"][:]
+                    t = _ln(t, w["tg"][:], w["tb"][:])
+                    x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :] = (
+                        x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :]
+                        + t.reshape(ic, bt, CH))
+                h_out[b][p0:p0 + ic] = h.reshape(ic, bt, H).astype(h_out[b].dtype)
+                c_out[b][p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out[b].dtype)
 
         y_ref[:] = x_scr[:].reshape(F, K, bt, CH).astype(y_ref.dtype)
 
