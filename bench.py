@@ -334,6 +334,7 @@ def main():
     fused = not os.environ.get("BENCH_NO_FUSED") and on_tpu
     dtype = (jnp.bfloat16 if fused and not os.environ.get("BENCH_F32")
              else jnp.float32)
+    smoke = bool(os.environ.get("BENCH_SMOKE"))  # tiny CPU sanity pass
 
     last = {}
 
@@ -344,8 +345,10 @@ def main():
         last[B] = (step, args, ms)
         return ms
 
+    tse_batches = (8, 16) if smoke else (8192, 16384, 32768)
     best_B, best_ms, tse_results = search_capacity(
-        tse_measure, chunk_ms, (8192, 16384, 32768), granularity=2048)
+        tse_measure, 1e9 if smoke else chunk_ms, tse_batches,
+        granularity=8 if smoke else 2048)
     if best_B == 0:  # even the smallest batch missed; report fractional
         B0, ms0 = tse_results[0]
         value = B0 * chunk_ms / ms0
@@ -366,7 +369,7 @@ def main():
             detail["tse_roofline"] = f"unavailable: {type(e).__name__}"
 
     # ---------------- NS streaming capacity --------------------------------
-    if on_tpu and not os.environ.get("BENCH_SKIP_NS"):
+    if (on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS"):
         try:
             ns_engine, ns_vars = build_ns_engine()
             ns_last = {}
@@ -377,7 +380,9 @@ def main():
                 return ms
 
             ns_B, ns_ms, ns_results = search_capacity(
-                ns_measure, 16.0, (2048, 4096, 8192), granularity=512)
+                ns_measure, 1e9 if smoke else 16.0,
+                (2, 4) if smoke else (2048, 4096, 8192),
+                granularity=2 if smoke else 512)
             detail["ns_streams_per_chip"] = ns_B
             detail["ns_step_ms"] = round(ns_ms, 3)
             detail["ns_chunk_ms"] = 16.0
@@ -395,28 +400,34 @@ def main():
     # ---------------- training throughput ----------------------------------
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
-            ms32, sps32, roof32 = measure_train(mixed=False)
-            ms16, sps16, roof16 = measure_train(mixed=True)
+            t_B, t_sec = (2, 0.5) if smoke else (8, 2.0)
+            ms32, sps32, roof32 = measure_train(mixed=False, B=t_B,
+                                                seconds=t_sec)
+            ms16, sps16, roof16 = measure_train(mixed=True, B=t_B,
+                                                seconds=t_sec)
             detail["train_step"] = {
-                "batch": "8x2s",
+                "batch": f"{t_B}x{t_sec}s",
                 "f32_ms": round(ms32, 2),
                 "mixed_bf16_ms": round(ms16, 2),
                 "audio_seconds_per_second_bf16": round(sps16 / 1000.0, 1),
                 "f32_roofline": roof32,
                 "bf16_roofline": roof16,
             }
-            # throughput scaling: larger batch amortizes the launch/HBM
-            # overhead of the small (6.4M param) model
-            ms_b, sps_b, roof_b = measure_train(mixed=True, B=64)
-            detail["train_step"]["bf16_B64_ms"] = round(ms_b, 2)
-            detail["train_step"]["audio_seconds_per_second_bf16_B64"] = (
-                round(sps_b / 1000.0, 1))
-            detail["train_step"]["bf16_B64_roofline"] = roof_b
+            if not smoke:
+                # throughput scaling: larger batch amortizes the launch/HBM
+                # overhead of the small (6.4M param) model
+                ms_b, sps_b, roof_b = measure_train(mixed=True, B=64)
+                detail["train_step"]["bf16_B64_ms"] = round(ms_b, 2)
+                detail["train_step"]["audio_seconds_per_second_bf16_B64"] = (
+                    round(sps_b / 1000.0, 1))
+                detail["train_step"]["bf16_B64_roofline"] = roof_b
         except Exception as e:
             detail["train_step"] = f"failed: {type(e).__name__}"
 
     try:
-        detail["denoise_rtf_single_stream"] = round(measure_denoise_rtf(), 1)
+        detail["denoise_rtf_single_stream"] = round(
+            measure_denoise_rtf(seconds=1.0 if smoke else 10.0,
+                                iters=2 if smoke else 10), 1)
         detail["denoise_rtf_target"] = 20.0
     except Exception:
         pass

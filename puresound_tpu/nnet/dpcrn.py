@@ -160,8 +160,11 @@ class DPCRN(DualPathStreaming, Unet):
         kernel-native inter-carry layout ([F, B, H] per block —
         init_stream_state(dp_kernel=True)).
         """
+        import jax as _jax
+
         from ..ops.dual_path_kernel import dual_path_chunk
 
+        interpret = interpret or _jax.default_backend() == "cpu"
         B = x.shape[0]
         xt = x.transpose(2, 3, 0, 1)  # [F, K, B, CH]
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
