@@ -62,15 +62,24 @@ def build_engine():
                         speaker_net=speaker_net, mask_constraint="ReLU")
 
 
-def _timeit(step, args, iters=30):
+def _sync(out):
+    """True-completion sync: fetch one element to the host. (The tunneled
+    TPU backend has been observed returning from block_until_ready before
+    execution completes; a value fetch cannot lie.)"""
     import jax
+    import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def _timeit(step, args, iters=30):
     out = step(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    _sync(out)  # chained outputs: fetching the last forces all iterations
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
@@ -271,14 +280,15 @@ def measure_train(mixed: bool, B=8, seconds=2.0):
                            compute_dtype=jnp.bfloat16 if mixed else None)
     key = jax.random.PRNGKey(1)
     cost = xla_cost(step.lower(state, batch, key).compile())
-    # the step donates its state buffer: chain states through the loop
+    # the step donates its state buffer: chain states through the loop;
+    # sync by fetching the loss VALUE (see _sync)
     s, m = step(state, batch, key)  # compile + warm-up
-    m["loss"].block_until_ready()
+    float(np.asarray(m["loss"]))
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         s, m = step(s, batch, key)
-    m["loss"].block_until_ready()
+    float(np.asarray(m["loss"]))
     ms = (time.perf_counter() - t0) / iters * 1000.0
     roof = summarize(ms, cost["flops"], cost["bytes"])
     return ms, B * seconds * 1000.0 / ms, roof  # ms, audio-seconds/s
