@@ -392,7 +392,7 @@ def main():
             ns_B, ns_ms, ns_results = search_capacity(
                 ns_measure, 1e9 if smoke else 16.0,
                 (2, 4) if smoke else (2048, 4096, 8192),
-                granularity=2 if smoke else 512)
+                granularity=2 if smoke else 256, max_refine=4)
             detail["ns_streams_per_chip"] = ns_B
             detail["ns_step_ms"] = round(ns_ms, 3)
             detail["ns_chunk_ms"] = 16.0
