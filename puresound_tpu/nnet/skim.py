@@ -355,8 +355,12 @@ class SkiM(nn.Module):
         return tuple(kind if self.block_with_embed[i] else ""
                      for i in range(self.n_blocks))
 
-    def _fused_weights(self):
-        """Flat per-block weight tuple for the Pallas streaming kernel."""
+    def _fused_weights(self, int8_hh: bool = False):
+        """Flat per-block weight tuple for the Pallas streaming kernel.
+
+        int8_hh=True replaces each w_hh with (int8 per-output-column
+        quantized weights, column scales) for the kernel's int8 MXU path.
+        """
         ws = []
         C = self.input_size
         modes = self._fusion_modes()
@@ -388,7 +392,13 @@ class SkiM(nn.Module):
                 ws.append(gp(gate.out_conv).T)                 # wout [Hd, C]
             cell = self.seg_lstm[i].lstm.fwd
             ws.append(cell.w_ih)
-            ws.append(cell.w_hh)
+            if int8_hh:
+                col_max = jnp.max(jnp.abs(cell.w_hh), axis=0).clip(1e-8)
+                ws.append(jnp.clip(jnp.round(cell.w_hh / col_max * 127.0),
+                                   -127, 127).astype(jnp.int8))
+                ws.append(col_max)  # [4H] dequant scales
+            else:
+                ws.append(cell.w_hh)
             ws.append(cell.b_ih + cell.b_hh)
             proj = self.seg_lstm[i].proj
             ws.append(proj.variables["params"]["kernel"])
@@ -434,12 +444,17 @@ class SkiM(nn.Module):
 
     def step_frames_fused(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
                           state: dict, b_tile: int = 256,
-                          interpret: bool = False, dot_dtype=jnp.float32):
+                          interpret: bool = False, dot_dtype=jnp.float32,
+                          int8_hh: bool = False):
         """Pallas-fused streaming step: VMEM-resident per-block state.
 
         Requirements: causal SkiM, FiLM/Gate (or no) fusion, F divides
         seg_size, and the stream batch divides b_tile. Numerically identical
         to step_frames for chunk-aligned streams.
+
+        int8_hh=True (prototype) quantizes the recurrent h @ w_hh dots to
+        int8 x int8 on the MXU (h is tanh-bounded, weights per-column
+        scaled) — an accuracy/throughput trade for serving.
         """
         from ..ops.skim_stream_kernel import fused_skim_frames
 
@@ -454,9 +469,9 @@ class SkiM(nn.Module):
         seg_h = jnp.concatenate([h for h in state["seg_h"]], axis=0)  # [n,B,H]
         seg_c = jnp.concatenate([c for c in state["seg_c"]], axis=0)
         y, h_out, c_out = fused_skim_frames(
-            x, se, be, ge, seg_h, seg_c, self._fused_weights(),
+            x, se, be, ge, seg_h, seg_c, self._fused_weights(int8_hh),
             fusion_modes=modes, b_tile=b_tile,
-            interpret=interpret, dot_dtype=dot_dtype)
+            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh)
         seg_h = [h_out[i][None] for i in range(self.n_blocks)]
         seg_c = [c_out[i][None] for i in range(self.n_blocks)]
         count = state["frame_count"] + F

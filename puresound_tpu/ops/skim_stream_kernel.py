@@ -43,16 +43,30 @@ def _prelu(x, alpha):
 
 
 def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
-                 dot_dtype=jnp.float32):
+                 dot_dtype=jnp.float32, int8_hh: bool = False):
     """Build the kernel body for a static (n_blocks, F, fusion pattern).
 
     fusion_modes: per-block "" (no conditioning), "film", or "gate".
     dot_dtype=bfloat16 runs the gate/proj matmuls with bf16 inputs
-    (f32 accumulation, f32 state) — ~2x MXU throughput for serving."""
+    (f32 accumulation, f32 state) — ~2x MXU throughput for serving.
+
+    int8_hh=True (prototype) runs the recurrent h @ w_hh dots as
+    int8 x int8 -> int32 on the MXU (2x the bf16 rate): h is tanh-bounded
+    so a fixed 1/127 activation scale is exact-range, and w_hh is
+    per-output-column quantized outside the kernel."""
 
     def dot(a, w_ref):
         return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
                        preferred_element_type=jnp.float32)
+
+    def dot_hh(h, w_ref, scale_ref):
+        """Recurrent-state dot: int8 MXU path when enabled (h in (-1, 1))."""
+        if not int8_hh:
+            return dot(h, w_ref)
+        hq = jnp.clip(jnp.round(h * 127.0), -127.0, 127.0).astype(jnp.int8)
+        acc = jnp.dot(hq, w_ref[:], preferred_element_type=jnp.int32)
+        # h = hq/127, w = wq * scale/127  ->  h@w = acc * scale / 127^2
+        return acc.astype(jnp.float32) * (scale_ref[:] / (127.0 * 127.0))
 
     def kernel(x_ref, se_ref, be_ref, ge_ref, h_in_ref, c_in_ref,
                # per-block weight refs, flattened:
@@ -79,6 +93,8 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                     entry[name] = weight_refs[idx]; idx += 1
             entry["w_ih"] = weight_refs[idx]; idx += 1
             entry["w_hh"] = weight_refs[idx]; idx += 1
+            if int8_hh:
+                entry["w_hh_s"] = weight_refs[idx]; idx += 1
             entry["b"] = weight_refs[idx]; idx += 1
             entry["proj_w"] = weight_refs[idx]; idx += 1
             entry["proj_b"] = weight_refs[idx]; idx += 1
@@ -122,7 +138,8 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                     x = x + dot(left * right, blk["g_wout"])
                 h = h_scr[i]
                 c = c_scr[i]
-                gates = (dot(x, blk["w_ih"]) + dot(h, blk["w_hh"])
+                gates = (dot(x, blk["w_ih"])
+                         + dot_hh(h, blk["w_hh"], blk.get("w_hh_s"))
                          + blk["b"][:])
                 H = h.shape[-1]
                 ii = jax.nn.sigmoid(gates[:, :H])
@@ -145,10 +162,11 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fusion_modes", "b_tile", "interpret", "dot_dtype"))
+@functools.partial(jax.jit, static_argnames=("fusion_modes", "b_tile", "interpret", "dot_dtype", "int8_hh"))
 def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
                       fusion_modes: tuple, b_tile: int = 256,
-                      interpret: bool = False, dot_dtype=jnp.float32):
+                      interpret: bool = False, dot_dtype=jnp.float32,
+                      int8_hh: bool = False):
     """Run F frames through all SkiM blocks with VMEM-resident state.
 
     Args:
@@ -175,7 +193,8 @@ def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
 
     x_t = jnp.swapaxes(x, 0, 1)  # [F, B, C] — frame-major for per-frame reads
 
-    kernel = _make_kernel(n_blocks, F, fusion_modes, dot_dtype=dot_dtype)
+    kernel = _make_kernel(n_blocks, F, fusion_modes, dot_dtype=dot_dtype,
+                          int8_hh=int8_hh)
 
     grid = (n_tiles,)
     in_specs = [

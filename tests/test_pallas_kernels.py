@@ -76,6 +76,37 @@ def test_fused_streaming_matches_reference_path_gate(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_fused_streaming_int8_hh_accuracy(rng):
+    """int8 recurrent-dot prototype: the quantized path must track the f32
+    fused path closely across carried chunks (serving accuracy gate)."""
+    m = _model()
+    B, C = 8, 16
+    T = 8 * 4
+    x = jnp.asarray(rng.standard_normal((B, 16, T)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    p = m.init(KEY, x, e)
+
+    frames = jnp.swapaxes(x, 1, 2)
+    F = 4
+    s_ref = m.apply(p, B, method=SkiM.init_state)
+    s_q = m.apply(p, B, method=SkiM.init_state)
+    num = den = 0.0
+    for k in range(T // F):
+        chunk = frames[:, k * F:(k + 1) * F, :]
+        y_ref, s_ref = m.apply(p, chunk, e, s_ref, b_tile=8, interpret=True,
+                               method=SkiM.step_frames_fused)
+        y_q, s_q = m.apply(p, chunk, e, s_q, b_tile=8, interpret=True,
+                           int8_hh=True, method=SkiM.step_frames_fused)
+        a, b = np.asarray(y_ref), np.asarray(y_q)
+        num += float(np.sum(a**2))
+        den += float(np.sum((a - b) ** 2))
+    snr = 10 * np.log10(num / max(den, 1e-20))
+    # H=16 here: int8 noise averages over only 16 dot terms (measured
+    # ~22 dB); the flagship H=256 averages 16x more -> ~+6 dB. This is an
+    # accuracy/throughput trade, opt-in per deployment.
+    assert snr > 20.0, f"int8_hh SNR {snr:.1f} dB"
+
+
 def test_fused_streaming_rejects_misaligned_chunk(rng):
     m = _model()
     x = jnp.zeros((8, 16, 24))
