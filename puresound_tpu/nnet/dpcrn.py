@@ -131,8 +131,19 @@ class DPCRN(DualPathStreaming, Unet):
         return self._unpack_output(x)
 
     # -------------------------------------------- fused bottleneck (Pallas)
-    def _dp_kernel_weights(self):
-        """Flat weight tuple for ops/dual_path_kernel.py (both blocks)."""
+    def _dp_kernel_weights(self, int8_hh: bool = False):
+        """Flat weight tuple for ops/dual_path_kernel.py (both blocks).
+
+        int8_hh=True replaces each recurrent w_hh with (int8 per-column
+        quantized weights, column scales) for the kernel's int8 MXU path.
+        """
+        def hh(w):
+            if not int8_hh:
+                return [w]
+            col_max = jnp.max(jnp.abs(w), axis=0).clip(1e-8)
+            return [jnp.clip(jnp.round(w / col_max * 127.0),
+                             -127, 127).astype(jnp.int8), col_max]
+
         ws = []
         for blk in (self.dprnn_block1, self.dprnn_block2):
             H = blk.hidden_size
@@ -144,16 +155,19 @@ class DPCRN(DualPathStreaming, Unet):
             ipk = blk.inter_rnn.proj.variables["params"]["kernel"]  # [H, CH]
             ipb = blk.inter_rnn.proj.variables["params"]["bias"]
             iln = blk.inter_norm.variables["params"]
-            ws += [lstm.fwd.w_ih, lstm.fwd.w_hh, lstm.fwd.b_ih + lstm.fwd.b_hh,
-                   lstm.bwd.w_ih, lstm.bwd.w_hh, lstm.bwd.b_ih + lstm.bwd.b_hh,
-                   pk[:H], pk[H:], pb, ln["scale"], ln["bias"],
-                   inter.w_ih, inter.w_hh, inter.b_ih + inter.b_hh,
-                   ipk, ipb, iln["scale"], iln["bias"]]
+            ws += ([lstm.fwd.w_ih] + hh(lstm.fwd.w_hh)
+                   + [lstm.fwd.b_ih + lstm.fwd.b_hh]
+                   + [lstm.bwd.w_ih] + hh(lstm.bwd.w_hh)
+                   + [lstm.bwd.b_ih + lstm.bwd.b_hh]
+                   + [pk[:H], pk[H:], pb, ln["scale"], ln["bias"]]
+                   + [inter.w_ih] + hh(inter.w_hh)
+                   + [inter.b_ih + inter.b_hh,
+                      ipk, ipb, iln["scale"], iln["bias"]])
         return tuple(ws)
 
     def bottleneck_kernel_chunk(self, x: jnp.ndarray, state: dict,
                                 interpret: bool = False,
-                                b_tile: int = 0):
+                                b_tile: int = 0, int8_hh: bool = False):
         """Both dual-path blocks through the VMEM-resident Pallas kernel.
 
         x: [B, CH, F, K] -> (y [B, CH, F, K], new h1/c1/h2/c2). Requires the
@@ -176,8 +190,8 @@ class DPCRN(DualPathStreaming, Unet):
                           if B % t == 0)
         y, h_out, c_out = dual_path_chunk(
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
-            self._dp_kernel_weights(), b_tile=b_tile, interpret=interpret,
-            dot_dtype=dot_dtype)
+            self._dp_kernel_weights(int8_hh), b_tile=b_tile,
+            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh)
         return (y.transpose(2, 3, 0, 1), h_out[0], c_out[0],
                 h_out[1], c_out[1])
 

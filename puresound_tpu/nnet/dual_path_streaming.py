@@ -47,7 +47,8 @@ class DualPathStreaming:
 
     def stream_frames(self, x: jnp.ndarray, state: dict,
                       fused: bool = False, dp_kernel: bool = False,
-                      interpret: bool = False, dp_b_tile: int = 0):
+                      interpret: bool = False, dp_b_tile: int = 0,
+                      int8_hh: bool = False):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -70,7 +71,8 @@ class DualPathStreaming:
         h, skips, new_down = self._stream_down(x, state)
         if dp_kernel:
             h, h1, c1, h2, c2 = self.bottleneck_kernel_chunk(
-                h, state, interpret=interpret, b_tile=dp_b_tile)
+                h, state, interpret=interpret, b_tile=dp_b_tile,
+                int8_hh=int8_hh)
         else:
             h, h1, c1 = self.dprnn_block1.step_chunk(
                 h, state["h1"], state["c1"], fused=fused)

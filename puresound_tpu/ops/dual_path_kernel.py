@@ -60,21 +60,33 @@ def _lstm_gates(gates, c, H):
 _PER_BLOCK = 18
 
 
-def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
+def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
+                 int8_hh: bool = False):
     def dot(a, w_ref):
         return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
                        preferred_element_type=jnp.float32)
 
+    def dot_hh(h, w_ref, scale_ref):
+        """Recurrent-state dot: int8 MXU path when enabled. LSTM h is
+        tanh-bounded, so the 1/127 activation scale is exact-range; w is
+        per-output-column quantized outside (see skim_stream_kernel)."""
+        if not int8_hh:
+            return dot(h, w_ref)
+        hq = jnp.clip(jnp.round(h * 127.0), -127.0, 127.0).astype(jnp.int8)
+        acc = jnp.dot(hq, w_ref[:], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (scale_ref[:] / (127.0 * 127.0))
+
     def kernel(x_ref, *refs):
         # refs: h_in[b], c_in[b] per block ... weights ... y, h_out[b],
         # c_out[b], scratch: x_scr [F,K*bt,CH], yf_scr/yb_scr [F,K*bt,H]
+        PB = _PER_BLOCK + (3 if int8_hh else 0)
         n_carry = 2 * n_blocks
         h_in = refs[:n_blocks]
         c_in = refs[n_blocks:n_carry]
-        w_refs = refs[n_carry:n_carry + _PER_BLOCK * n_blocks]
-        y_ref = refs[n_carry + _PER_BLOCK * n_blocks]
-        h_out = refs[n_carry + _PER_BLOCK * n_blocks + 1:
-                     n_carry + _PER_BLOCK * n_blocks + 1 + n_blocks]
+        w_refs = refs[n_carry:n_carry + PB * n_blocks]
+        y_ref = refs[n_carry + PB * n_blocks]
+        h_out = refs[n_carry + PB * n_blocks + 1:
+                     n_carry + PB * n_blocks + 1 + n_blocks]
         c_out = refs[-3 - n_blocks:-3]
         x_scr, yf_scr, yb_scr = refs[-3], refs[-2], refs[-1]
 
@@ -89,11 +101,14 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
 
         for b in range(n_blocks):
             w = {}
-            names = ("w_ih_f", "w_hh_f", "b_f", "w_ih_b", "w_hh_b", "b_b",
-                     "pw_f", "pw_b", "pb", "ig", "ib",
-                     "w_ih_i", "w_hh_i", "b_i", "pw_i", "pb_i", "tg", "tb")
+            sc = lambda n: ([f"s_{n}"] if int8_hh else [])
+            names = (["w_ih_f", "w_hh_f"] + sc("hh_f") + ["b_f"]
+                     + ["w_ih_b", "w_hh_b"] + sc("hh_b") + ["b_b"]
+                     + ["pw_f", "pw_b", "pb", "ig", "ib"]
+                     + ["w_ih_i", "w_hh_i"] + sc("hh_i")
+                     + ["b_i", "pw_i", "pb_i", "tg", "tb"])
             for j, name in enumerate(names):
-                w[name] = w_refs[b * _PER_BLOCK + j]
+                w[name] = w_refs[b * PB + j]
 
             # -------- intra (frequency) pass: fwd + bwd fused per step ----
             zero = jnp.zeros((R, H), jnp.float32)
@@ -101,12 +116,16 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
             def intra_step(f, carry):
                 hf, cf, hb, cb = carry
                 xf = x_scr[f]
-                gf = dot(xf, w["w_ih_f"]) + dot(hf, w["w_hh_f"]) + w["b_f"][:]
+                gf = (dot(xf, w["w_ih_f"])
+                      + dot_hh(hf, w["w_hh_f"], w.get("s_hh_f"))
+                      + w["b_f"][:])
                 hf, cf = _lstm_gates(gf, cf, H)
                 yf_scr[f] = hf.astype(yf_scr.dtype)
                 fb = F - 1 - f
                 xb = x_scr[fb]
-                gb = dot(xb, w["w_ih_b"]) + dot(hb, w["w_hh_b"]) + w["b_b"][:]
+                gb = (dot(xb, w["w_ih_b"])
+                      + dot_hh(hb, w["w_hh_b"], w.get("s_hh_b"))
+                      + w["b_b"][:])
                 hb, cb = _lstm_gates(gb, cb, H)
                 yb_scr[fb] = hb.astype(yb_scr.dtype)
                 return (hf, cf, hb, cb)
@@ -135,7 +154,8 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype):
                 for k in range(K):
                     rows = x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :].reshape(
                         ic * bt, CH)
-                    gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
+                    gates = (dot(rows, w["w_ih_i"])
+                             + dot_hh(h, w["w_hh_i"], w.get("s_hh_i"))
                              + w["b_i"][:])
                     h, c = _lstm_gates(gates, c, H)
                     t = dot(h, w["pw_i"]) + w["pb_i"][:]
@@ -158,9 +178,10 @@ def init_carries(n_blocks: int, F: int, batch: int, H: int,
     return [z() for _ in range(n_blocks)], [z() for _ in range(n_blocks)]
 
 
-@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype"))
+@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype", "int8_hh"))
 def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
-                    interpret: bool = False, dot_dtype=jnp.float32):
+                    interpret: bool = False, dot_dtype=jnp.float32,
+                    int8_hh: bool = False):
     """Run a chunk through all dual-path blocks with VMEM-resident state.
 
     Args:
@@ -176,7 +197,7 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
     assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
     n_tiles = B // b_tile
 
-    kernel = _make_kernel(n_blocks, K, F, H, dot_dtype)
+    kernel = _make_kernel(n_blocks, K, F, H, dot_dtype, int8_hh=int8_hh)
 
     grid = (n_tiles,)
     specs_x = pl.BlockSpec((F, K, b_tile, CH), lambda i: (0, 0, i, 0),

@@ -128,7 +128,8 @@ class StreamingNS(nn.Module):
     def step(self, chunk: jnp.ndarray, state: dict,
              dvec: Optional[jnp.ndarray] = None,
              fused: bool = False,
-             dp_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
+             dp_kernel: bool = False,
+             int8_hh: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
@@ -156,6 +157,8 @@ class StreamingNS(nn.Module):
         kw = {"fused": True} if fused else {}
         if dp_kernel:
             kw = {"dp_kernel": True}
+            if int8_hh:
+                kw["int8_hh"] = True
         if dvec is not None:
             mask, masker_state = self.masker.stream_frames(
                 ri, state["masker"], dvec, **kw)

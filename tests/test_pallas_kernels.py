@@ -205,3 +205,29 @@ def test_dpcrn_fused_step_chunk_matches_stock(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s0),
                     jax.tree_util.tree_leaves(s1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dual_path_kernel_int8_hh_accuracy(rng):
+    """int8 recurrent dots in the dual-path kernel track the f32 kernel
+    closely across carried chunks (serving accuracy gate; tiny H here —
+    the flagship H=128 averages more dot terms)."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = _test_dpcrn()
+    B, C = 2, 64
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s_a = m.apply(v, B, dp_kernel=True, method=DPCRN.init_stream_state)
+    s_b = m.apply(v, B, dp_kernel=True, method=DPCRN.init_stream_state)
+    num = den = 0.0
+    for step in range(4):
+        x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+        y_a, s_a = m.apply(v, x, s_a, False, True, True,
+                           method=DPCRN.stream_frames)
+        y_b, s_b = m.apply(v, x, s_b, False, True, True, 0, True,
+                           method=DPCRN.stream_frames)
+        a, b = np.asarray(y_a), np.asarray(y_b)
+        num += float(np.sum(a**2))
+        den += float(np.sum((a - b) ** 2))
+    snr = 10 * np.log10(num / max(den, 1e-20))
+    assert snr > 20.0, f"dual-path int8_hh SNR {snr:.1f} dB"
