@@ -153,7 +153,7 @@ def action_eval(hparam, backend, ckpt):
 
 
 def action_stream_eval(hparam, backend, ckpt, chunk_ms,
-                       half=False, fused=False):
+                       half=False, fused=False, dp_kernel=False):
     """Chunked real-time streaming inference over the eval set: enhanced
     wavs (aligned with the input) + per-utterance and average RTF."""
     from puresound_tpu.src.audio import AudioIO
@@ -172,7 +172,8 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms,
         if wav_sr != sr:
             noisy = AudioIO.resample(noisy, wav_sr, sr)
         enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
-                                 chunk_ms=chunk_ms, half=half, fused=fused)
+                                 chunk_ms=chunk_ms, half=half, fused=fused,
+                                 dp_kernel=dp_kernel)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
@@ -198,7 +199,8 @@ def main(config):
         action_eval(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
-                           config.chunk_ms, config.half, config.fused)
+                           config.chunk_ms, config.half, config.fused,
+                           config.dp_kernel)
     else:
         raise NameError("Unrecognize action.")
 
@@ -214,6 +216,9 @@ if __name__ == "__main__":
                         help="stream_eval in bfloat16 (serving mode)")
     parser.add_argument("--fused", action="store_true",
                         help="stream_eval with Pallas fused recurrences")
+    parser.add_argument("--dp_kernel", action="store_true",
+                        help="stream_eval with the fused dual-path "
+                             "bottleneck kernel (DPCRN; fastest)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",
