@@ -383,6 +383,8 @@ def pesq(fs: int, ref: np.ndarray, deg: np.ndarray, mode: str = "wb") -> float:
         deg = _apply_db_curve(deg, cfg.fs, _IRS_DB)
 
     ref, deg = _align(ref, deg, cfg.fs)
+    if min(len(ref), len(deg)) < cfg.fs // 4:
+        raise ValueError("signals do not overlap after time alignment")
 
     d_symm, d_asym = _perceptual_model(ref, deg, cfg)
     k_d, p_d, k_a, p_a = _CAL["wb" if cfg.wideband else "nb"]
