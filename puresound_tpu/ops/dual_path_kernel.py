@@ -133,8 +133,10 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
             jax.lax.fori_loop(0, F, intra_step, (zero, zero, zero, zero))
 
             # projection of both directions + LN + residual; chunked over F
-            # to bound the Mosaic stack temporaries (VMEM)
-            n_pchunk = 4 if F % 4 == 0 else (2 if F % 2 == 0 else 1)
+            # to bound the Mosaic stack temporaries (VMEM); finer chunks at
+            # wider tiles
+            n_pchunk = 8 if (R >= 512 and F % 8 == 0) else (
+                4 if F % 4 == 0 else (2 if F % 2 == 0 else 1))
             pc = F // n_pchunk
             for p0 in range(0, F, pc):
                 yf = yf_scr[p0:p0 + pc].reshape(pc * R, H)
@@ -144,9 +146,10 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
                 x_scr[p0:p0 + pc] = x_scr[p0:p0 + pc] + t.reshape(pc, R, CH)
 
             # ---------------- inter (time) pass, K carried steps ----------
-            # rows are (freq, stream)-independent: process F in halves to
-            # keep the [rows, 4H] gate temporaries inside the VMEM budget
-            n_ichunk = 2 if F % 2 == 0 else 1
+            # rows are (freq, stream)-independent: chunk F to keep the
+            # [rows, 4H] gate temporaries inside the VMEM budget
+            n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
+                2 if F % 2 == 0 else 1)
             ic = F // n_ichunk
             for p0 in range(0, F, ic):
                 h = h_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
