@@ -387,3 +387,28 @@ def test_streaming_ns_engine_dp_kernel_equals_offline(rng):
     hi = y_stream.shape[-1]
     np.testing.assert_allclose(y_stream[:, lo:hi], y_off[:, lo:hi],
                                atol=3e-5, rtol=1e-3)
+
+
+def test_dp_kernel_long_stream_no_drift(rng):
+    """dp_kernel carries must not drift or blow up over a long stream:
+    after 120 chunks the kernel path still matches the stock path."""
+    m = _small_dpcrn(input_dim=64)
+    B, C = 2, 64
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s_ref = m.apply(v, B, method=DPCRN.init_stream_state)
+    s_k = m.apply(v, B, dp_kernel=True, method=DPCRN.init_stream_state)
+
+    import jax as _jax
+    ref_step = _jax.jit(lambda x, s: m.apply(v, x, s,
+                                             method=DPCRN.stream_frames))
+    k_step = _jax.jit(lambda x, s: m.apply(v, x, s, False, True, True,
+                                           method=DPCRN.stream_frames))
+    y_ref = y_k = None
+    for step in range(120):
+        x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+        y_ref, s_ref = ref_step(x, s_ref)
+        y_k, s_k = k_step(x, s_k)
+    a, b = np.asarray(y_ref), np.asarray(y_k)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-3)
