@@ -435,7 +435,7 @@ def main():
                 "batch": f"{t_B}x{t_sec}s",
                 "f32_ms": round(ms32, 2),
                 "mixed_bf16_ms": round(ms16, 2),
-                "audio_seconds_per_second_bf16": round(sps16 / 1000.0, 1),
+                "audio_seconds_per_second_bf16": round(sps16, 1),
                 "f32_roofline": roof32,
                 "bf16_roofline": roof16,
             }
@@ -445,7 +445,7 @@ def main():
                 ms_b, sps_b, roof_b = measure_train(mixed=True, B=64)
                 detail["train_step"]["bf16_B64_ms"] = round(ms_b, 2)
                 detail["train_step"]["audio_seconds_per_second_bf16_B64"] = (
-                    round(sps_b / 1000.0, 1))
+                    round(sps_b, 1))
                 detail["train_step"]["bf16_B64_roofline"] = roof_b
         except Exception as e:
             detail["train_step"] = f"failed: {type(e).__name__}"

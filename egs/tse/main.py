@@ -187,7 +187,7 @@ def action_dev(hparam, backend, ckpt, metrics):
         if metrics == "detail":
             try:
                 S_pesq.append(Metrics.pesq_wb(clean, enh))
-            except NotImplementedError:
+            except ValueError:  # utterance too short for PESQ (< 0.25 s)
                 S_pesq.append(0)
             S_stoi.append(Metrics.stoi(clean, enh))
             S_sdr.append(Metrics.bss_sdr(clean, enh))

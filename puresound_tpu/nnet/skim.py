@@ -423,6 +423,13 @@ class SkiM(nn.Module):
         modes = self._fusion_modes()
         gate_hs = [self.seg_input_fusion[i].hidden_size
                    for i in range(self.n_blocks) if modes[i] == "gate"]
+        if len(set(gate_hs)) > 1:
+            # the kernel adds ge[i] ([bt, Hg]) straight onto each block's
+            # hidden activations, which assumes one static gate width
+            raise NotImplementedError(
+                "step_frames_fused requires all Gate fusion blocks to share "
+                f"one hidden_size (got {sorted(set(gate_hs))}); use the "
+                "stock streaming path for mixed-width gate configs")
         Hg = max(gate_hs) if gate_hs else 1
         se = jnp.zeros((self.n_blocks, B, C), dtype)
         be = jnp.zeros((self.n_blocks, B, C), dtype)

@@ -63,6 +63,16 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     x = np.zeros((1, n_chunks * chunk), np.float32)
     x[0, :L] = wav
 
+    if fused and dp_kernel:
+        raise ValueError("--fused and --dp_kernel are mutually exclusive "
+                         "(dp_kernel already fuses the whole bottleneck)")
+    if (fused or dp_kernel) and not isinstance(engine, (StreamingNS,
+                                                        StreamingDSS)):
+        raise ValueError("fused/dp_kernel apply to STFT-domain engines "
+                         f"(StreamingNS/StreamingDSS), not {type(engine).__name__}")
+    if dp_kernel and not hasattr(engine.masker, "bottleneck_kernel_chunk"):
+        raise ValueError("dp_kernel requires a DPCRN masker "
+                         f"(got {type(engine.masker).__name__})")
     kw = {"fused": True} if fused else {}
     if dp_kernel:
         kw = {"dp_kernel": True}

@@ -154,6 +154,8 @@ class StreamingNS(nn.Module):
         ri = jnp.concatenate([re, im], axis=1)  # [B, C, K]
 
         # --- mask
+        assert not (fused and dp_kernel), \
+            "fused and dp_kernel are mutually exclusive"
         kw = {"fused": True} if fused else {}
         if dp_kernel:
             kw = {"dp_kernel": True}

@@ -293,6 +293,13 @@ class DataLoader:
     of num_workers: every batch is built under an RNG seeded from
     (seed, epoch, batch_index), so a run is reproducible and worker-count
     invariant — stronger than the reference's torch semantics.
+
+    When `seed` is None a fresh random base seed is drawn per loader, and
+    every batch still reseeds from (base, epoch, batch_index): runs stay
+    non-reproducible, but fork'd workers never share duplicated global RNG
+    state (without this, all workers would inherit identical random/
+    np.random streams from the parent and draw correlated augmentation
+    parameters — torch avoids it by seeding each worker base_seed+id).
     """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
@@ -308,6 +315,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        # anti-correlation base for unseeded runs (see class docstring)
+        self._auto_base = random.getrandbits(63)
         self._epoch = 0
 
     def _batches(self):
@@ -332,16 +341,14 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batch_seed(self, seq: int) -> Optional[int]:
-        if self.seed is None:
-            return None
-        return (self.seed * 1_000_003 + self._epoch * 7919 + seq) % (2**63)
+    def _batch_seed(self, seq: int) -> int:
+        base = self._auto_base if self.seed is None else self.seed
+        return (base * 1_000_003 + self._epoch * 7919 + seq) % (2**63)
 
     def _make(self, indices, seq: int):
         s = self._batch_seed(seq)
-        if s is not None:
-            random.seed(s)
-            np.random.seed(s % (2**32))
+        random.seed(s)
+        np.random.seed(s % (2**32))
         return self.collate_fn([self.dataset[i] for i in indices])
 
     def __iter__(self):
@@ -410,7 +417,19 @@ class DataLoader:
             while not dispatched_all and outstanding < max_outstanding:
                 dispatch_one()
             while outstanding > 0:
-                status, seq, payload = result_q.get()
+                while True:
+                    try:
+                        status, seq, payload = result_q.get(timeout=30.0)
+                        break
+                    except queue.Empty:
+                        # surface hard-killed workers (OOM) instead of
+                        # blocking on the queue forever
+                        dead = [w for w in workers if not w.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"{len(dead)} DataLoader worker(s) died "
+                                f"(exitcodes {[w.exitcode for w in dead]}) "
+                                "with results outstanding")
                 outstanding -= 1
                 if status == "err":
                     raise RuntimeError(f"DataLoader worker failed:\n{payload}")
@@ -428,7 +447,17 @@ class DataLoader:
                 w.join(timeout=2.0)
                 if w.is_alive():
                     w.terminate()
-            # release any undelivered shared-memory blocks
+            # drain results still in flight (early generator close / error)
+            # so their shm blocks are released too — the workers
+            # unregistered them from the resource tracker, so nothing else
+            # would ever unlink them
+            while True:
+                try:
+                    status, seq, payload = result_q.get_nowait()
+                except queue.Empty:
+                    break
+                if status == "ok":
+                    pending[seq] = payload
             for payload in pending.values():
                 try:
                     _batch_from_shm(payload)
