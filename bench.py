@@ -97,8 +97,8 @@ def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
     dtype = dtype or jnp.float32
     dot_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
     # bf16 halves the kernel's VMEM pressure, unlocking the larger stream
-    # tile (512 OOMs)
-    b_tile = 256 if dtype == jnp.bfloat16 else 128
+    # tile (512 OOMs); tiny smoke batches just use one tile
+    b_tile = min(256 if dtype == jnp.bfloat16 else 128, B)
     if dtype == jnp.bfloat16:
         from puresound_tpu.streaming.halfprec import to_half
 
