@@ -69,7 +69,8 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
                     remat: bool = False,
-                    compute_dtype=None) -> Callable:
+                    compute_dtype=None,
+                    accum_steps: int = 1) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     The returned step(state, batch, rng) -> (state, metrics) where batch is
@@ -90,6 +91,13 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
     activation HBM) while the master params, gradients, and optimizer state
     stay float32 (the cast is differentiated through, so grads come out
     f32; batch_stats updates are cast back to f32).
+
+    accum_steps=k runs gradient accumulation: the batch's leading axis is
+    split into k micro-batches scanned sequentially (activation memory is
+    that of ONE micro-batch), the averaged gradient is applied once — how
+    effective B=256 trains inside 16 GB HBM when the full batch OOMs.
+    Batch B must be divisible by k. batch_stats chain through the scan
+    (last micro-batch wins, like k sequential steps would).
     """
     loss_kwargs = loss_kwargs or {}
 
@@ -99,15 +107,15 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
-        def forward(params, batch, rng):
+        def forward(params, stats, batch, rng):
             if compute_dtype is not None:
                 params = _cast(params, compute_dtype)
                 batch = _cast(batch, compute_dtype)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = (
-                    state.batch_stats if compute_dtype is None
-                    else _cast(state.batch_stats, compute_dtype))
+                    stats if compute_dtype is None
+                    else _cast(stats, compute_dtype))
             out = model.apply(
                 variables, **batch, train=True, **loss_kwargs,
                 mutable=["batch_stats"], rngs={"dropout": rng})
@@ -128,14 +136,53 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
         elif remat:
             forward = jax.checkpoint(forward)
 
-        def loss_fn(params):
-            out, updates = forward(params, batch, rng)
-            loss = out[0] if isinstance(out, tuple) else out
-            detail = out[1] if isinstance(out, tuple) else None
-            return loss, (updates.get("batch_stats", {}), detail)
+        def grad_micro(params, stats, b, r):
+            def loss_fn(p):
+                out, updates = forward(p, stats, b, r)
+                loss = out[0] if isinstance(out, tuple) else out
+                detail = out[1] if isinstance(out, tuple) else None
+                return loss, (updates.get("batch_stats", {}), detail)
 
-        (loss, (new_stats, detail)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if accum_steps > 1:
+            def split(x):
+                if x is None or not hasattr(x, "shape") or x.ndim == 0:
+                    return x
+                assert x.shape[0] % accum_steps == 0, (
+                    f"batch {x.shape[0]} must divide accum_steps {accum_steps}")
+                return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                 + x.shape[1:])
+
+            micro = {k: split(v) for k, v in batch.items()}
+            rngs = jax.random.split(rng, accum_steps)
+
+            # stats chain through the carry only when the state carries
+            # them (a model whose first apply CREATES collections would
+            # otherwise change the carry structure mid-scan)
+            has_stats = bool(state.batch_stats)
+
+            def body(carry, xs):
+                grads_acc, loss_acc, stats = carry
+                b, r = xs
+                (mloss, (mstats, mdetail)), mgrads = grad_micro(
+                    state.params, stats, b, r)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, mgrads)
+                return (grads_acc, loss_acc + mloss,
+                        mstats if has_stats and mstats else stats), mdetail
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, new_stats), details = jax.lax.scan(
+                body, (zeros, jnp.zeros(()), state.batch_stats),
+                (micro, rngs))
+            k = float(accum_steps)
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            loss = loss / k
+            detail = (None if details is None else
+                      jax.tree_util.tree_map(lambda d: d.mean(0), details))
+        else:
+            (loss, (new_stats, detail)), grads = grad_micro(
+                state.params, state.batch_stats, batch, rng)
         if grad_clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))

@@ -159,7 +159,14 @@ class NsDataset(_AugmentedDataset):
 
 
 class NsTask(BaseTrainer):
-    """NS trainer: SE forward (loss-returning wrapper) + adam + clip."""
+    """NS trainer: SE forward (loss-returning wrapper) + adam + clip.
+
+    `TRAIN.multi_gpu: true` (reference: torch DataParallel at
+    puresound/task/base.py:226-229) builds a ("dp", "mp") device mesh over
+    every visible chip and shards the training batch's leading axis over
+    "dp"; XLA derives the gradient all-reduce from the shardings. An
+    explicit `mesh=` argument overrides the config knob.
+    """
 
     def __init__(self, hparam, model, init_fn, device_backend,
                  train_dataloader, dev_dataloader, mesh=None):
@@ -167,9 +174,50 @@ class NsTask(BaseTrainer):
         self._init_fn = init_fn
         self._mesh = mesh
         super().__init__(hparam, device_backend)
+        if self._mesh is None and hparam["TRAIN"].get("multi_gpu"):
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
+        if self._mesh is not None:
+            from ..parallel.mesh import replicate_to_mesh
+
+            self.state = replicate_to_mesh(self._mesh, self.state)
+            print(f"Data-parallel training over "
+                  f"{self._mesh.shape['dp']}x{self._mesh.shape['mp']} "
+                  f"device mesh")
         self.train_dataloader = train_dataloader
         self.dev_dataloader = dev_dataloader
         self._build_steps()
+
+    def _shard_train_batch(self, kwargs: Dict) -> Dict:
+        """Pad the batch leading axis up to dp divisibility (wraparound
+        repeat — only ragged final batches are slightly re-weighted) and
+        shard it over the mesh."""
+        if self._mesh is None:
+            return kwargs
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import shard_batch
+
+        n = self._mesh.shape["dp"]
+
+        def pad(x):
+            if x is None or not hasattr(x, "shape") or x.ndim == 0:
+                return x
+            B = x.shape[0]
+            r = (-B) % n
+            if r:
+                x = jnp.take(x, jnp.arange(B + r) % B, axis=0)
+            return x
+
+        return shard_batch(self._mesh, {k: pad(v) for k, v in kwargs.items()})
+
+    def _place_rng(self, rng):
+        if self._mesh is None:
+            return rng
+        from ..parallel.mesh import replicate_to_mesh
+
+        return replicate_to_mesh(self._mesh, rng)
 
     def build_model(self):
         pass  # model is provided pre-built (zoo factory)
@@ -188,7 +236,9 @@ class NsTask(BaseTrainer):
         self._train_step = make_train_step(
             self.model, grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),
             mesh=self._mesh, donate=False,
-            compute_dtype=jnp.bfloat16 if mp else None)
+            compute_dtype=jnp.bfloat16 if mp else None,
+            remat=self.hparam["TRAIN"].get("remat", False),
+            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1))
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}
@@ -216,7 +266,8 @@ class NsTask(BaseTrainer):
             step += 1
             self._rng, sub = jax.random.split(self._rng)
             self.state, metrics = self._train_step(
-                self.state, self._batch_kwargs(batch), sub)
+                self.state, self._shard_train_batch(self._batch_kwargs(batch)),
+                self._place_rng(sub))
             loss = float(metrics["loss"])
             print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, batch_loss: {loss:.4f}")
             total_loss += loss

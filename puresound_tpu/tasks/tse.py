@@ -258,7 +258,9 @@ class TseTask(NsTask):
                          "return_loss_detail": True},
             grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),
             mesh=self._mesh, donate=False,
-            compute_dtype=jnp.bfloat16 if mp else None)
+            compute_dtype=jnp.bfloat16 if mp else None,
+            remat=self.hparam["TRAIN"].get("remat", False),
+            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1))
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}
@@ -286,7 +288,8 @@ class TseTask(NsTask):
             step += 1
             self._rng, sub = jax.random.split(self._rng)
             self.state, metrics = self._train_step(
-                self.state, self._batch_kwargs(batch), sub)
+                self.state, self._shard_train_batch(self._batch_kwargs(batch)),
+                self._place_rng(sub))
             loss = float(metrics["loss"])
             detail = {k: float(v) for k, v in metrics.items()
                       if k.startswith("loss_")}
