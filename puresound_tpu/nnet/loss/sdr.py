@@ -59,10 +59,18 @@ class SDRLoss:
     eps: float = 1e-8
     reduction: bool = True
     threshold: Optional[float] = None
+    # compat=True reproduces the reference's source-aggregated quirk
+    # (loss/sdr.py:97-101 upstream): target_norm is [N, M, 1] (keepdims)
+    # and the "aggregation" sums axis=-1 — the size-1 axis — so sasdr/
+    # sasisnr/satsdr never actually aggregate over sources there.
+    # compat=False (default) is the real SA-SDR (2110.15581): power summed
+    # over the source axis M before the log, one ratio per mixture.
+    compat: bool = False
 
     @classmethod
     def init_mode(cls, loss_func: str = "sisnr", reduction: bool = True,
-                  threshold: Optional[float] = None) -> "SDRLoss":
+                  threshold: Optional[float] = None,
+                  compat: bool = False) -> "SDRLoss":
         loss_func = loss_func.lower()
         if loss_func not in ("sisnr", "sdsdr", "sdr", "tsdr", "sasdr",
                              "sasisnr", "satsdr"):
@@ -78,10 +86,10 @@ class SDRLoss:
         return cls(scaled=scaled, scale_dependent=scale_dependent,
                    zero_mean=True, source_aggregated=source_aggregated,
                    sdr_max=sdr_max, eps=1e-8, reduction=reduction,
-                   threshold=threshold)
+                   threshold=threshold, compat=compat)
 
-    def _batch_snr(self, s1, s2):
-        """Per-item negative SNR, [..., 1]."""
+    def _norms(self, s1, s2):
+        """Per-signal target/noise power terms, [..., 1] (keepdims)."""
         if self.zero_mean:
             s1 = _zero_mean(s1)
             s2 = _zero_mean(s2)
@@ -95,20 +103,63 @@ class SDRLoss:
         if self.sdr_max is not None:
             tau = 10 ** (-self.sdr_max / 10)
             noise_norm = noise_norm + tau * target_norm
+        return target_norm, noise_norm
+
+    def _batch_snr(self, s1, s2):
+        """Per-item negative SNR, [..., 1]."""
+        target_norm, noise_norm = self._norms(s1, s2)
         if not self.source_aggregated:
             snr = 10 * jnp.log10(target_norm / (noise_norm + self.eps) + self.eps)
         else:
+            # compat path: the reference's no-op "aggregation" over the
+            # size-1 keepdim axis (see `compat` field docstring)
             snr = 10 * jnp.log10(jnp.sum(target_norm, axis=-1)
                                  / (jnp.sum(noise_norm, axis=-1) + self.eps)
                                  + self.eps)
         return -snr
 
+    def _sa_call(self, s1, s2, inactive_labels):
+        """True SA-SDR: one ratio per mixture, power summed over ACTIVE
+        sources; inactive sources score the energy-suppression loss and
+        join the same masked mean (one term per mixture + one per
+        inactive source)."""
+        N, M, L = s1.shape
+        target_norm, noise_norm = self._norms(s1, s2)  # [N, M, 1]
+        target_norm = target_norm[..., 0]
+        noise_norm = noise_norm[..., 0]
+        if inactive_labels is None:
+            act = jnp.ones((N, M), bool)
+        else:
+            act = ~inactive_labels.reshape(N, M).astype(bool)
+        T = jnp.sum(jnp.where(act, target_norm, 0.0), axis=1)  # [N]
+        Nn = jnp.sum(jnp.where(act, noise_norm, 0.0), axis=1)
+        snr = -10 * jnp.log10(T / (Nn + self.eps) + self.eps)  # neg, [N]
+        has_active = jnp.any(act, axis=1)
+
+        inact = inactive_sdr_loss(s1.reshape(N * M, L), s2.reshape(N * M, L),
+                                  reduction=False).reshape(N, M)
+        if self.threshold is not None:
+            keep = has_active & (snr > self.threshold)
+            keep = jnp.where(jnp.any(keep), keep, has_active)
+        else:
+            keep = has_active
+        total = (jnp.sum(jnp.where(keep, snr, 0.0))
+                 + jnp.sum(jnp.where(~act, inact, 0.0)))
+        count = jnp.sum(keep) + jnp.sum(~act)
+        if self.reduction:
+            return total / jnp.maximum(count, 1)
+        # non-reduced: per-mixture values (fully-inactive mixtures fall
+        # back to the mean of their sources' energy losses)
+        return jnp.where(has_active, snr, jnp.mean(inact, axis=1))
+
     def __call__(self, s1: jnp.ndarray, s2: jnp.ndarray,
                  inactive_labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """s1: estimate, s2: reference; [N, L] (or [N, M, L] when
-        source_aggregated). inactive_labels: bool [N]."""
+        source_aggregated, with inactive_labels [N, M])."""
         if self.source_aggregated:
             assert s1.ndim == 3, "source_aggregated expects [N, M, L]"
+            if not self.compat:
+                return self._sa_call(s1, s2, inactive_labels)
         else:
             assert s1.ndim == 2, "expects [N, L]"
 

@@ -177,3 +177,105 @@ def test_aamsoftmax_matches_torch(torch_oracle, rng):
     p = {"params": {"weight": jnp.asarray(tm.weight.detach().numpy())}}
     j_val = float(jm.apply(p, jnp.asarray(x), jnp.asarray(labels)))
     np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Source-aggregated (SA-SDR) modes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["sasdr", "sasisnr", "satsdr"])
+def test_sa_sdr_true_aggregation(rng, mode):
+    """source_aggregated sums target/noise POWER over the source axis
+    before the log (SA-SDR, arXiv 2110.15581) — verify against a direct
+    numpy computation."""
+    N, M, L = 3, 2, 4000
+    s1 = rng.standard_normal((N, M, L)).astype(np.float32)
+    s2 = rng.standard_normal((N, M, L)).astype(np.float32)
+    loss = SDRLoss.init_mode(mode)
+    j_val = float(loss(jnp.asarray(s1), jnp.asarray(s2)))
+
+    a = s1 - s1.mean(-1, keepdims=True)
+    b = s2 - s2.mean(-1, keepdims=True)
+    if loss.scaled:  # note init_mode's alias quirk: sa* are all UNscaled
+        proj = (np.sum(a * b, -1, keepdims=True)
+                / (np.sum(b * b, -1, keepdims=True) + 1e-8)) * b
+    else:
+        proj = b
+    noise = a - proj
+    T = np.sum(proj * proj, -1).sum(1)  # [N], power over sources
+    Nn = np.sum(noise * noise, -1).sum(1)
+    if loss.sdr_max is not None:
+        Nn = Nn + 10 ** (-loss.sdr_max / 10) * np.sum(proj * proj, -1).sum(1)
+    expect = float(np.mean(-10 * np.log10(T / (Nn + 1e-8) + 1e-8)))
+    np.testing.assert_allclose(j_val, expect, rtol=1e-4)
+
+
+def test_sa_sdr_differs_from_per_source_mean(rng):
+    """Aggregation must actually change the value when sources differ in
+    quality (the compat/reference path degenerates to the per-source mean)."""
+    N, M, L = 2, 2, 4000
+    s2 = rng.standard_normal((N, M, L)).astype(np.float32)
+    s1 = s2.copy()
+    s1[:, 1] += 3.0 * rng.standard_normal((N, L)).astype(np.float32)  # bad src
+    agg = float(SDRLoss.init_mode("sasisnr")(jnp.asarray(s1), jnp.asarray(s2)))
+    per = float(SDRLoss.init_mode("sasisnr", compat=True)(
+        jnp.asarray(s1), jnp.asarray(s2)))
+    assert abs(agg - per) > 0.5, (agg, per)
+
+
+def test_sa_sdr_compat_reproduces_reference(torch_oracle, rng):
+    """compat=True reproduces the reference's keepdim no-op aggregation
+    bit-for-bit (upstream loss/sdr.py:97-101 sums the size-1 axis)."""
+    torch = torch_oracle
+    from puresound.nnet.loss.sdr import SDRLoss as TorchSDRLoss
+
+    N, M, L = 3, 2, 4000
+    s1 = rng.standard_normal((N, M, L)).astype(np.float32)
+    s2 = rng.standard_normal((N, M, L)).astype(np.float32)
+    t_loss = TorchSDRLoss.init_mode("sasisnr")
+    with torch.no_grad():
+        t_val = t_loss(torch.from_numpy(s1), torch.from_numpy(s2)).item()
+    j_val = float(SDRLoss.init_mode("sasisnr", compat=True)(
+        jnp.asarray(s1), jnp.asarray(s2)))
+    np.testing.assert_allclose(j_val, t_val, atol=1e-4, rtol=1e-4)
+
+
+def test_sa_sdr_inactive_sources(rng):
+    """Inactive sources ([N, M] labels) are excluded from the aggregation
+    and scored with the energy-suppression loss."""
+    N, M, L = 2, 2, 4000
+    s1 = rng.standard_normal((N, M, L)).astype(np.float32)
+    s2 = rng.standard_normal((N, M, L)).astype(np.float32)
+    labels = np.array([[False, True], [False, False]])
+    loss = SDRLoss.init_mode("sasisnr")
+    j_val = float(loss(jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(labels)))
+
+    # expected: mixture 0 aggregates only source 0; source (0,1) adds the
+    # energy loss; mixture 1 aggregates both sources
+    only_active = float(loss(jnp.asarray(s1[0:1, 0:1]), jnp.asarray(s2[0:1, 0:1])))
+    full = float(loss(jnp.asarray(s1[1:2]), jnp.asarray(s2[1:2])))
+    en = float(inactive_sdr_loss(jnp.asarray(s1[0:1, 1]), jnp.asarray(s2[0:1, 1])))
+    expect = (only_active + full + en) / 3.0
+    np.testing.assert_allclose(j_val, expect, rtol=1e-5)
+
+
+def test_sa_sdr_m1_equals_plain(rng):
+    """With one source and no inactive labels, SA-SDR reduces to the plain
+    per-item loss of the same flags."""
+    N, L = 4, 4000
+    s1 = rng.standard_normal((N, 1, L)).astype(np.float32)
+    s2 = rng.standard_normal((N, 1, L)).astype(np.float32)
+    sa = float(SDRLoss.init_mode("sasdr")(jnp.asarray(s1), jnp.asarray(s2)))
+    plain = float(SDRLoss(scaled=False)(jnp.asarray(s1[:, 0]),
+                                        jnp.asarray(s2[:, 0])))
+    np.testing.assert_allclose(sa, plain, rtol=1e-5)
+
+
+def test_sa_sdr_grad_finite(rng):
+    """The SA path differentiates cleanly (it feeds SIMO training)."""
+    N, M, L = 2, 2, 1000
+    s1 = jnp.asarray(rng.standard_normal((N, M, L)).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal((N, M, L)).astype(np.float32))
+    labels = jnp.asarray(np.array([[False, True], [False, False]]))
+    g = jax.grad(lambda a: SDRLoss.init_mode("sasisnr")(a, s2, labels))(s1)
+    assert np.isfinite(np.asarray(g)).all()
