@@ -294,6 +294,163 @@ def measure_train(mixed: bool, B=8, seconds=2.0):
     return ms, B * seconds * 1000.0 / ms, roof  # ms, audio-seconds/s
 
 
+def _make_sustained_dataset(root, n_utts=32, utt_seconds=4.0, sr=16000):
+    """Synthetic TSE manifest + noise/RIR corpora for the end-to-end
+    train bench (cached across runs)."""
+    import os
+
+    from puresound_tpu.src.audio import AudioIO
+
+    done = os.path.join(root, ".done")
+    man = os.path.join(root, "manifest")
+    if os.path.isfile(done):
+        return man
+    rng = np.random.default_rng(42)
+    wavs = os.path.join(root, "wavs")
+    noise_dir = os.path.join(root, "noise")
+    rir_dir = os.path.join(root, "rir")
+    for d in (wavs, noise_dir, rir_dir, man):
+        os.makedirs(d, exist_ok=True)
+    L = int(sr * utt_seconds)
+    t = np.arange(L) / sr
+    scp, ref, r2l, r2s, w2s = [], [], [], [], []
+    for i in range(n_utts):
+        spk = f"sp{i % 8}"
+        f0 = 90.0 + 17.0 * (i % 8)
+        env = 0.5 * (1 + np.sin(2 * np.pi * (1.3 + 0.2 * (i % 5)) * t))
+        clean = (env * sum(
+            a * np.sin(2 * np.pi * f0 * (k + 1) * t + p)
+            for k, (a, p) in enumerate(zip((0.4, 0.25, 0.15, 0.1),
+                                           (0.0, 0.7, 1.9, 2.8))))
+        ).astype(np.float32)
+        other = 0.3 * rng.standard_normal(L).astype(np.float32)
+        mix = clean + other
+        enroll = clean + 0.02 * rng.standard_normal(L).astype(np.float32)
+        paths = {}
+        for name, sig in (("mix", mix), ("clean", clean), ("enr", enroll)):
+            p = os.path.join(wavs, f"{name}_{i}.wav")
+            AudioIO.save(sig.reshape(1, -1), p, sr)
+            paths[name] = p
+        key = f"utt{i}"
+        scp.append(f"{key} {paths['mix']}")
+        ref.append(f"{key} {paths['clean']}")
+        r2l.append(f"{key} {paths['enr']}")
+        r2s.append(f"{key} {spk}")
+        w2s.append(f"{key} {spk}-sp{(i + 1) % 8}")
+    for i in range(4):
+        n = (0.1 * rng.standard_normal(L)).astype(np.float32)
+        AudioIO.save(n.reshape(1, -1), os.path.join(noise_dir, f"n{i}.wav"), sr)
+    for i in range(2):
+        rir = (rng.standard_normal(2400)
+               * np.exp(-np.arange(2400) / 400.0)).astype(np.float32)
+        rir[0] = 1.0
+        AudioIO.save(rir.reshape(1, -1) / np.abs(rir).max(),
+                     os.path.join(rir_dir, f"r{i}.wav"), sr)
+    names = ("wav2scp.txt", "wav2ref.txt", "ref2list.txt", "ref2spk.txt",
+             "wav2spk.txt")
+    for fname, lines in zip(names, (scp, ref, r2l, r2s, w2s)):
+        with open(os.path.join(man, fname), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(done, "w") as f:
+        f.write("ok")
+    return man
+
+
+def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
+                            mixed=True):
+    """END-TO-END training throughput: real DataLoader (fork workers,
+    shared-memory handoff) running the full augmentation chain (speed
+    perturb resample + RIR fftconvolve + SNR noise + biquad response) into
+    the flagship jitted train step. Reports sustained audio-seconds/s and
+    the fraction of wall time the chip sat idle waiting on host data —
+    SURVEY.md s7 hard-part 6, unmeasured until round 3."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.parallel import TrainState, make_train_step
+    from puresound_tpu.tasks.base import DataLoader
+    from puresound_tpu.tasks.tse import TseCollateFunc, TseDataset
+    from puresound_tpu.zoo import init_tse_model
+
+    root = "/tmp/puresound_bench_data"
+    man = _make_sustained_dataset(root)
+    ds = TseDataset(
+        man, resample_to=16000, max_length=seconds,
+        enroll_rule="fixed_length", enroll_augment=False,
+        noise_folder=os.path.join(root, "noise"),
+        rir_folder=os.path.join(root, "rir"),
+        speed_perturbed=True, perturb_frequency_response=True,
+        vol_perturbed=(0.5, 1.2))
+    loader = DataLoader(ds, batch_size=B, shuffle=True,
+                        collate_fn=TseCollateFunc(),
+                        num_workers=num_workers, drop_last=True, seed=0)
+
+    model = init_tse_model("tse_skim_v0_causal",
+                           sig_loss=SDRLoss.init_mode("sisnr"))
+    L = int(16000 * seconds)
+    z = jnp.zeros((B, L), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, z,
+                           method=SoTaskWrapModule.inference)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              optax.adam(1e-3))
+    step = make_train_step(
+        model, grad_clip=10.0,
+        compute_dtype=jnp.bfloat16 if mixed else None)
+    key = jax.random.PRNGKey(1)
+
+    def fix(x):
+        # speed perturb changes lengths; keep the device shape STATIC
+        if x.shape[1] >= L:
+            return x[:, :L]
+        return np.pad(x, ((0, 0), (0, L - x.shape[1])))
+
+    def kwargs_of(batch):
+        return {"noisy": jnp.asarray(fix(batch["process_wav"])),
+                "enroll": jnp.asarray(fix(batch["enroll_wav"])),
+                "ref_clean": jnp.asarray(fix(batch["clean_wav"]))}
+
+    # warm-up: one real batch through the step (compile)
+    it = iter(loader)
+    first = kwargs_of(next(it))
+    s, m = step(state, first, key)
+    float(np.asarray(m["loss"]))
+
+    done_steps = 0
+    t_wait = 0.0
+    t_step = 0.0
+    t0 = time.perf_counter()
+    while done_steps < n_steps:
+        tw = time.perf_counter()
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        kw = kwargs_of(batch)
+        t_wait += time.perf_counter() - tw
+        ts = time.perf_counter()
+        s, m = step(s, kw, key)
+        float(np.asarray(m["loss"]))  # sync (see _sync note)
+        t_step += time.perf_counter() - ts
+        done_steps += 1
+    total = time.perf_counter() - t0
+    audio_s = B * seconds * n_steps
+    return {
+        "batch": f"{B}x{seconds}s",
+        "steps": n_steps,
+        "num_workers": num_workers,
+        "audio_seconds_per_second": round(audio_s / total, 1),
+        "step_ms_mean": round(t_step / n_steps * 1000.0, 2),
+        "host_wait_ms_mean": round(t_wait / n_steps * 1000.0, 2),
+        "host_idle_pct": round(100.0 * t_wait / total, 1),
+        "host_cores": os.cpu_count(),
+    }
+
+
 def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
     """Single-stream NS (ns_dpcrn_v0_causal) offline real-time factor."""
     import jax
@@ -449,6 +606,13 @@ def main():
                 detail["train_step"]["bf16_B64_roofline"] = roof_b
         except Exception as e:
             detail["train_step"] = f"failed: {type(e).__name__}"
+        if not smoke:
+            try:
+                detail["train_sustained"] = measure_train_sustained(
+                    B=8, seconds=2.0, n_steps=30,
+                    num_workers=int(os.environ.get("BENCH_WORKERS", 4)))
+            except Exception as e:
+                detail["train_sustained"] = f"failed: {type(e).__name__}"
 
     try:
         detail["denoise_rtf_single_stream"] = round(

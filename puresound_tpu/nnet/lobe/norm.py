@@ -18,10 +18,28 @@ def _stat_dtype(dtype):
 
 
 def _moments(x, axes):
+    """Single-pass mean/variance with f32 accumulation.
+
+    var = E[x^2] - mean^2 instead of E[(x - mean)^2]: the two-pass form
+    materializes a full-size f32 (x - mean) tensor that autodiff also
+    stores as a backward residual — measured as the dominant HBM traffic
+    of the bf16 train step (the normalize itself stays in input dtype).
+    """
     xf = x.astype(_stat_dtype(x.dtype))
     mean = jnp.mean(xf, axis=axes, keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=axes, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=axes, keepdims=True)
+                      - mean * mean, 0.0)
     return mean, var
+
+
+def _normalize(x, mean, var, eps):
+    """(x - mean) * rsqrt(var + eps) carried out in x.dtype (mean/rstd are
+    per-sample scalars — casting them down costs nothing; keeping the
+    full-size arithmetic in f32 doubles activation+residual bytes)."""
+    import jax
+
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
 
 
 class _GainBiasLN(nn.Module):
@@ -33,9 +51,11 @@ class _GainBiasLN(nn.Module):
     def _affine(self, normed):
         gamma = self.param("gamma", nn.initializers.ones, (self.channel_size,))
         beta = self.param("beta", nn.initializers.zeros, (self.channel_size,))
-        # channel axis is dim 1; broadcast gamma/beta over trailing dims
+        # channel axis is dim 1; broadcast gamma/beta over trailing dims;
+        # cast the affine params DOWN so bf16 activations stay bf16
         shape = (1, self.channel_size) + (1,) * (normed.ndim - 2)
-        return normed * gamma.reshape(shape) + beta.reshape(shape)
+        return (normed * gamma.reshape(shape).astype(normed.dtype)
+                + beta.reshape(shape).astype(normed.dtype))
 
 
 class GlobLN(_GainBiasLN):
@@ -45,8 +65,7 @@ class GlobLN(_GainBiasLN):
     def __call__(self, x):
         axes = tuple(range(1, x.ndim))
         mean, var = _moments(x, axes)
-        normed = ((x - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
-        return self._affine(normed)
+        return self._affine(_normalize(x, mean, var, self.eps))
 
 
 class ChanLN(_GainBiasLN):
@@ -55,8 +74,7 @@ class ChanLN(_GainBiasLN):
     @nn.compact
     def __call__(self, x):
         mean, var = _moments(x, (1,))
-        normed = ((x - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
-        return self._affine(normed)
+        return self._affine(_normalize(x, mean, var, self.eps))
 
 
 class InstantLN(_GainBiasLN):
@@ -67,8 +85,8 @@ class InstantLN(_GainBiasLN):
         N, CH, C, T = x.shape
         flat = x.reshape(N, CH * C, T)
         mean, var = _moments(flat, (1,))
-        normed = ((flat - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
-        return self._affine(normed).reshape(N, CH, C, T)
+        return self._affine(_normalize(flat, mean, var, self.eps)
+                            ).reshape(N, CH, C, T)
 
 
 class LayerNorm2D(nn.Module):
@@ -86,12 +104,12 @@ class LayerNorm2D(nn.Module):
     def __call__(self, x):
         w = self.param("w", nn.initializers.ones, (1, self.ch, self.f, 1))
         b = self.param("b", lambda key, shape: 1e-4 * jnp.ones(shape), (1, self.ch, self.f, 1))
-        xf = x.astype(_stat_dtype(x.dtype))
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         n = x.shape[1] * x.shape[2]
-        var = jnp.sum((xf - mean) ** 2, axis=(1, 2), keepdims=True) / max(n - 1, 1)
-        std = jnp.sqrt(var)
-        return (((xf - mean) / (std + self.eps)) * w + b).astype(x.dtype)
+        mean, var = _moments(x, (1, 2))
+        std = jnp.sqrt(var * (n / max(n - 1, 1)))  # unbiased (torch .std())
+        inv = (1.0 / (std + self.eps)).astype(x.dtype)
+        return ((x - mean.astype(x.dtype)) * inv
+                * w.astype(x.dtype) + b.astype(x.dtype))
 
 
 class BatchNorm(nn.Module):
@@ -118,8 +136,8 @@ class BatchNorm(nn.Module):
         if train:
             xf = x.astype(_stat_dtype(x.dtype))
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean((xf - mean.reshape((1, -1) + (1,) * (x.ndim - 2))) ** 2,
-                           axis=reduce_axes)
+            var = jnp.maximum(jnp.mean(xf * xf, axis=reduce_axes)
+                              - mean * mean, 0.0)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
@@ -131,8 +149,13 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         shape = (1, self.channel_size) + (1,) * (x.ndim - 2)
-        normed = (x.astype(_stat_dtype(x.dtype)) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape) + self.eps)
-        return (normed * gamma.reshape(shape) + beta.reshape(shape)).astype(x.dtype)
+        import jax
+
+        rstd = jax.lax.rsqrt(var.reshape(shape) + self.eps)
+        return ((x - mean.reshape(shape).astype(x.dtype))
+                * rstd.astype(x.dtype)
+                * gamma.reshape(shape).astype(x.dtype)
+                + beta.reshape(shape).astype(x.dtype))
 
 
 class GroupNorm1(_GainBiasLN):
@@ -161,8 +184,8 @@ class LayerNormLast(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
         mean, var = _moments(x, (-1,))
-        normed = (x.astype(_stat_dtype(x.dtype)) - mean) / jnp.sqrt(var + self.eps)
-        return (normed * gamma + beta).astype(x.dtype)
+        return (_normalize(x, mean, var, self.eps)
+                * gamma.astype(x.dtype) + beta.astype(x.dtype))
 
 
 # Registry (aliases mirror norm.py:91-97)

@@ -15,6 +15,7 @@ parameterization are preserved so reference checkpoints map 1:1.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -23,6 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .norm import get_norm, apply_norm
+
+# lax.scan unroll factor for the offline recurrences. The training step is
+# scan-iteration-latency bound on TPU (each LSTM step's [B,H]x[H,4H] matmul
+# is microseconds; the serial loop overhead is not) — unrolling k cell steps
+# per scan iteration amortizes it without changing semantics.
+SCAN_UNROLL = int(os.environ.get("PURESOUND_SCAN_UNROLL", "1"))
+
+
+def _unroll(T: int) -> int:
+    u = SCAN_UNROLL
+    while u > 1 and T % u:
+        u //= 2
+    return max(u, 1)
 
 
 def _uniform_init(scale):
@@ -74,7 +88,8 @@ class LSTMCellParams(nn.Module):
             h, c = self.gates_step(xt, h, c)
             return (h, c), h
 
-        (hT, cT), ys = jax.lax.scan(body, (h0, c0), xp_t, reverse=reverse)
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), xp_t, reverse=reverse,
+                                    unroll=_unroll(xp_t.shape[0]))
         return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 
@@ -147,7 +162,8 @@ class GRUCellParams(nn.Module):
             h_new = (1 - z) * n + z * h
             return h_new, h_new
 
-        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse)
+        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse,
+                              unroll=_unroll(xp_t.shape[0]))
         return jnp.swapaxes(ys, 0, 1), hT
 
 
@@ -172,7 +188,8 @@ class VanillaRNNCellParams(nn.Module):
             h_new = jnp.tanh(xt + h @ self.w_hh)
             return h_new, h_new
 
-        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse)
+        hT, ys = jax.lax.scan(body, h0, xp_t, reverse=reverse,
+                              unroll=_unroll(xp_t.shape[0]))
         return jnp.swapaxes(ys, 0, 1), hT
 
 

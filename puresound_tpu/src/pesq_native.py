@@ -61,15 +61,23 @@ _WB = _Mode(fs=16000, n_fft=512, n_bands=49, sp=6.910853e-6, sl=1.866055e-1,
 # Calibrated internal constants (see module docstring): the hearing-threshold
 # offset places the Terhardt curve on the internal power scale; the raw score
 # keeps the published P.862 form  4.5 - 0.1*D - 0.0309*A  with per-mode
-# power-law calibration (gain, exponent) of the aggregated disturbances,
-# fitted on speech+white-noise anchors at SNR 0..40 dB (tests/test_pesq.py
-# re-checks the anchor grid).
+# power-law calibration (gain, exponent) of the aggregated disturbances.
+# Round-3 recalibration (scripts/calibrate_pesq.py): jointly fitted on FOUR
+# degradation families — white noise at SNR 0..50 dB, MNRU Q 15..35,
+# band-limitation (butterworth lowpass), periodic muting — instead of the
+# round-2 white-noise-only fit, which had pushed all weight onto the
+# asymmetric channel and left subtractive degradations (lowpass, muting)
+# almost unpenalized (2 kHz-lowpassed speech scored 4.6). Residuals vs the
+# literature-informed targets: noise/MNRU within ~0.2 (wb) / ~0.35 (nb);
+# band-limitation within ~0.3 (wb; depth beyond the P.862 0.01
+# frequency-compensation floor saturates); muting over-penalized by ~0.5.
+# tests/test_pesq.py asserts the per-family grids.
 _TQ_OFFSET_DB = 55.0
 _D_WEIGHT = 0.1
 _A_WEIGHT = 0.0309
 _CAL = {  # mode -> (k_d, p_d, k_a, p_a)
-    "wb": (7.1457, 1.5, 50.8086, 0.3245),
-    "nb": (22.0247, 0.6962, 14.4326, 0.25),
+    "wb": (30.4130, 0.3096, 0.4836, 1.9975),
+    "nb": (22.5311, 0.2963, 0.2180, 2.5448),
 }
 _TARGET_POWER = 1e7
 _SPLIT_SECOND_FRAMES = 20  # ~320 ms at 16 ms hop
