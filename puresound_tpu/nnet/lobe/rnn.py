@@ -31,6 +31,13 @@ from .norm import get_norm, apply_norm
 # per scan iteration amortizes it without changing semantics.
 SCAN_UNROLL = int(os.environ.get("PURESOUND_SCAN_UNROLL", "1"))
 
+# Route offline LSTM recurrences through the fused Pallas training kernel
+# (ops/lstm_train_kernel.py: whole scan in one kernel per pass, carry
+# VMEM-resident, custom VJP with a reverse-time Pallas backward). Set by
+# TRAIN.fused_scan (tasks) or PURESOUND_FUSED_SCAN=1; identical numerics
+# to the lax.scan path (tests/test_pallas_kernels.py).
+FUSED_TRAIN_SCAN = int(os.environ.get("PURESOUND_FUSED_SCAN", "0")) != 0
+
 
 def _unroll(T: int) -> int:
     u = SCAN_UNROLL
@@ -81,6 +88,20 @@ class LSTMCellParams(nn.Module):
     def scan(self, x: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray, reverse: bool = False):
         """Run over a sequence. x: [B, T, C] -> (y [B, T, H], (hT, cT))."""
         xp = self.input_proj(x)  # [B, T, 4H]
+        # measured crossover: at <256 rows the per-kernel overhead loses to
+        # lax.scan (B=8 flagship: 19 ms fused vs 10 ms stock); at 896 rows
+        # the fused path wins 66 -> 50 ms
+        if (FUSED_TRAIN_SCAN and x.shape[0] >= 256 and x.shape[1] >= 8
+                and self.hidden % 8 == 0):
+            import jax as _jax
+
+            from ...ops.lstm_train_kernel import lstm_scan_train
+
+            dd = jnp.bfloat16 if xp.dtype == jnp.bfloat16 else jnp.float32
+            y, hT, cT = lstm_scan_train(
+                xp, h0, c0, self.w_hh, reverse, 0,
+                _jax.default_backend() != "tpu", dd)
+            return y, (hT, cT)
         xp_t = jnp.swapaxes(xp, 0, 1)  # [T, B, 4H]
 
         def body(carry, xt):

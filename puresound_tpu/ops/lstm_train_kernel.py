@@ -1,0 +1,302 @@
+"""Pallas TPU kernels: LSTM recurrence scan for TRAINING (fwd + custom VJP).
+
+Round-2 measurement: the flagship train step is scan-iteration bound — each
+`lax.scan` LSTM step is a [B, H] x [H, 4H] matmul of a few hundred MFLOP
+(microseconds on the MXU) wrapped in per-iteration while-loop overhead and
+HBM round-trips of the carry, in BOTH the forward and the backward pass
+(~1200 serial iterations per step for the 4-block SkiM at seg_size 150).
+
+These kernels run the whole recurrence inside one Pallas program per pass:
+
+- forward: carry VMEM-resident, streams xp[t] in and h[t] out, and
+  additionally stores the ACTIVATED gates (i, f, g, o) and the cell-state
+  sequence — exactly the residuals the backward needs, so the backward
+  never re-runs the recurrence matmul.
+- backward: reverse-time scan with (dh, dc) VMEM-resident, two MXU matmuls
+  per step (dgates @ w_hh^T and the dw_hh accumulation, which lives in a
+  f32 VMEM scratch across the whole scan).
+
+`lstm_scan_train` wraps them in jax.custom_vjp; gradients of the input
+projection / embedding terms fall out of autodiff through xp as usual.
+Gate order matches torch / LSTMCellParams (i, f, g, o).
+
+Serving counterpart (no residual stores): ops/lstm_scan_kernel.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lstm_scan_kernel import pick_b_tile  # noqa: F401  (re-export)
+
+
+def _fwd_kernel(T: int, dot_dtype):
+    def kernel(xp_ref, h0_ref, c0_ref, whh_ref,
+               y_ref, hT_ref, cT_ref, gates_ref, cseq_ref,
+               h_scr, c_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scr[:] = h0_ref[:].astype(jnp.float32)
+            c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+        h = h_scr[:]
+        c = c_scr[:]
+        gates = (xp_ref[0].astype(jnp.float32)
+                 + jnp.dot(h.astype(dot_dtype),
+                           whh_ref[:].astype(dot_dtype),
+                           preferred_element_type=jnp.float32))
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_scr[:] = h_new
+        c_scr[:] = c_new
+        y_ref[0] = h_new.astype(y_ref.dtype)
+        gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1
+                                       ).astype(gates_ref.dtype)
+        cseq_ref[0] = c_new.astype(cseq_ref.dtype)
+
+        @pl.when(t == T - 1)
+        def _():
+            hT_ref[:] = h_new.astype(hT_ref.dtype)
+            cT_ref[:] = c_new.astype(cT_ref.dtype)
+
+    return kernel
+
+
+def _bwd_kernel(T: int, nb: int, dot_dtype):
+    def kernel(gates_ref, cseq_ref, cprev_ref, hprev_ref, dy_ref,
+               dhT_ref, dcT_ref, whh_ref,
+               dxp_ref, dh0_ref, dc0_ref, dwhh_ref,
+               dh_scr, dc_scr, dw_scr):
+        b = pl.program_id(0)
+        t = pl.program_id(1)  # 0 .. T-1, maps to time T-1-t
+
+        @pl.when(t == 0)
+        def _():
+            dh_scr[:] = dhT_ref[:].astype(jnp.float32)
+            dc_scr[:] = dcT_ref[:].astype(jnp.float32)
+            dw_scr[:] = jnp.zeros_like(dw_scr)
+
+        H = dh_scr.shape[-1]
+        gates = gates_ref[0].astype(jnp.float32)
+        i = gates[:, :H]
+        f = gates[:, H:2 * H]
+        g = gates[:, 2 * H:3 * H]
+        o = gates[:, 3 * H:]
+        c_new = cseq_ref[0].astype(jnp.float32)
+        c_prev = cprev_ref[0].astype(jnp.float32)
+        tanh_c = jnp.tanh(c_new)
+
+        dh = dh_scr[:] + dy_ref[0].astype(jnp.float32)
+        dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
+        dgo = dh * tanh_c * o * (1.0 - o)
+        dgf = dc * c_prev * f * (1.0 - f)
+        dgi = dc * g * i * (1.0 - i)
+        dgg = dc * i * (1.0 - g * g)
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [bt, 4H]
+
+        dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+        # carry for step t-1
+        dh_scr[:] = jnp.dot(dgates.astype(dot_dtype),
+                            whh_ref[:].astype(dot_dtype).T,
+                            preferred_element_type=jnp.float32)
+        dc_scr[:] = dc * f
+        # dw_hh accumulation: h_{t-1}^T @ dgates
+        dw_scr[:] += jnp.dot(hprev_ref[0].astype(dot_dtype).T,
+                             dgates.astype(dot_dtype),
+                             preferred_element_type=jnp.float32)
+
+        @pl.when(t == T - 1)
+        def _():
+            dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+            dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
+
+        @pl.when((t == T - 1) & (b == 0))
+        def _():
+            dwhh_ref[:] = dw_scr[:].astype(dwhh_ref.dtype)
+
+        @pl.when((t == T - 1) & (b > 0))
+        def _():
+            dwhh_ref[:] += dw_scr[:].astype(dwhh_ref.dtype)
+
+    return kernel
+
+
+def _tmap(reverse: bool, T: int):
+    if reverse:
+        return lambda b, t: (T - 1 - t, b, 0)
+    return lambda b, t: (t, b, 0)
+
+
+def _fwd_call(xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
+    T, B, H4 = xp_t.shape
+    H = H4 // 4
+    nb = B // b_tile
+    tmap = _tmap(reverse, T)
+    bmap = lambda b, t: (b, 0)
+    kernel = _fwd_kernel(T, dot_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), xp_t.dtype),
+            jax.ShapeDtypeStruct((B, H), h0.dtype),
+            jax.ShapeDtypeStruct((B, H), c0.dtype),
+            jax.ShapeDtypeStruct((T, B, H4), xp_t.dtype),  # activated gates
+            jax.ShapeDtypeStruct((T, B, H), xp_t.dtype),   # cell states
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xp_t, h0, c0, w_hh)
+
+
+def _bwd_call(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh,
+              reverse, b_tile, interpret, dot_dtype):
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    nb = B // b_tile
+    # the backward scan walks time in the OPPOSITE order of the forward:
+    # forward order t=0..T-1 -> backward visits T-1..0, which is exactly
+    # _tmap(not reverse)
+    tmap = _tmap(not reverse, T)
+    bmap = lambda b, t: (b, 0)
+    kernel = _bwd_kernel(T, nb, dot_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, T),
+        in_specs=[
+            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H4), gates.dtype),  # dxp
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((H, H4), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def lstm_scan_train(xp, h0, c0, w_hh, reverse: bool = False,
+                    b_tile: int = 0, interpret: bool = False,
+                    dot_dtype=jnp.float32):
+    """Differentiable fused LSTM scan.
+
+    Args match ops.lstm_scan_kernel.lstm_scan: xp [B, T, 4H] hoisted input
+    projections, h0/c0 [B, H], w_hh [H, 4H]. Returns (y [B, T, H],
+    hT [B, H], cT [B, H]); identical numerics to LSTMCellParams.scan, with
+    a Pallas backward (residuals: activated gates + cell sequence).
+    """
+    y, hT, cT, _, _ = _run_fwd(xp, h0, c0, w_hh, reverse, b_tile, interpret,
+                               dot_dtype)
+    return y, hT, cT
+
+
+def _resolve_tile(B, b_tile):
+    if b_tile <= 0 or b_tile > B:
+        b_tile = pick_b_tile(B, cap=512)
+    while B % b_tile:
+        b_tile -= 1
+    return b_tile
+
+
+def _run_fwd(xp, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
+    B, T, H4 = xp.shape
+    b_tile = _resolve_tile(B, b_tile)
+    xp_t = jnp.swapaxes(xp, 0, 1)
+    y_t, hT, cT, gates, cseq = _fwd_call(
+        xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype)
+    return jnp.swapaxes(y_t, 0, 1), hT, cT, gates, cseq
+
+
+def _fwd_rule(xp, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
+    y, hT, cT, gates, cseq = _run_fwd(xp, h0, c0, w_hh, reverse, b_tile,
+                                      interpret, dot_dtype)
+    return (y, hT, cT), (gates, cseq, c0, h0, y, w_hh)
+
+
+def _bwd_rule(reverse, b_tile, interpret, dot_dtype, res, cts):
+    gates, cseq, c0, h0, y, w_hh = res
+    dy, dhT, dcT = cts
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    b_tile = _resolve_tile(B, b_tile)
+
+    y_t = jnp.swapaxes(y, 0, 1)  # [T, B, H] in INPUT time order
+    if reverse:
+        # forward visited t = T-1 .. 0; "previous" state of visit k is the
+        # state after visit k-1, i.e. time index t+1
+        hprev = jnp.concatenate([y_t[1:], h0[None]], axis=0)
+        cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
+                                axis=0)
+    else:
+        hprev = jnp.concatenate([h0[None].astype(y_t.dtype), y_t[:-1]],
+                                axis=0)
+        cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
+                                axis=0)
+
+    dy_t = jnp.swapaxes(dy, 0, 1)
+    dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
+    dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
+    dxp_t, dh0, dc0, dwhh = _bwd_call(
+        gates, cseq, cprev, hprev, dy_t,
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh,
+        reverse, b_tile, interpret, dot_dtype)
+    return (jnp.swapaxes(dxp_t, 0, 1).astype(jnp.result_type(gates.dtype)),
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype),
+            dwhh.astype(w_hh.dtype))
+
+
+lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)

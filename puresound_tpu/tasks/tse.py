@@ -251,6 +251,10 @@ class TseTask(NsTask):
 
         import jax.numpy as jnp
 
+        if self.hparam["TRAIN"].get("fused_scan"):
+            from ..nnet.lobe import rnn as _rnn
+
+            _rnn.FUSED_TRAIN_SCAN = True
         mp = self.hparam["TRAIN"].get("mixed_precision")
         self._train_step = make_train_step(
             self.model,

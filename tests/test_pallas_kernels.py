@@ -231,3 +231,84 @@ def test_dual_path_kernel_int8_hh_accuracy(rng):
         den += float(np.sum((a - b) ** 2))
     snr = 10 * np.log10(num / max(den, 1e-20))
     assert snr > 20.0, f"dual-path int8_hh SNR {snr:.1f} dB"
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_train_kernel_matches_scan_grads(rng, reverse):
+    """lstm_scan_train (fused fwd + Pallas custom-VJP bwd, interpret mode)
+    must match lax.scan values AND gradients in both directions."""
+    from puresound_tpu.ops.lstm_train_kernel import lstm_scan_train
+
+    B, T, H = 8, 12, 16
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.4)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+
+    def ref_scan(xp, h0, c0, whh):
+        def body(carry, xt):
+            h, c = carry
+            gates = xt + h @ whh
+            i, f, g, o = jnp.split(gates, 4, -1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), jnp.swapaxes(xp, 0, 1),
+                                    reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), hT, cT
+
+    w = jnp.cos(jnp.arange(B * T * H).reshape(B, T, H) * 0.1)
+
+    def loss(fn, args):
+        y, hT, cT = fn(*args)
+        return jnp.sum(y * w) + jnp.sum(hT**2) + jnp.sum(cT * 0.3)
+
+    args = (xp, h0, c0, whh)
+    fused = lambda *a: lstm_scan_train(*a, reverse, 4, True)
+    y1, h1, c1 = fused(*args)
+    y2, h2, c2 = ref_scan(*args)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+    g1 = jax.grad(lambda a: loss(fused, a))(args)
+    g2 = jax.grad(lambda a: loss(ref_scan, a))(args)
+    for a, b, n in zip(g1, g2, ("dxp", "dh0", "dc0", "dwhh")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6,
+                                   err_msg=n)
+
+
+def test_fused_scan_flag_trains_skim(rng, monkeypatch):
+    """FUSED_TRAIN_SCAN routes SkiM training through the Pallas kernel
+    (interpret on CPU) and matches the stock path's loss/grads."""
+    import optax
+
+    import puresound_tpu.nnet.lobe.rnn as rnn_mod
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.parallel import TrainState, make_train_step
+
+    model = SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=16,
+                           output_active=True),
+        masker=SkiM(input_size=16, hidden_size=16, output_size=16,
+                    n_blocks=2, seg_size=10, causal=True),
+        loss_func_wav=SDRLoss.init_mode("sisnr"), mask_constraint="ReLU")
+    B, L = 4, 400
+    noisy = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    clean = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1)
+    batch = {"noisy": noisy, "enroll": None, "ref_clean": clean}
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+
+    def one_step(fused):
+        monkeypatch.setattr(rnn_mod, "FUSED_TRAIN_SCAN", fused)
+        state = TrainState.create(variables["params"], {}, optax.adam(1e-3))
+        step = make_train_step(model, grad_clip=10.0, donate=False)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        return float(metrics["loss"]), float(metrics["grad_norm"])
+
+    l0, g0 = one_step(False)
+    l1, g1 = one_step(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-4)
