@@ -159,6 +159,28 @@ def build_ns_engine():
     return engine, variables
 
 
+def build_dparn_engine():
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.dparn import DPARN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.zoo.ns import _UNET_KW
+
+    encoder = ConvEncDec(fft_length=512, win_type="hann", win_length=512,
+                         hop_length=128, trainable=True,
+                         output_format="Complex")
+    masker = DPARN(transpose_delay=False, nhead=8, **_UNET_KW)
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    variables = engine.init(jax.random.PRNGKey(0), x0,
+                            method=StreamingNS.init_all)
+    return engine, variables
+
+
 def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
                        dp_kernel=True):
     import jax
@@ -251,7 +273,7 @@ def search_capacity(measure, budget_ms, start_batches, granularity=2048,
 # training throughput
 # ---------------------------------------------------------------------------
 
-def measure_train(mixed: bool, B=8, seconds=2.0):
+def measure_train(mixed: bool, B=8, seconds=2.0, fused_scan=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -262,6 +284,12 @@ def measure_train(mixed: bool, B=8, seconds=2.0):
     from puresound_tpu.utils.roofline import summarize, xla_cost
     from puresound_tpu.zoo import init_tse_model
 
+    if fused_scan:
+        # fused Pallas LSTM train kernel; rows < 256 auto-fall back to
+        # lax.scan inside LSTMCellParams.scan
+        from puresound_tpu.nnet.lobe import rnn as _rnn
+
+        _rnn.FUSED_TRAIN_SCAN = True
     model = init_tse_model("tse_skim_v0_causal",
                            sig_loss=SDRLoss.init_mode("sisnr"))
     L = int(16000 * seconds)
@@ -579,6 +607,25 @@ def main():
                     detail["ns_roofline"] = f"unavailable: {type(e).__name__}"
         except Exception as e:
             detail["ns_streams_per_chip"] = f"failed: {type(e).__name__}"
+        # DPARN capacity (attention intra runs stock XLA; inter LSTM on the
+        # fused Pallas scan) — first measured in round 3
+        try:
+            dp_engine, dp_vars = build_dparn_engine()
+
+            def dparn_measure(B):
+                ms, _, _ = measure_ns_step_ms(dp_engine, dp_vars, B,
+                                              dp_kernel=False)
+                return ms
+
+            da_B, da_ms, da_results = search_capacity(
+                dparn_measure, 1e9 if smoke else 16.0,
+                (2, 4) if smoke else (1024, 2048, 4096),
+                granularity=2 if smoke else 256, max_refine=4)
+            detail["dparn_streams_per_chip"] = da_B
+            detail["dparn_step_ms"] = round(da_ms, 3)
+            detail["dparn_batches_tested"] = da_results
+        except Exception as e:
+            detail["dparn_streams_per_chip"] = f"failed: {type(e).__name__}"
 
     # ---------------- training throughput ----------------------------------
     if not os.environ.get("BENCH_SKIP_TRAIN"):

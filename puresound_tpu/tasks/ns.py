@@ -69,7 +69,7 @@ class _AugmentedDataset(TaskDataset):
         """Random fixed-length crop avoiding all-zero targets; zero-pad when
         too short (ns.py:123-139)."""
         sr = self.resample_to
-        target_len = sr * self.max_length
+        target_len = int(sr * self.max_length)  # max_length may be fractional
         if wav.shape[-1] > target_len:
             offset = random.randint(0, wav.shape[-1] - target_len)
             if avoid_zero_target:
