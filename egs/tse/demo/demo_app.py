@@ -46,24 +46,32 @@ def build_flagship_engine():
                         speaker_net=speaker_net, mask_constraint="ReLU")
 
 
-def main(args):
+def load_or_init(build_engine, ckpt):
+    """Build the flagship engine and load a checkpoint into it (random
+    weights with a warning when ckpt is None). Shared with mic_demo.py."""
     import jax
     import jax.numpy as jnp
 
-    from puresound_tpu.src.audio import AudioIO
     from puresound_tpu.streaming.engine import StreamingTSE
     from puresound_tpu.tasks.base import BaseTrainer
 
-    engine = build_flagship_engine()
+    engine = build_engine()
     x0 = jnp.zeros((1, 320))
     e0 = jnp.zeros((1, 3200))
     variables = engine.init(jax.random.PRNGKey(0), x0, e0,
                             method=StreamingTSE.init_all)
-    if args.ckpt:
-        variables = BaseTrainer.load_params_from_ckpt(args.ckpt, variables)
-        print(f"loaded checkpoint {args.ckpt}")
+    if ckpt:
+        variables = BaseTrainer.load_params_from_ckpt(ckpt, variables)
+        print(f"loaded checkpoint {ckpt}")
     else:
         print("WARNING: running with random weights (no --ckpt given)")
+    return engine, variables
+
+
+def main(args):
+    from puresound_tpu.src.audio import AudioIO
+
+    engine, variables = load_or_init(build_flagship_engine, args.ckpt)
 
     sr = 16000
     enroll, esr = AudioIO.open(args.enroll, target_lvl=-28)

@@ -34,7 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .lstm_scan_kernel import pick_b_tile  # noqa: F401  (re-export)
 
 
-def _fwd_kernel(T: int, dot_dtype):
+def _fwd_kernel(nT: int, u: int, reverse: bool, dot_dtype):
+    """u = time steps per grid iteration (python-unrolled inside the body;
+    amortizes the per-iteration pipeline latency — the per-step matmul is
+    ~1 us of MXU against ~7 us of grid overhead at u=1)."""
+
     def kernel(xp_ref, h0_ref, c0_ref, whh_ref,
                y_ref, hT_ref, cT_ref, gates_ref, cseq_ref,
                h_scr, c_scr):
@@ -47,39 +51,44 @@ def _fwd_kernel(T: int, dot_dtype):
 
         h = h_scr[:]
         c = c_scr[:]
-        gates = (xp_ref[0].astype(jnp.float32)
-                 + jnp.dot(h.astype(dot_dtype),
-                           whh_ref[:].astype(dot_dtype),
-                           preferred_element_type=jnp.float32))
         H = h.shape[-1]
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        h_scr[:] = h_new
-        c_scr[:] = c_new
-        y_ref[0] = h_new.astype(y_ref.dtype)
-        gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1
-                                       ).astype(gates_ref.dtype)
-        cseq_ref[0] = c_new.astype(cseq_ref.dtype)
+        for kk in range(u):
+            k = u - 1 - kk if reverse else kk
+            gates = (xp_ref[k].astype(jnp.float32)
+                     + jnp.dot(h.astype(dot_dtype),
+                               whh_ref[:].astype(dot_dtype),
+                               preferred_element_type=jnp.float32))
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            y_ref[k] = h.astype(y_ref.dtype)
+            gates_ref[k] = jnp.concatenate([i, f, g, o], axis=-1
+                                           ).astype(gates_ref.dtype)
+            cseq_ref[k] = c.astype(cseq_ref.dtype)
+        h_scr[:] = h
+        c_scr[:] = c
 
-        @pl.when(t == T - 1)
+        @pl.when(t == nT - 1)
         def _():
-            hT_ref[:] = h_new.astype(hT_ref.dtype)
-            cT_ref[:] = c_new.astype(cT_ref.dtype)
+            hT_ref[:] = h.astype(hT_ref.dtype)
+            cT_ref[:] = c.astype(cT_ref.dtype)
 
     return kernel
 
 
-def _bwd_kernel(T: int, nb: int, dot_dtype):
+def _bwd_kernel(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
+    """Walks time blocks in the OPPOSITE order of the forward; inside a
+    block, steps run in reverse of the forward's within-block order."""
+
     def kernel(gates_ref, cseq_ref, cprev_ref, hprev_ref, dy_ref,
                dhT_ref, dcT_ref, whh_ref,
                dxp_ref, dh0_ref, dc0_ref, dwhh_ref,
                dh_scr, dc_scr, dw_scr):
         b = pl.program_id(0)
-        t = pl.program_id(1)  # 0 .. T-1, maps to time T-1-t
+        t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _():
@@ -88,44 +97,52 @@ def _bwd_kernel(T: int, nb: int, dot_dtype):
             dw_scr[:] = jnp.zeros_like(dw_scr)
 
         H = dh_scr.shape[-1]
-        gates = gates_ref[0].astype(jnp.float32)
-        i = gates[:, :H]
-        f = gates[:, H:2 * H]
-        g = gates[:, 2 * H:3 * H]
-        o = gates[:, 3 * H:]
-        c_new = cseq_ref[0].astype(jnp.float32)
-        c_prev = cprev_ref[0].astype(jnp.float32)
-        tanh_c = jnp.tanh(c_new)
+        dh_c = dh_scr[:]
+        dc_c = dc_scr[:]
+        dw = jnp.zeros_like(dw_scr)
+        for kk in range(u):
+            # forward within-block order is ascending k (or descending when
+            # the forward itself is reversed); backward visits the opposite
+            k = kk if fwd_reverse else u - 1 - kk
+            gates = gates_ref[k].astype(jnp.float32)
+            i = gates[:, :H]
+            f = gates[:, H:2 * H]
+            g = gates[:, 2 * H:3 * H]
+            o = gates[:, 3 * H:]
+            c_new = cseq_ref[k].astype(jnp.float32)
+            c_prev = cprev_ref[k].astype(jnp.float32)
+            tanh_c = jnp.tanh(c_new)
 
-        dh = dh_scr[:] + dy_ref[0].astype(jnp.float32)
-        dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
-        dgo = dh * tanh_c * o * (1.0 - o)
-        dgf = dc * c_prev * f * (1.0 - f)
-        dgi = dc * g * i * (1.0 - i)
-        dgg = dc * i * (1.0 - g * g)
-        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [bt, 4H]
+            dh = dh_c + dy_ref[k].astype(jnp.float32)
+            dc = dc_c + dh * o * (1.0 - tanh_c * tanh_c)
+            dgo = dh * tanh_c * o * (1.0 - o)
+            dgf = dc * c_prev * f * (1.0 - f)
+            dgi = dc * g * i * (1.0 - i)
+            dgg = dc * i * (1.0 - g * g)
+            dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
 
-        dxp_ref[0] = dgates.astype(dxp_ref.dtype)
-        # carry for step t-1
-        dh_scr[:] = jnp.dot(dgates.astype(dot_dtype),
-                            whh_ref[:].astype(dot_dtype).T,
-                            preferred_element_type=jnp.float32)
-        dc_scr[:] = dc * f
-        # dw_hh accumulation: h_{t-1}^T @ dgates
-        dw_scr[:] += jnp.dot(hprev_ref[0].astype(dot_dtype).T,
-                             dgates.astype(dot_dtype),
-                             preferred_element_type=jnp.float32)
+            dxp_ref[k] = dgates.astype(dxp_ref.dtype)
+            dh_c = jnp.dot(dgates.astype(dot_dtype),
+                           whh_ref[:].astype(dot_dtype).T,
+                           preferred_element_type=jnp.float32)
+            dc_c = dc * f
+            dw += jnp.dot(hprev_ref[k].astype(dot_dtype).T,
+                          dgates.astype(dot_dtype),
+                          preferred_element_type=jnp.float32)
+        dh_scr[:] = dh_c
+        dc_scr[:] = dc_c
+        dw_scr[:] += dw
 
-        @pl.when(t == T - 1)
+        @pl.when(t == nT - 1)
         def _():
             dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
             dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
 
-        @pl.when((t == T - 1) & (b == 0))
+        @pl.when((t == nT - 1) & (b == 0))
         def _():
             dwhh_ref[:] = dw_scr[:].astype(dwhh_ref.dtype)
 
-        @pl.when((t == T - 1) & (b > 0))
+        @pl.when((t == nT - 1) & (b > 0))
         def _():
             dwhh_ref[:] += dw_scr[:].astype(dwhh_ref.dtype)
 
@@ -138,29 +155,41 @@ def _tmap(reverse: bool, T: int):
     return lambda b, t: (t, b, 0)
 
 
+def _pick_u(T: int) -> int:
+    """Time steps per grid iteration. Measured on v5e at the flagship
+    shapes (896x150x256): u=6 is NOT faster than u=1 (2.30 vs 2.06 ms fwd)
+    — the kernel is VPU-bound on the gate transcendentals (sigmoid/tanh
+    over [b_tile, 4H] per step ~6 us vs ~1.2 us of MXU), so batching grid
+    iterations buys nothing. Kept at 1; the u-machinery stays for shapes
+    where the balance differs."""
+    return 1
+
+
 def _fwd_call(xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
     T, B, H4 = xp_t.shape
     H = H4 // 4
     nb = B // b_tile
-    tmap = _tmap(reverse, T)
+    u = _pick_u(T)
+    nT = T // u
+    tmap = _tmap(reverse, nT)
     bmap = lambda b, t: (b, 0)
-    kernel = _fwd_kernel(T, dot_dtype)
+    kernel = _fwd_kernel(nT, u, reverse, dot_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(nb, T),
+        grid=(nb, nT),
         in_specs=[
-            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), xp_t.dtype),
@@ -174,7 +203,8 @@ def _fwd_call(xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
             pltpu.VMEM((b_tile, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp_t, h0, c0, w_hh)
 
@@ -184,28 +214,29 @@ def _bwd_call(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh,
     T, B, H4 = gates.shape
     H = H4 // 4
     nb = B // b_tile
-    # the backward scan walks time in the OPPOSITE order of the forward:
-    # forward order t=0..T-1 -> backward visits T-1..0, which is exactly
-    # _tmap(not reverse)
-    tmap = _tmap(not reverse, T)
+    u = _pick_u(T)
+    nT = T // u
+    # the backward scan walks time blocks in the OPPOSITE order of the
+    # forward (within-block reversal happens inside the kernel body)
+    tmap = _tmap(not reverse, nT)
     bmap = lambda b, t: (b, 0)
-    kernel = _bwd_kernel(T, nb, dot_dtype)
+    kernel = _bwd_kernel(nT, nb, u, reverse, dot_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(nb, T),
+        grid=(nb, nT),
         in_specs=[
-            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
@@ -223,7 +254,8 @@ def _bwd_call(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh,
             pltpu.VMEM((H, H4), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh)
 
