@@ -88,7 +88,7 @@ def _timeit(step, args, iters=30):
 # ---------------------------------------------------------------------------
 
 def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
-                        dtype=None, int8_hh=False):
+                        dtype=None, int8_hh=False, int8_full=False):
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +113,8 @@ def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
     def step(chunk, dvec, state):
         return engine.apply(params, chunk, dvec, state, fused=fused,
                             b_tile=b_tile, dot_dtype=dot_dtype,
-                            int8_hh=int8_hh, method=StreamingTSE.step)
+                            int8_hh=int8_hh, int8_full=int8_full,
+                            method=StreamingTSE.step)
 
     return _timeit(step, (chunk, dvec, state)), step, (chunk, dvec, state)
 
@@ -578,6 +579,25 @@ def main():
             }
         except Exception as e:
             detail["int8_hh_probe"] = f"failed: {type(e).__name__}"
+        # full-int8 serving (w_ih + w_hh + proj + FiLM dots quantized,
+        # dynamic activation scales): binary-refined capacity, opt-in
+        try:
+            def int8_measure(B):
+                ms, _, _ = measure_tse_step_ms(engine, variables, B,
+                                               chunk_samples, fused=fused,
+                                               dtype=dtype, int8_full=True)
+                return ms
+
+            i8_B, i8_ms, i8_results = search_capacity(
+                int8_measure, chunk_ms,
+                (best_B, best_B + 4096, best_B + 8192),
+                granularity=2048, max_refine=3)
+            detail["int8_full_probe"] = {
+                "streams": i8_B, "step_ms": round(i8_ms, 3),
+                "batches_tested": i8_results,
+            }
+        except Exception as e:
+            detail["int8_full_probe"] = f"failed: {type(e).__name__}"
 
     # ---------------- NS streaming capacity --------------------------------
     if (on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS"):

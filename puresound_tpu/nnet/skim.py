@@ -355,12 +355,20 @@ class SkiM(nn.Module):
         return tuple(kind if self.block_with_embed[i] else ""
                      for i in range(self.n_blocks))
 
-    def _fused_weights(self, int8_hh: bool = False):
+    def _fused_weights(self, int8_hh: bool = False, int8_full: bool = False):
         """Flat per-block weight tuple for the Pallas streaming kernel.
 
         int8_hh=True replaces each w_hh with (int8 per-output-column
         quantized weights, column scales) for the kernel's int8 MXU path.
+        int8_full=True additionally quantizes wsx/wbx (FiLM), w_ih and
+        proj_w the same way (kernel handles the activation scales).
         """
+        def q(w):
+            col_max = jnp.max(jnp.abs(w), axis=0).clip(1e-8)
+            return [jnp.clip(jnp.round(w / col_max * 127.0),
+                             -127, 127).astype(jnp.int8), col_max]
+
+        int8_hh = int8_hh or int8_full
         ws = []
         C = self.input_size
         modes = self._fusion_modes()
@@ -369,8 +377,12 @@ class SkiM(nn.Module):
                 film = self.seg_input_fusion[i]
                 w_s = film.cond_scale.w[:, :, 0]   # [C_out, C+E]
                 w_b = film.cond_bias.w[:, :, 0]
-                ws.append(w_s[:, :C].T)            # wsx [C, C]
-                ws.append(w_b[:, :C].T)            # wbx [C, C]
+                if int8_full:
+                    ws += q(w_s[:, :C].T)          # wsx int8 + scales
+                    ws += q(w_b[:, :C].T)
+                else:
+                    ws.append(w_s[:, :C].T)        # wsx [C, C]
+                    ws.append(w_b[:, :C].T)        # wbx [C, C]
                 fg, fb = self._film_norm_params(film)
                 ws.append(fg)
                 ws.append(fb)
@@ -391,17 +403,20 @@ class SkiM(nn.Module):
                 ws.append(gate.right_act.variables["params"]["alpha"])
                 ws.append(gp(gate.out_conv).T)                 # wout [Hd, C]
             cell = self.seg_lstm[i].lstm.fwd
-            ws.append(cell.w_ih)
+            if int8_full:
+                ws += q(cell.w_ih)
+            else:
+                ws.append(cell.w_ih)
             if int8_hh:
-                col_max = jnp.max(jnp.abs(cell.w_hh), axis=0).clip(1e-8)
-                ws.append(jnp.clip(jnp.round(cell.w_hh / col_max * 127.0),
-                                   -127, 127).astype(jnp.int8))
-                ws.append(col_max)  # [4H] dequant scales
+                ws += q(cell.w_hh)  # int8 weights + [4H] dequant scales
             else:
                 ws.append(cell.w_hh)
             ws.append(cell.b_ih + cell.b_hh)
             proj = self.seg_lstm[i].proj
-            ws.append(proj.variables["params"]["kernel"])
+            if int8_full:
+                ws += q(proj.variables["params"]["kernel"])
+            else:
+                ws.append(proj.variables["params"]["kernel"])
             ws.append(proj.variables["params"]["bias"])
             ln = self.seg_lstm[i].norm
             ws.append(ln.variables["params"]["scale"])
@@ -452,7 +467,7 @@ class SkiM(nn.Module):
     def step_frames_fused(self, x: jnp.ndarray, embed: Optional[jnp.ndarray],
                           state: dict, b_tile: int = 256,
                           interpret: bool = False, dot_dtype=jnp.float32,
-                          int8_hh: bool = False):
+                          int8_hh: bool = False, int8_full: bool = False):
         """Pallas-fused streaming step: VMEM-resident per-block state.
 
         Requirements: causal SkiM, FiLM/Gate (or no) fusion, F divides
@@ -476,9 +491,11 @@ class SkiM(nn.Module):
         seg_h = jnp.concatenate([h for h in state["seg_h"]], axis=0)  # [n,B,H]
         seg_c = jnp.concatenate([c for c in state["seg_c"]], axis=0)
         y, h_out, c_out = fused_skim_frames(
-            x, se, be, ge, seg_h, seg_c, self._fused_weights(int8_hh),
+            x, se, be, ge, seg_h, seg_c,
+            self._fused_weights(int8_hh, int8_full),
             fusion_modes=modes, b_tile=b_tile,
-            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh)
+            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh,
+            int8_full=int8_full)
         seg_h = [h_out[i][None] for i in range(self.n_blocks)]
         seg_c = [c_out[i][None] for i in range(self.n_blocks)]
         count = state["frame_count"] + F

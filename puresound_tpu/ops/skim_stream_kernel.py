@@ -43,17 +43,26 @@ def _prelu(x, alpha):
 
 
 def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
-                 dot_dtype=jnp.float32, int8_hh: bool = False):
+                 dot_dtype=jnp.float32, int8_hh: bool = False,
+                 int8_full: bool = False):
     """Build the kernel body for a static (n_blocks, F, fusion pattern).
 
     fusion_modes: per-block "" (no conditioning), "film", or "gate".
     dot_dtype=bfloat16 runs the gate/proj matmuls with bf16 inputs
     (f32 accumulation, f32 state) — ~2x MXU throughput for serving.
 
-    int8_hh=True (prototype) runs the recurrent h @ w_hh dots as
-    int8 x int8 -> int32 on the MXU (2x the bf16 rate): h is tanh-bounded
-    so a fixed 1/127 activation scale is exact-range, and w_hh is
-    per-output-column quantized outside the kernel."""
+    int8_hh=True runs the recurrent h @ w_hh dots as int8 x int8 -> int32
+    on the MXU (2x the bf16 rate): h is tanh-bounded so a fixed 1/127
+    activation scale is exact-range, and w_hh is per-output-column
+    quantized outside the kernel.
+
+    int8_full=True additionally quantizes the FiLM conditioning dots
+    (wsx/wbx), the input projection w_ih, and the output projection
+    proj_w: weights per-column int8; bounded activations (h) use the
+    fixed 1/127 scale, unbounded ones (block stream x, LN output xn) a
+    per-row dynamic max scale computed in-kernel. Gate-fusion convs stay
+    un-quantized (the flagship is FiLM)."""
+    int8_hh = int8_hh or int8_full
 
     def dot(a, w_ref):
         return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
@@ -67,6 +76,16 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
         acc = jnp.dot(hq, w_ref[:], preferred_element_type=jnp.int32)
         # h = hq/127, w = wq * scale/127  ->  h@w = acc * scale / 127^2
         return acc.astype(jnp.float32) * (scale_ref[:] / (127.0 * 127.0))
+
+    def dot_dyn(a, w_ref, scale_ref):
+        """Unbounded-activation dot: per-row dynamic int8 quantization."""
+        if scale_ref is None:
+            return dot(a, w_ref)
+        amax = jnp.max(jnp.abs(a), axis=-1, keepdims=True).clip(1e-8)
+        aq = jnp.clip(jnp.round(a / amax * 127.0), -127.0, 127.0
+                      ).astype(jnp.int8)
+        acc = jnp.dot(aq, w_ref[:], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (amax / 127.0) * (scale_ref[:] / 127.0)
 
     def kernel(x_ref, se_ref, be_ref, ge_ref, h_in_ref, c_in_ref,
                # per-block weight refs, flattened:
@@ -85,18 +104,24 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
         for i in range(n_blocks):
             entry = {}
             if fusion_modes[i] == "film":
-                for name in ("wsx", "wbx", "fg", "fb"):
+                film_names = (("wsx", "wsx_s", "wbx", "wbx_s", "fg", "fb")
+                              if int8_full else ("wsx", "wbx", "fg", "fb"))
+                for name in film_names:
                     entry[name] = weight_refs[idx]; idx += 1
             elif fusion_modes[i] == "gate":
                 for name in ("g_win", "g_wl", "g_lg", "g_lb", "g_la",
                              "g_wrx", "g_rg", "g_rb", "g_ra", "g_wout"):
                     entry[name] = weight_refs[idx]; idx += 1
             entry["w_ih"] = weight_refs[idx]; idx += 1
+            if int8_full:
+                entry["w_ih_s"] = weight_refs[idx]; idx += 1
             entry["w_hh"] = weight_refs[idx]; idx += 1
             if int8_hh:
                 entry["w_hh_s"] = weight_refs[idx]; idx += 1
             entry["b"] = weight_refs[idx]; idx += 1
             entry["proj_w"] = weight_refs[idx]; idx += 1
+            if int8_full:
+                entry["proj_w_s"] = weight_refs[idx]; idx += 1
             entry["proj_b"] = weight_refs[idx]; idx += 1
             entry["ln_g"] = weight_refs[idx]; idx += 1
             entry["ln_b"] = weight_refs[idx]; idx += 1
@@ -115,8 +140,10 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                 if fusion_modes[i] == "film":
                     xn = _ln(x, blk["fg"][:].astype(jnp.float32),
                              blk["fb"][:].astype(jnp.float32))
-                    scale = dot(xn, blk["wsx"]) + se_ref[i].astype(jnp.float32)
-                    bias = dot(xn, blk["wbx"]) + be_ref[i].astype(jnp.float32)
+                    scale = (dot_dyn(xn, blk["wsx"], blk.get("wsx_s"))
+                             + se_ref[i].astype(jnp.float32))
+                    bias = (dot_dyn(xn, blk["wbx"], blk.get("wbx_s"))
+                            + be_ref[i].astype(jnp.float32))
                     x = scale * xn + bias
                 elif fusion_modes[i] == "gate":
                     # Gate (trivial.py:61-126): u = in_conv(x);
@@ -138,7 +165,7 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                     x = x + dot(left * right, blk["g_wout"])
                 h = h_scr[i]
                 c = c_scr[i]
-                gates = (dot(x, blk["w_ih"])
+                gates = (dot_dyn(x, blk["w_ih"], blk.get("w_ih_s"))
                          + dot_hh(h, blk["w_hh"], blk.get("w_hh_s"))
                          + blk["b"][:])
                 H = h.shape[-1]
@@ -150,7 +177,12 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
                 h_new = oo * jnp.tanh(c_new)
                 h_scr[i] = h_new
                 c_scr[i] = c_new
-                proj = dot(h_new, blk["proj_w"]) + blk["proj_b"][:]
+                if "proj_w_s" in blk:
+                    # h_new is tanh-bounded: fixed 1/127 scale is exact
+                    proj = dot_hh(h_new, blk["proj_w"], blk["proj_w_s"])
+                    proj = proj + blk["proj_b"][:]
+                else:
+                    proj = dot(h_new, blk["proj_w"]) + blk["proj_b"][:]
                 x = x + _ln(proj, blk["ln_g"][:], blk["ln_b"][:])
             y_ref[t] = x.astype(y_ref.dtype)
             return 0
@@ -162,11 +194,11 @@ def _make_kernel(n_blocks: int, F: int, fusion_modes: Sequence[str],
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fusion_modes", "b_tile", "interpret", "dot_dtype", "int8_hh"))
+@functools.partial(jax.jit, static_argnames=("fusion_modes", "b_tile", "interpret", "dot_dtype", "int8_hh", "int8_full"))
 def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
                       fusion_modes: tuple, b_tile: int = 256,
                       interpret: bool = False, dot_dtype=jnp.float32,
-                      int8_hh: bool = False):
+                      int8_hh: bool = False, int8_full: bool = False):
     """Run F frames through all SkiM blocks with VMEM-resident state.
 
     Args:
@@ -194,7 +226,7 @@ def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
     x_t = jnp.swapaxes(x, 0, 1)  # [F, B, C] — frame-major for per-frame reads
 
     kernel = _make_kernel(n_blocks, F, fusion_modes, dot_dtype=dot_dtype,
-                          int8_hh=int8_hh)
+                          int8_hh=int8_hh, int8_full=int8_full)
 
     grid = (n_tiles,)
     in_specs = [

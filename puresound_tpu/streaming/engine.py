@@ -106,7 +106,8 @@ class StreamingTSE(nn.Module):
     def step(self, chunk: jnp.ndarray, dvec: Optional[jnp.ndarray],
              state: dict, fused: bool = False, b_tile: int = 128,
              dot_dtype=jnp.float32,
-             int8_hh: bool = False) -> Tuple[jnp.ndarray, dict]:
+             int8_hh: bool = False,
+             int8_full: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by one chunk.
 
         chunk: [B, S] with S a multiple of hop. Returns ([B, S], new state).
@@ -127,7 +128,7 @@ class StreamingTSE(nn.Module):
         if fused:
             mask, skim_state = self.masker.step_frames_fused(
                 frames, dvec, state["skim"], b_tile=b_tile,
-                dot_dtype=dot_dtype, int8_hh=int8_hh)
+                dot_dtype=dot_dtype, int8_hh=int8_hh, int8_full=int8_full)
         else:
             mask, skim_state = self.masker.step_frames(frames, dvec, state["skim"])
         mask = get_mask(mask, self.mask_constraint)  # [B, C, K]

@@ -312,3 +312,34 @@ def test_fused_scan_flag_trains_skim(rng, monkeypatch):
     l1, g1 = one_step(True)
     np.testing.assert_allclose(l1, l0, rtol=1e-6)
     np.testing.assert_allclose(g1, g0, rtol=1e-4)
+
+
+def test_fused_streaming_int8_full_accuracy(rng):
+    """Full-int8 serving path (w_ih + w_hh + proj + FiLM dots quantized,
+    dynamic per-row activation scales for unbounded inputs): must track the
+    f32 fused path across carried chunks."""
+    m = _model()
+    B, C = 8, 16
+    T = 8 * 4
+    x = jnp.asarray(rng.standard_normal((B, 16, T)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((B, 8)).astype(np.float32))
+    p = m.init(KEY, x, e)
+
+    frames = jnp.swapaxes(x, 1, 2)
+    F = 4
+    s_ref = m.apply(p, B, method=SkiM.init_state)
+    s_q = m.apply(p, B, method=SkiM.init_state)
+    num = den = 0.0
+    for k in range(T // F):
+        chunk = frames[:, k * F:(k + 1) * F, :]
+        y_ref, s_ref = m.apply(p, chunk, e, s_ref, b_tile=8, interpret=True,
+                               method=SkiM.step_frames_fused)
+        y_q, s_q = m.apply(p, chunk, e, s_q, b_tile=8, interpret=True,
+                           int8_full=True, method=SkiM.step_frames_fused)
+        a, b = np.asarray(y_ref), np.asarray(y_q)
+        num += float(np.sum(a**2))
+        den += float(np.sum((a - b) ** 2))
+    snr = 10 * np.log10(num / max(den, 1e-20))
+    # every dot quantized at C=H=16: noise averages over few terms; the
+    # flagship (C=128, H=256) averages 8-16x more rows -> ~+5 dB
+    assert snr > 15.0, f"int8_full SNR {snr:.1f} dB"
