@@ -224,11 +224,12 @@ def action_tsne(hparam, backend, ckpt):
                         collate_fn=TseCollateFunc())
     model, variables = load_eval_model(hparam, ckpt)
     spk_dct = load_text_as_dict(f"{hparam['DATASET']['dev']}/ref2spk.txt")
-    spk_list, dvec_list = [], []
+    spk_list, dvec_list, uttids = [], [], []
     for batch in loader:
         dvec = model.apply(variables, jnp.asarray(batch["enroll_wav"]),
                            method=SoTaskWrapModule.inference_tse_embedding)
         spk_list.append(spk_dct[batch["uttid"][0]][0])
+        uttids.append(batch["uttid"][0])
         dvec_list.append(np.asarray(dvec).reshape(-1))
     print(f"silhouette: {silhouette_score(dvec_list, spk_list)}")
     perplexity = min(30.0, max(1.0, len(dvec_list) - 1))
@@ -249,6 +250,15 @@ def action_tsne(hparam, backend, ckpt):
     out = f"{hparam['TRAIN']['model_save_dir']}/Speaker_dev_tSNE.png"
     plt.savefig(out)
     print(f"saved {out}")
+
+    # interactive HTML (reference: plotly at egs/tse/main.py:283-348;
+    # here a dependency-free SVG/JS page with the same interactions)
+    from puresound_tpu.utils.scatter_html import write_scatter_html
+
+    html = f"{hparam['TRAIN']['model_save_dir']}/Speaker_dev_tSNE.html"
+    write_scatter_html(html, tsne, spk_list, uttids,
+                       title="Speaker dev t-SNE")
+    print(f"saved {html}")
 
 
 def action_eval(hparam, backend, ckpt):
