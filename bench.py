@@ -639,11 +639,15 @@ def main():
 
             da_B, da_ms, da_results = search_capacity(
                 dparn_measure, 1e9 if smoke else 16.0,
-                (2, 4) if smoke else (1024, 2048, 4096),
-                granularity=2 if smoke else 256, max_refine=4)
+                (2, 4) if smoke else (256, 512, 1024),
+                granularity=2 if smoke else 64, max_refine=4)
             detail["dparn_streams_per_chip"] = da_B
             detail["dparn_step_ms"] = round(da_ms, 3)
             detail["dparn_batches_tested"] = da_results
+            if da_B == 0 and da_results:
+                B0, ms0 = da_results[0]
+                detail["dparn_streams_per_chip"] = round(B0 * 16.0 / ms0)
+                detail["dparn_capacity_is_measured"] = False
         except Exception as e:
             detail["dparn_streams_per_chip"] = f"failed: {type(e).__name__}"
 
