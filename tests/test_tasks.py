@@ -312,3 +312,74 @@ def test_ns_training_loop_multi_gpu_matches_single(tmp_path):
     # params stay replicated across the mesh after stepping
     leaf = jax.tree_util.tree_leaves(task8.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_ns_cli_train_multi_gpu(tmp_path, monkeypatch, capsys):
+    """egs/ns/main.py --action train with a tiny conf (multi_gpu: true,
+    grad_accum: 2) runs the full recipe path on the 8-virtual-device mesh
+    and writes a checkpoint (VERDICT r2 item 1's CLI-level criterion)."""
+    import importlib.util
+    import sys
+
+    man = _make_ns_data(tmp_path)
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(f"""
+DATASET:
+  sample_rate: {SR}
+  max_length: 1
+  train: {man}
+  dev: {man}
+  eval:
+  noise_folder:
+  rir_folder:
+  rir_mode:
+  speed_perturbed: False
+  vol_perturbed:
+MODEL:
+  type: ns_dpcrn_v0_causal
+LOSS:
+  sig_loss: sisnr
+  alpha: 10.0
+OPTIMIZER:
+  lr: 0.001
+  beta1: 0.9
+  beta2: 0.999
+  weight_decay: 0.0
+  lr_scheduler: Plateau
+  gamma: 0.5
+  patience: 2
+  mode: min
+  num_epochs_decay: 0
+  gradiend_clip: 10.0
+  multi_rate: False
+TRAIN:
+  batch_size: 4
+  num_epochs: 1
+  resume_epoch:
+  multi_gpu: True
+  grad_accum: 2
+  mixed_precision: False
+  num_workers: 0
+  use_tensorboard: False
+  model_save_dir: {tmp_path}/ckpt
+  log_dir: {tmp_path}/log
+  contrastive_learning: False
+  seed: 0
+""")
+    egs_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "egs", "ns")
+    monkeypatch.syspath_prepend(egs_dir)
+    sys.modules.pop("model", None)
+    spec = importlib.util.spec_from_file_location(
+        "ns_main", os.path.join(egs_dir, "main.py"))
+    ns_main = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ns_main)
+    try:
+        ns_main.action_train(
+            __import__("puresound_tpu.src.utils", fromlist=["load_hparam"])
+            .load_hparam(str(conf)), "cpu")
+    finally:
+        sys.modules.pop("model", None)
+    out = capsys.readouterr().out
+    assert "Data-parallel training over 8x1 device mesh" in out
+    assert os.path.isfile(str(tmp_path / "ckpt" / "epoch_0.ckpt"))
