@@ -183,7 +183,7 @@ def build_dparn_engine():
 
 
 def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
-                       dp_kernel=True):
+                       dp_kernel=True, attn_kernel=False):
     import jax
     import jax.numpy as jnp
 
@@ -201,7 +201,8 @@ def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
     @jax.jit
     def step(chunk, state):
         return engine.apply(vh, chunk, state, fused=not dp_kernel,
-                            dp_kernel=dp_kernel, method=StreamingNS.step)
+                            dp_kernel=dp_kernel, attn_kernel=attn_kernel,
+                            method=StreamingNS.step)
 
     return _timeit(step, (chunk, state)), step, (chunk, state)
 
@@ -634,16 +635,18 @@ def main():
 
             def dparn_measure(B):
                 ms, _, _ = measure_ns_step_ms(dp_engine, dp_vars, B,
-                                              dp_kernel=False)
+                                              dp_kernel=False,
+                                              attn_kernel=not smoke)
                 return ms
 
             da_B, da_ms, da_results = search_capacity(
                 dparn_measure, 1e9 if smoke else 16.0,
-                (2, 4) if smoke else (256, 512, 1024),
-                granularity=2 if smoke else 64, max_refine=4)
+                (2, 4) if smoke else (512, 1024, 2048),
+                granularity=2 if smoke else 128, max_refine=4)
             detail["dparn_streams_per_chip"] = da_B
             detail["dparn_step_ms"] = round(da_ms, 3)
             detail["dparn_batches_tested"] = da_results
+            detail["dparn_attn_kernel"] = not smoke
             if da_B == 0 and da_results:
                 B0, ms0 = da_results[0]
                 detail["dparn_streams_per_chip"] = round(B0 * 16.0 / ms0)

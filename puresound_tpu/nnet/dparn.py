@@ -62,20 +62,58 @@ class DPARNblock2D(nn.Module):
             y = res + y
         return y
 
+    def _attn_kernel_weights(self):
+        """Flat weight tuple for ops/dparn_attention_kernel.py (both
+        encoder layers + final FC/norm; projections pre-transposed)."""
+        ws = []
+        for att in (self.intra_atten1, self.intra_atten2):
+            wq, wk, wv = jnp.split(att.self_atten.in_proj, 3, axis=0)
+            ws += [wq.T, wk.T, wv.T, att.self_atten.out_proj.T]
+            ws += [att.norm1.variables["params"]["scale"],
+                   att.norm1.variables["params"]["bias"],
+                   att.ff1.variables["params"]["kernel"],
+                   att.ff1.variables["params"]["bias"],
+                   att.ff2.variables["params"]["kernel"],
+                   att.ff2.variables["params"]["bias"],
+                   att.norm2.variables["params"]["scale"],
+                   att.norm2.variables["params"]["bias"]]
+        ws += [self.intra_fc.variables["params"]["kernel"],
+               self.intra_fc.variables["params"]["bias"],
+               self.intra_norm.variables["params"]["scale"],
+               self.intra_norm.variables["params"]["bias"]]
+        return tuple(ws)
+
     def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-                   fused: bool = False):
+                   fused: bool = False, attn_kernel: bool = False,
+                   interpret: bool = False):
         """Streaming chunk step. The intra self-attention runs over the
         FREQUENCY axis (frame-local) batched over all K frames; only the
         inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B*F, hidden].
-        fused=True runs the inter recurrence through the Pallas scan."""
+        fused=True runs the inter recurrence through the Pallas scan;
+        attn_kernel=True fuses the WHOLE intra pass (both encoder layers +
+        FC/norm) into one VMEM-resident Pallas program."""
         N, CH, F, K = x.shape
         res = x
-        hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
-        hseq = self.intra_atten1(jnp.swapaxes(hseq, 1, 2), causal=False)
-        hseq = self.intra_atten2(hseq, causal=False)  # [N*K, CH, F]
-        hseq = jnp.swapaxes(hseq, 1, 2)  # [N*K, F, CH]
-        hseq = self.intra_norm(self.intra_fc(hseq))
-        x = res + hseq.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
+        if attn_kernel:
+            import jax as _jax
+
+            from ..ops.dparn_attention_kernel import dparn_intra_pass
+
+            rows = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
+            pe = jnp.asarray(self.intra_atten1.pos._pe[:F]).astype(rows.dtype)
+            out = dparn_intra_pass(
+                rows, pe, self._attn_kernel_weights(), heads=self.nhead,
+                interpret=interpret or _jax.default_backend() == "cpu",
+                dot_dtype=(jnp.bfloat16 if x.dtype == jnp.bfloat16
+                           else jnp.float32))
+            x = res + out.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
+        else:
+            hseq = x.transpose(0, 3, 2, 1).reshape(N * K, F, CH)
+            hseq = self.intra_atten1(jnp.swapaxes(hseq, 1, 2), causal=False)
+            hseq = self.intra_atten2(hseq, causal=False)  # [N*K, CH, F]
+            hseq = jnp.swapaxes(hseq, 1, 2)  # [N*K, F, CH]
+            hseq = self.intra_norm(self.intra_fc(hseq))
+            x = res + hseq.reshape(N, K, F, CH).transpose(0, 3, 2, 1)
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)

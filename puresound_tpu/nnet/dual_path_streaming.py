@@ -48,7 +48,7 @@ class DualPathStreaming:
     def stream_frames(self, x: jnp.ndarray, state: dict,
                       fused: bool = False, dp_kernel: bool = False,
                       interpret: bool = False, dp_b_tile: int = 0,
-                      int8_hh: bool = False):
+                      int8_hh: bool = False, attn_kernel: bool = False):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -74,10 +74,11 @@ class DualPathStreaming:
                 h, state, interpret=interpret, b_tile=dp_b_tile,
                 int8_hh=int8_hh)
         else:
+            kw = {"attn_kernel": True} if attn_kernel else {}
             h, h1, c1 = self.dprnn_block1.step_chunk(
-                h, state["h1"], state["c1"], fused=fused)
+                h, state["h1"], state["c1"], fused=fused, **kw)
             h, h2, c2 = self.dprnn_block2.step_chunk(
-                h, state["h2"], state["c2"], fused=fused)
+                h, state["h2"], state["c2"], fused=fused, **kw)
         mask, new_up, new_skipq = self._stream_up(h, skips, state)
         new_state = dict(state, down=new_down, up=new_up,
                          h1=h1, c1=c1, h2=h2, c2=c2)

@@ -33,6 +33,7 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
                   dvec: Optional[np.ndarray] = None,
                   half: bool = False, fused: bool = False,
                   dp_kernel: bool = False,
+                  attn_kernel: bool = False,
                   ) -> Tuple[np.ndarray, float]:
     """Stream `wav` [L] through `engine` chunk by chunk.
 
@@ -74,6 +75,13 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
         raise ValueError("dp_kernel requires a DPCRN masker "
                          f"(got {type(engine.masker).__name__})")
     kw = {"fused": True} if fused else {}
+    if attn_kernel:
+        from ..nnet.dparn import _DPARNBase
+
+        if not isinstance(engine.masker, _DPARNBase):
+            raise ValueError("attn_kernel requires a DPARN masker "
+                             f"(got {type(engine.masker).__name__})")
+        kw["attn_kernel"] = True
     if dp_kernel:
         kw = {"dp_kernel": True}
     if isinstance(engine, StreamingNS):

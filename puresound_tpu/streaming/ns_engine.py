@@ -129,7 +129,8 @@ class StreamingNS(nn.Module):
              dvec: Optional[jnp.ndarray] = None,
              fused: bool = False,
              dp_kernel: bool = False,
-             int8_hh: bool = False) -> Tuple[jnp.ndarray, dict]:
+             int8_hh: bool = False,
+             attn_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
@@ -157,6 +158,8 @@ class StreamingNS(nn.Module):
         assert not (fused and dp_kernel), \
             "fused and dp_kernel are mutually exclusive"
         kw = {"fused": True} if fused else {}
+        if attn_kernel:
+            kw["attn_kernel"] = True
         if dp_kernel:
             kw = {"dp_kernel": True}
             if int8_hh:

@@ -343,3 +343,39 @@ def test_fused_streaming_int8_full_accuracy(rng):
     # every dot quantized at C=H=16: noise averages over few terms; the
     # flagship (C=128, H=256) averages 8-16x more rows -> ~+5 dB
     assert snr > 15.0, f"int8_full SNR {snr:.1f} dB"
+
+
+def test_dparn_attn_kernel_matches_stock(rng):
+    """The fused DPARN intra-attention kernel (interpret mode) matches the
+    stock step_chunk across carried chunks through the streaming engine."""
+    from puresound_tpu.nnet.dparn import DPARN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+
+    n_fft, hop = 64, 16
+    masker = DPARN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8), transpose_t_size=2,
+                   transpose_delay=False, kernel_t=(2, 2), stride_t=(1, 1),
+                   dilation_t=(1, 1), kernel_f=(5, 3), stride_f=(2, 2),
+                   dilation_f=(1, 1), delay=(0, 0), rnn_hidden=8, nhead=4)
+    engine = StreamingNS(
+        encoder=ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                           trainable=True, output_format="Complex"),
+        masker=masker, mask_constraint="linear", drop_first_bin=True)
+    B, S = 3, hop * 2
+    chunk0 = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+    variables = engine.init(KEY, chunk0, method=StreamingNS.init_all)
+    s_ref = engine.apply(variables, B, method=StreamingNS.init_state)
+    s_k = engine.apply(variables, B, method=StreamingNS.init_state)
+    for i in range(4):
+        chunk = jnp.asarray(
+            rng.standard_normal((B, S)).astype(np.float32) * 0.1)
+        y_ref, s_ref = engine.apply(variables, chunk, s_ref,
+                                    method=StreamingNS.step)
+        y_k, s_k = engine.apply(variables, chunk, s_k, attn_kernel=True,
+                                method=StreamingNS.step)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                                   atol=2e-5, err_msg=f"chunk {i}")
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref),
+                    jax.tree_util.tree_leaves(s_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
