@@ -96,9 +96,12 @@ def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
 
     dtype = dtype or jnp.float32
     dot_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
-    # bf16 halves the kernel's VMEM pressure, unlocking the larger stream
-    # tile (512 OOMs); tiny smoke batches just use one tile
-    b_tile = min(256 if dtype == jnp.bfloat16 else 128, B)
+    # bf16 halves the kernel's VMEM pressure; with the kernel's raised
+    # scoped-VMEM limit (round 3) the tile ceiling moved 256 -> 1024
+    # (b_tile=2048 fails the remote compile); bigger tiles amortize the
+    # per-iteration pipeline latency: 24,576 streams 14.29 (256) ->
+    # 12.59 ms (1024). Tiny smoke batches just use one tile.
+    b_tile = min(1024 if dtype == jnp.bfloat16 else 128, B)
     if dtype == jnp.bfloat16:
         from puresound_tpu.streaming.halfprec import to_half
 

@@ -274,6 +274,8 @@ def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_t, se, be, ge, seg_h, seg_c, *weights)
     return jnp.swapaxes(y, 0, 1), h_out, c_out

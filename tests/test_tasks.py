@@ -314,12 +314,16 @@ def test_ns_training_loop_multi_gpu_matches_single(tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
-def test_ns_cli_train_multi_gpu(tmp_path, monkeypatch, capsys):
+def test_ns_cli_train_multi_gpu(tmp_path):
     """egs/ns/main.py --action train with a tiny conf (multi_gpu: true,
     grad_accum: 2) runs the full recipe path on the 8-virtual-device mesh
-    and writes a checkpoint (VERDICT r2 item 1's CLI-level criterion)."""
-    import importlib.util
-    import sys
+    and writes a checkpoint (VERDICT r2 item 1's CLI-level criterion).
+
+    Runs in a SUBPROCESS: in-process it aborts the interpreter when run
+    after ~180 other tests (accumulated XLA-CPU process state; passes
+    standalone) — isolation keeps the check and the suite stable."""
+    import subprocess
+    import sys as _sys
 
     man = _make_ns_data(tmp_path)
     conf = tmp_path / "conf.yaml"
@@ -366,20 +370,14 @@ TRAIN:
   contrastive_learning: False
   seed: 0
 """)
-    egs_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "egs", "ns")
-    monkeypatch.syspath_prepend(egs_dir)
-    sys.modules.pop("model", None)
-    spec = importlib.util.spec_from_file_location(
-        "ns_main", os.path.join(egs_dir, "main.py"))
-    ns_main = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ns_main)
-    try:
-        ns_main.action_train(
-            __import__("puresound_tpu.src.utils", fromlist=["load_hparam"])
-            .load_hparam(str(conf)), "cpu")
-    finally:
-        sys.modules.pop("model", None)
-    out = capsys.readouterr().out
-    assert "Data-parallel training over 8x1 device mesh" in out
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "egs", "ns", "main.py"),
+         str(conf), "--action", "train", "--backend", "cpu"],
+        capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "Data-parallel training over 8x1 device mesh" in r.stdout
     assert os.path.isfile(str(tmp_path / "ckpt" / "epoch_0.ckpt"))
