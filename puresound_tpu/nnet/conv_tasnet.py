@@ -6,6 +6,7 @@ embedding is injected by broadcast-concat or FiLM exactly as the reference.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -15,6 +16,16 @@ import jax.numpy as jnp
 from .lobe.activation import PReLU
 from .lobe.cnn import Conv1d, DepthwiseSeparableConv1d
 from .lobe.norm import get_norm, apply_norm
+
+# Route eligible TCN blocks through the fused Pallas training kernel
+# (ops/tcn_train_kernel.py: whole block VMEM-resident per batch tile,
+# custom VJP with in-kernel forward recompute — no autodiff residuals).
+# Set by TRAIN.fused_scan (tasks) or PURESOUND_FUSED_TCN=1.
+FUSED_TCN = int(os.environ.get("PURESOUND_FUSED_TCN", "0")) != 0
+
+# Measured crossover guard: the kernel wins when the batch grid has real
+# work per iteration; tiny batches stay on the stock XLA path.
+_FUSED_TCN_MIN_ROWS = 16
 
 
 class TCN(nn.Module):
@@ -47,6 +58,8 @@ class TCN(nn.Module):
 
     def __call__(self, x: jnp.ndarray, embed: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
+        if self._fusable(x, embed):
+            return self._fused_call(x)
         res = x
         if embed is not None:
             e = jnp.broadcast_to(embed[:, :, None], (*embed.shape, x.shape[-1]))
@@ -55,6 +68,29 @@ class TCN(nn.Module):
         x = self.drop(self.dconv(x, train=train), deterministic=not train)
         x = self.out_conv(x)
         return x + res
+
+    def _fusable(self, x, embed) -> bool:
+        return (FUSED_TCN and embed is None and not self.causal
+                and self.dropout == 0.0 and self.emb_dim == 0
+                and self.tcn_norm in ("gLN", "gGN")
+                and self.dconv_norm in ("gLN", "gGN")
+                and self.dconv.hid_channels is None and not self.dconv.skip
+                and x.shape[0] >= _FUSED_TCN_MIN_ROWS)
+
+    def _fused_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.tcn_train_kernel import tcn_block_train
+
+        dn = self.dconv
+        dd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        return tcn_block_train(
+            x, self.in_conv.w[:, :, 0], self.in_norm.gamma,
+            self.in_norm.beta, self.in_act.alpha,
+            dn.dw_conv.w[:, 0, :], dn.dw_conv.b,
+            dn.dw_norm.gamma, dn.dw_norm.beta, dn.dw_act.alpha,
+            dn.pw_conv.w[:, :, 0], dn.pw_conv.b,
+            dn.pw_norm.gamma, dn.pw_norm.beta, dn.pw_act.alpha,
+            self.out_conv.w[:, :, 0], self.out_conv.b,
+            self.dilation, 0, jax.default_backend() != "tpu", dd)
 
     @property
     def ctx_frames(self) -> int:

@@ -7,14 +7,20 @@ import jax.numpy as jnp
 
 
 class PReLU(nn.Module):
-    """PReLU with a single learnable slope (torch default init 0.25)."""
+    """PReLU with a single learnable slope (torch default init 0.25).
+
+    setup-style (not @nn.compact) so fused kernels can read `self.alpha`
+    without invoking the module; the param tree is unchanged.
+    """
 
     init: float = 0.25
 
-    @nn.compact
+    def setup(self):
+        self.alpha = self.param(
+            "alpha", lambda key: jnp.asarray([self.init], jnp.float32))
+
     def __call__(self, x):
-        alpha = self.param("alpha", lambda key: jnp.asarray([self.init], jnp.float32))
-        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        return jnp.where(x >= 0, x, self.alpha.astype(x.dtype) * x)
 
 
 class ReLU(nn.Module):

@@ -43,25 +43,32 @@ def _normalize(x, mean, var, eps):
 
 
 class _GainBiasLN(nn.Module):
-    """Shared gamma/beta of shape [C] applied on the channel axis (dim 1)."""
+    """Shared gamma/beta of shape [C] applied on the channel axis (dim 1).
+
+    setup-style (not @nn.compact) so fused kernels can read gamma/beta
+    without invoking the module; the param tree is unchanged.
+    """
 
     channel_size: int
     eps: float = 1e-8
 
+    def setup(self):
+        self.gamma = self.param("gamma", nn.initializers.ones,
+                                (self.channel_size,))
+        self.beta = self.param("beta", nn.initializers.zeros,
+                               (self.channel_size,))
+
     def _affine(self, normed):
-        gamma = self.param("gamma", nn.initializers.ones, (self.channel_size,))
-        beta = self.param("beta", nn.initializers.zeros, (self.channel_size,))
         # channel axis is dim 1; broadcast gamma/beta over trailing dims;
         # cast the affine params DOWN so bf16 activations stay bf16
         shape = (1, self.channel_size) + (1,) * (normed.ndim - 2)
-        return (normed * gamma.reshape(shape).astype(normed.dtype)
-                + beta.reshape(shape).astype(normed.dtype))
+        return (normed * self.gamma.reshape(shape).astype(normed.dtype)
+                + self.beta.reshape(shape).astype(normed.dtype))
 
 
 class GlobLN(_GainBiasLN):
     """Global layer norm: normalize over every non-batch dim."""
 
-    @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim))
         mean, var = _moments(x, axes)
@@ -71,7 +78,6 @@ class GlobLN(_GainBiasLN):
 class ChanLN(_GainBiasLN):
     """Channel-wise layer norm: normalize over the channel dim only."""
 
-    @nn.compact
     def __call__(self, x):
         mean, var = _moments(x, (1,))
         return self._affine(_normalize(x, mean, var, self.eps))
@@ -80,7 +86,6 @@ class ChanLN(_GainBiasLN):
 class InstantLN(_GainBiasLN):
     """Instant layer norm over (channel, freq) of a [N, CH, C, T] tensor."""
 
-    @nn.compact
     def __call__(self, x):
         N, CH, C, T = x.shape
         flat = x.reshape(N, CH * C, T)
@@ -165,7 +170,6 @@ class GroupNorm1(_GainBiasLN):
     [N, C, T] but kept as a distinct name for registry parity.
     """
 
-    @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim))
         mean, var = _moments(x, axes)

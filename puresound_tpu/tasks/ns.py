@@ -233,9 +233,11 @@ class NsTask(BaseTrainer):
         import jax.numpy as jnp
 
         if self.hparam["TRAIN"].get("fused_scan"):
+            from ..nnet import conv_tasnet as _ct
             from ..nnet.lobe import rnn as _rnn
 
             _rnn.FUSED_TRAIN_SCAN = True
+            _ct.FUSED_TCN = True
         mp = self.hparam["TRAIN"].get("mixed_precision")
         self._train_step = make_train_step(
             self.model, grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),

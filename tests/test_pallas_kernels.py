@@ -379,3 +379,88 @@ def test_dparn_attn_kernel_matches_stock(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_ref),
                     jax.tree_util.tree_leaves(s_k)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _tcn_module():
+    from puresound_tpu.nnet.conv_tasnet import TCN
+
+    return TCN(16, 24, kernel=3, dilation=4, causal=False,
+               tcn_norm="gLN", dconv_norm="gGN")
+
+
+def _tcn_args(pp, x):
+    return (x,
+            pp["in_conv"]["w"][:, :, 0], pp["in_norm"]["gamma"],
+            pp["in_norm"]["beta"], pp["in_act"]["alpha"],
+            pp["dconv"]["dw_conv"]["w"][:, 0, :], pp["dconv"]["dw_conv"]["b"],
+            pp["dconv"]["dw_norm"]["gamma"], pp["dconv"]["dw_norm"]["beta"],
+            pp["dconv"]["dw_act"]["alpha"],
+            pp["dconv"]["pw_conv"]["w"][:, :, 0], pp["dconv"]["pw_conv"]["b"],
+            pp["dconv"]["pw_norm"]["gamma"], pp["dconv"]["pw_norm"]["beta"],
+            pp["dconv"]["pw_act"]["alpha"],
+            pp["out_conv"]["w"][:, :, 0], pp["out_conv"]["b"])
+
+
+def test_tcn_train_kernel_matches_module(rng):
+    """Fused TCN block (interpret mode): forward AND all 17 gradients must
+    match autodiff through the stock module, incl. a T that is not a lane
+    multiple (exercises the masked global-norm statistics)."""
+    from puresound_tpu.ops.tcn_train_kernel import tcn_block_train
+
+    m = _tcn_module()
+    B, C, T = 4, 16, 100
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    p = m.init(KEY, x)
+    w = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+
+    y_ref = m.apply(p, x)
+    y_k = tcn_block_train(*_tcn_args(p["params"], x), 4, 0, True)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-5)
+
+    loss_ref = lambda p, x: jnp.sum(m.apply(p, x) * w)
+    loss_k = lambda p, x: jnp.sum(
+        tcn_block_train(*_tcn_args(p["params"], x), 4, 0, True) * w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+    gk = jax.grad(loss_k, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gk)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.sum((a - b) ** 2)
+        snr = 10 * np.log10(np.sum(a ** 2) / err) if err > 0 else np.inf
+        assert snr > 60.0, snr
+
+
+def test_tcn_fused_flag_routes_module(rng, monkeypatch):
+    """FUSED_TCN=True routes eligible blocks through the kernel from the
+    module surface (B >= the engagement floor) with matching outputs and
+    gradients; causal / embed blocks stay on the stock path."""
+    from puresound_tpu.nnet import conv_tasnet as ct
+
+    m = _tcn_module()
+    B, C, T = 16, 16, 64
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    p = m.init(KEY, x)
+    w = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+
+    monkeypatch.setattr(ct, "FUSED_TCN", False)
+    y0 = m.apply(p, x)
+    g0 = jax.grad(lambda p: jnp.sum(m.apply(p, x) * w))(p)
+    monkeypatch.setattr(ct, "FUSED_TCN", True)
+    monkeypatch.setattr(ct, "_FUSED_TCN_MIN_ROWS", 16)
+    y1 = m.apply(p, x)
+    g1 = jax.grad(lambda p: jnp.sum(m.apply(p, x) * w))(p)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=2e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+    # causal blocks must not take the fused path (it would be wrong math)
+    from puresound_tpu.nnet.conv_tasnet import TCN
+
+    mc = TCN(16, 24, kernel=3, dilation=2, causal=True,
+             tcn_norm="bN1d", dconv_norm="bN1d")
+    pc = mc.init(KEY, x)
+    assert np.all(np.isfinite(np.asarray(mc.apply(pc, x))))
