@@ -292,9 +292,11 @@ def measure_train(mixed: bool, B=8, seconds=2.0, fused_scan=True):
     if fused_scan:
         # fused Pallas LSTM train kernel; rows < 256 auto-fall back to
         # lax.scan inside LSTMCellParams.scan
+        from puresound_tpu.nnet import conv_tasnet as _ct
         from puresound_tpu.nnet.lobe import rnn as _rnn
 
         _rnn.FUSED_TRAIN_SCAN = True
+        _ct.FUSED_TCN = True  # fused TCN speaker-net blocks (tcn_train_kernel)
     model = init_tse_model("tse_skim_v0_causal",
                            sig_loss=SDRLoss.init_mode("sisnr"))
     L = int(16000 * seconds)

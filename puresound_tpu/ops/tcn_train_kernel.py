@@ -18,10 +18,18 @@ This kernel runs the WHOLE block per batch tile inside VMEM:
   depthwise-conv VJPs. Parameter gradients accumulate in f32 across the
   sequential batch grid.
 
-Global norms (gLN / gGN) reduce over (C, T) per sample, so the time axis is
-zero-padded to a lane multiple and every stage is re-masked; statistics
-divide by the REAL element count, which keeps the padded kernel bit-exact
-with the unpadded stock module (tests/test_pallas_kernels.py).
+Layout: samples are batched ALONG THE LANES. The caller-side wrapper
+transposes [B, C, T] -> [C, B*Tp] so each 1x1 conv is ONE large MXU
+matmul over every sample in the tile (a per-sample loop is latency-bound:
+measured 3 ms/block serialized vs the sub-ms batched form). Per-sample
+global-norm statistics (gLN / gGN reduce over (C, T) per sample) are
+segment sums: a sublane reduce to [1, B*Tp] followed by a tiny matmul
+against a 0/1 segment matrix, and the same matrix broadcasts the per-
+sample mean / rstd back across lanes. The depthwise taps are full-row
+lane shifts with a segment-boundary mask so no sample reads its
+neighbour. Statistics divide by the REAL element count, which keeps the
+padded kernel bit-exact with the unpadded stock module
+(tests/test_pallas_kernels.py).
 
 Supports the block exactly as the speaker net and the non-embed ConvTasNet
 masker blocks use it: non-causal, no embedding concat, dropout 0, gain+bias
@@ -46,7 +54,7 @@ class _P(NamedTuple):
     w_in: jnp.ndarray   # [Ch, C]
     g1: jnp.ndarray     # [Ch, 1]
     b1: jnp.ndarray     # [Ch, 1]
-    al1: jnp.ndarray    # [1, 1]
+    al1: jnp.ndarray    # scalar
     w_dw: jnp.ndarray   # [Ch, k]
     b_dw: jnp.ndarray   # [Ch, 1]
     g2: jnp.ndarray
@@ -83,35 +91,84 @@ def _ssum(v):
     return jnp.sum(v)
 
 
-def _gstats(h, count):
-    mean = _ssum(h) / count
-    var = jnp.maximum(_ssum(h * h) / count - mean * mean, 0.0)
-    return mean, jax.lax.rsqrt(var + _EPS)
+class _Seg(NamedTuple):
+    """Segment helpers for a [*, b*Tp] tile of b length-Tp sample lanes."""
+
+    pos: jnp.ndarray          # [1, n] int32: lane position within sample
+    mask: jnp.ndarray | None  # [1, n] f32: 1 on real columns, 0 on pads
+    S: jnp.ndarray            # [b, n] f32 0/1: S[i, t] = (t // Tp == i)
+    Tp: int
 
 
-def _fwd_sample(xi, p: _P, mask, count, shifts, dt):
-    """One sample's forward; returns every value the backward reuses.
+def _make_seg(b, Tp, T_real):
+    n = b * Tp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    pos = jax.lax.rem(lane, Tp)
+    mask = (pos < T_real).astype(jnp.float32) if T_real != Tp else None
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    S = (rows == lane // Tp).astype(jnp.float32)
+    return _Seg(pos, mask, S, Tp)
 
-    xi: [C, Tp] f32 with zero pads beyond the real T. mask: [1, Tp] or None.
-    """
+
+def _seg_sum(row, seg: _Seg, dt):
+    """[1, n] -> per-sample sums [1, b]. Always full-f32 (HIGHEST): the MXU
+    default truncates inputs to bf16 and normalization amplifies the stat
+    error across the whole tile (measured 1e-3 rms output error)."""
+    return jax.lax.dot_general(row, seg.S, (((1,), (1,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _seg_bcast(per, seg: _Seg, dt):
+    """[1, b] -> [1, n] (each sample's value repeated across its lanes)."""
+    return jax.lax.dot_general(per, seg.S, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _gstats(h, count, seg: _Seg, dt):
+    """Per-sample mean / rsqrt(var) over (C, T), returned lane-broadcast
+    as [1, n] rows."""
+    s1 = _seg_sum(jnp.sum(h, axis=0, keepdims=True), seg, dt)
+    s2 = _seg_sum(jnp.sum(h * h, axis=0, keepdims=True), seg, dt)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    return (_seg_bcast(mean, seg, dt),
+            _seg_bcast(jax.lax.rsqrt(var + _EPS), seg, dt))
+
+
+def _shift_seg(a, s, seg: _Seg):
+    """Within-sample lane shift: columns beyond a sample's boundary read
+    zero instead of the neighbouring sample."""
+    out = _shift(a, s)
+    if s > 0:
+        return out * (seg.pos < seg.Tp - s).astype(a.dtype)
+    if s < 0:
+        return out * (seg.pos >= -s).astype(a.dtype)
+    return out
+
+
+def _fwd_tile(xt, p: _P, seg: _Seg, count, shifts, dt):
+    """One batch tile's forward on the [C, n] layout; returns every value
+    the backward reuses. xt: [C, n] f32, zero on padded columns."""
     def m(v):
-        return v if mask is None else v * mask
+        return v if seg.mask is None else v * seg.mask
 
-    h1 = _dot(p.w_in, xi, ((1,), (0,)), dt)                 # [Ch, Tp]
-    mean1, rstd1 = _gstats(h1, count)
+    h1 = _dot(p.w_in, xt, ((1,), (0,)), dt)                 # [Ch, n]
+    mean1, rstd1 = _gstats(h1, count, seg, dt)
     xhat1 = (h1 - mean1) * rstd1
     y1 = xhat1 * p.g1 + p.b1
     a1 = m(jnp.where(y1 >= 0, y1, p.al1 * y1))
-    dwo = p.w_dw[:, 0:1] * _shift(a1, shifts[0])
+    dwo = p.w_dw[:, 0:1] * _shift_seg(a1, shifts[0], seg)
     for j in range(1, len(shifts)):
-        dwo += p.w_dw[:, j:j + 1] * _shift(a1, shifts[j])
+        dwo += p.w_dw[:, j:j + 1] * _shift_seg(a1, shifts[j], seg)
     h2 = m(dwo + p.b_dw)
-    mean2, rstd2 = _gstats(h2, count)
+    mean2, rstd2 = _gstats(h2, count, seg, dt)
     xhat2 = (h2 - mean2) * rstd2
     y2 = xhat2 * p.g2 + p.b2
     a2 = m(jnp.where(y2 >= 0, y2, p.al2 * y2))
     h3 = m(_dot(p.w_pw, a2, ((1,), (0,)), dt) + p.b_pw)
-    mean3, rstd3 = _gstats(h3, count)
+    mean3, rstd3 = _gstats(h3, count, seg, dt)
     xhat3 = (h3 - mean3) * rstd3
     y3 = xhat3 * p.g3 + p.b3
     a3 = m(jnp.where(y3 >= 0, y3, p.al3 * y3))
@@ -121,13 +178,19 @@ def _fwd_sample(xi, p: _P, mask, count, shifts, dt):
                 xhat3=xhat3, rstd3=rstd3, y3=y3, a3=a3, out=out)
 
 
-def _norm_bwd(dy_n, xhat, rstd, g, count):
-    """Global-LN backward. dy_n must be zero on padded columns."""
+def _norm_bwd(dy_n, xhat, rstd, g, count, seg: _Seg, dt):
+    """Global-LN backward, per-sample stats via segment sums. dy_n must be
+    zero on padded columns. dgamma/dbeta come out tile-total (the batch
+    sum the grid accumulation needs anyway)."""
     dgamma = jnp.sum(dy_n * xhat, axis=1, keepdims=True)
     dbeta = jnp.sum(dy_n, axis=1, keepdims=True)
     dxhat = dy_n * g
-    m1 = _ssum(dxhat) / count
-    m2 = _ssum(dxhat * xhat) / count
+    m1 = _seg_bcast(
+        _seg_sum(jnp.sum(dxhat, axis=0, keepdims=True), seg, dt) / count,
+        seg, dt)
+    m2 = _seg_bcast(
+        _seg_sum(jnp.sum(dxhat * xhat, axis=0, keepdims=True), seg, dt)
+        / count, seg, dt)
     return rstd * (dxhat - m1 - xhat * m2), dgamma, dbeta
 
 
@@ -147,75 +210,70 @@ def _load_params(refs) -> _P:
     return _P(*vals)
 
 
-def _make_fwd_kernel(b_tile, shifts, count, mask_builder, dt):
+def _make_fwd_kernel(b_tile, Tp, T_real, shifts, count, dt):
     def kernel(x_ref, *rest):
         p = _load_params(rest[:-1])
         y_ref = rest[-1]
-        mask = mask_builder(x_ref.shape[-1])
-        for i in range(b_tile):
-            xi = x_ref[i].astype(jnp.float32)
-            it = _fwd_sample(xi, p, mask, count, shifts, dt)
-            y_ref[i] = (it["out"] + xi).astype(y_ref.dtype)
+        seg = _make_seg(b_tile, Tp, T_real)
+        xt = x_ref[:].astype(jnp.float32)
+        it = _fwd_tile(xt, p, seg, count, shifts, dt)
+        y_ref[:] = (it["out"] + xt).astype(y_ref.dtype)
     return kernel
 
 
-def _make_bwd_kernel(b_tile, shifts, count, mask_builder, dt):
+def _make_bwd_kernel(b_tile, Tp, T_real, shifts, count, dt):
     def kernel(x_ref, dy_ref, *rest):
         p = _load_params(rest[:16])
         dx_ref = rest[16]
         grefs = rest[17:]
         b = pl.program_id(0)
-        mask = mask_builder(x_ref.shape[-1])
-        acc = None
-        for i in range(b_tile):
-            xi = x_ref[i].astype(jnp.float32)
-            dy = dy_ref[i].astype(jnp.float32)
-            if mask is not None:
-                dy = dy * mask
-            it = _fwd_sample(xi, p, mask, count, shifts, dt)
+        seg = _make_seg(b_tile, Tp, T_real)
+        xt = x_ref[:].astype(jnp.float32)
+        dy = dy_ref[:].astype(jnp.float32)
+        if seg.mask is not None:
+            dy = dy * seg.mask
+        it = _fwd_tile(xt, p, seg, count, shifts, dt)
 
-            # ---- out 1x1 (+ residual add)
-            d_out = dy
-            dw_out = _dot(d_out, it["a3"], ((1,), (1,)), dt)
-            db_out = jnp.sum(d_out, axis=1, keepdims=True)
-            da3 = _dot(p.w_out, d_out, ((0,), (0,)), dt)
-            # ---- PReLU3 / gGN3
-            dy3, dal3 = _prelu_bwd(da3, it["y3"], p.al3)
-            dh3, dg3, dbt3 = _norm_bwd(dy3, it["xhat3"], it["rstd3"], p.g3,
-                                       count)
-            d_pw = dh3 if mask is None else dh3 * mask
-            # ---- pointwise 1x1
-            db_pw = jnp.sum(d_pw, axis=1, keepdims=True)
-            dw_pw = _dot(d_pw, it["a2"], ((1,), (1,)), dt)
-            da2 = _dot(p.w_pw, d_pw, ((0,), (0,)), dt)
-            # ---- PReLU2 / gGN2
-            dy2, dal2 = _prelu_bwd(da2, it["y2"], p.al2)
-            dh2, dg2, dbt2 = _norm_bwd(dy2, it["xhat2"], it["rstd2"], p.g2,
-                                       count)
-            d_dw = dh2 if mask is None else dh2 * mask
-            # ---- depthwise dilated conv
-            db_dw = jnp.sum(d_dw, axis=1, keepdims=True)
-            dw_dw = jnp.concatenate(
-                [jnp.sum(d_dw * _shift(it["a1"], s), axis=1, keepdims=True)
-                 for s in shifts], axis=1)
-            da1 = p.w_dw[:, 0:1] * _shift(d_dw, -shifts[0])
-            for j in range(1, len(shifts)):
-                da1 += p.w_dw[:, j:j + 1] * _shift(d_dw, -shifts[j])
-            if mask is not None:
-                da1 = da1 * mask
-            # ---- PReLU1 / gLN1
-            dy1, dal1 = _prelu_bwd(da1, it["y1"], p.al1)
-            dh1, dg1, dbt1 = _norm_bwd(dy1, it["xhat1"], it["rstd1"], p.g1,
-                                       count)
-            # ---- in 1x1 (no bias)
-            dw_in = _dot(dh1, xi, ((1,), (1,)), dt)
-            dxi = _dot(p.w_in, dh1, ((0,), (0,)), dt)
-            dx_ref[i] = (dxi + dy).astype(dx_ref.dtype)
+        # ---- out 1x1 (+ residual add)
+        d_out = dy
+        dw_out = _dot(d_out, it["a3"], ((1,), (1,)), dt)
+        db_out = jnp.sum(d_out, axis=1, keepdims=True)
+        da3 = _dot(p.w_out, d_out, ((0,), (0,)), dt)
+        # ---- PReLU3 / gGN3
+        dy3, dal3 = _prelu_bwd(da3, it["y3"], p.al3)
+        dh3, dg3, dbt3 = _norm_bwd(dy3, it["xhat3"], it["rstd3"], p.g3,
+                                   count, seg, dt)
+        d_pw = dh3 if seg.mask is None else dh3 * seg.mask
+        # ---- pointwise 1x1
+        db_pw = jnp.sum(d_pw, axis=1, keepdims=True)
+        dw_pw = _dot(d_pw, it["a2"], ((1,), (1,)), dt)
+        da2 = _dot(p.w_pw, d_pw, ((0,), (0,)), dt)
+        # ---- PReLU2 / gGN2
+        dy2, dal2 = _prelu_bwd(da2, it["y2"], p.al2)
+        dh2, dg2, dbt2 = _norm_bwd(dy2, it["xhat2"], it["rstd2"], p.g2,
+                                   count, seg, dt)
+        d_dw = dh2 if seg.mask is None else dh2 * seg.mask
+        # ---- depthwise dilated conv
+        db_dw = jnp.sum(d_dw, axis=1, keepdims=True)
+        dw_dw = jnp.concatenate(
+            [jnp.sum(d_dw * _shift_seg(it["a1"], s, seg), axis=1,
+                     keepdims=True) for s in shifts], axis=1)
+        da1 = p.w_dw[:, 0:1] * _shift_seg(d_dw, -shifts[0], seg)
+        for j in range(1, len(shifts)):
+            da1 += p.w_dw[:, j:j + 1] * _shift_seg(d_dw, -shifts[j], seg)
+        if seg.mask is not None:
+            da1 = da1 * seg.mask
+        # ---- PReLU1 / gLN1
+        dy1, dal1 = _prelu_bwd(da1, it["y1"], p.al1)
+        dh1, dg1, dbt1 = _norm_bwd(dy1, it["xhat1"], it["rstd1"], p.g1,
+                                   count, seg, dt)
+        # ---- in 1x1 (no bias)
+        dw_in = _dot(dh1, xt, ((1,), (1,)), dt)
+        dxi = _dot(p.w_in, dh1, ((0,), (0,)), dt)
+        dx_ref[:] = (dxi + dy).astype(dx_ref.dtype)
 
-            g = (dw_in, dg1, dbt1, dal1, dw_dw, db_dw, dg2, dbt2, dal2,
-                 dw_pw, db_pw, dg3, dbt3, dal3, dw_out, db_out)
-            acc = g if acc is None else tuple(a + v for a, v in zip(acc, g))
-
+        acc = (dw_in, dg1, dbt1, dal1, dw_dw, db_dw, dg2, dbt2, dal2,
+               dw_pw, db_pw, dg3, dbt3, dal3, dw_out, db_out)
         for ref, val in zip(grefs, acc):
             if val.ndim == 0:  # alpha grads: scalar -> [1, 1] ref
                 val = jnp.reshape(val, (1, 1))
@@ -239,15 +297,13 @@ def _pack(w_in, g1, b1, al1, w_dw, b_dw, g2, b2, al2,
             col(g3), col(b3), al3.reshape(1, 1), w_out, col(b_out))
 
 
-def _mask_builder(T_real, Tp):
-    if T_real == Tp:
-        return lambda _: None
-    return lambda tp: (jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-                       < T_real).astype(jnp.float32)
-
-
-def _resolve_tile(B, b_tile):
-    b_tile = min(b_tile if b_tile > 0 else 8, B)
+def _resolve_tile(B, C, Ch, Tp, b_tile, budget_bytes):
+    """Largest divisor of B whose live tile (x + ~8 hidden intermediates +
+    dy/dx in the backward) fits the VMEM budget."""
+    if b_tile <= 0:
+        per_sample = 4 * Tp * (3 * C + 9 * Ch)
+        b_tile = max(1, budget_bytes // max(per_sample, 1))
+    b_tile = min(b_tile, B)
     while B % b_tile:
         b_tile -= 1
     return b_tile
@@ -258,69 +314,78 @@ def _param_specs(shapes):
                          memory_space=pltpu.VMEM) for s in shapes]
 
 
+def _to_lanes(x, Tp):
+    """[B, C, T] -> [C, B*Tp] (samples along lanes, zero pad to Tp)."""
+    B, C, T = x.shape
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T)))
+    return jnp.transpose(x, (1, 0, 2)).reshape(C, B * Tp)
+
+
+def _from_lanes(y, B, T, Tp):
+    C = y.shape[0]
+    return jnp.transpose(y.reshape(C, B, Tp), (1, 0, 2))[..., :T]
+
+
 def _run_fwd(x, packed, dilation, kernel_w, b_tile, interpret, dt):
     B, C, T = x.shape
     Tp = -(-T // 128) * 128
-    b_tile = _resolve_tile(B, b_tile)
-    if Tp != T:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T)))
     Ch = packed[0].shape[0]
+    b_tile = _resolve_tile(B, C, Ch, Tp, b_tile, 48 * 1024 * 1024)
+    x2 = _to_lanes(x, Tp)
     pad = ((kernel_w - 1) // 2) * dilation
     shifts = [j * dilation - pad for j in range(kernel_w)]
     count = float(Ch * T)
-    kern = _make_fwd_kernel(b_tile, shifts, count,
-                            _mask_builder(T, Tp), dt)
-    bmap = lambda b: (b, 0, 0)
+    kern = _make_fwd_kernel(b_tile, Tp, T, shifts, count, dt)
+    bmap = lambda b: (0, b)
     y = pl.pallas_call(
         kern,
         grid=(B // b_tile,),
-        in_specs=[pl.BlockSpec((b_tile, C, Tp), bmap,
+        in_specs=[pl.BlockSpec((C, b_tile * Tp), bmap,
                                memory_space=pltpu.VMEM)]
         + _param_specs([p.shape for p in packed]),
-        out_specs=pl.BlockSpec((b_tile, C, Tp), bmap,
+        out_specs=pl.BlockSpec((C, b_tile * Tp), bmap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, Tp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, B * Tp), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, *packed)
-    return y[..., :T]
+    )(x2, *packed)
+    return _from_lanes(y, B, T, Tp)
 
 
 def _run_bwd(x, dy, packed, dilation, kernel_w, b_tile, interpret, dt):
     B, C, T = x.shape
     Tp = -(-T // 128) * 128
-    b_tile = _resolve_tile(B, b_tile)
-    if Tp != T:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T)))
-        dy = jnp.pad(dy, ((0, 0), (0, 0), (0, Tp - T)))
     Ch = packed[0].shape[0]
+    b_tile = _resolve_tile(B, C, Ch, Tp, b_tile, 40 * 1024 * 1024)
+    x2 = _to_lanes(x, Tp)
+    dy2 = _to_lanes(dy, Tp)
     pad = ((kernel_w - 1) // 2) * dilation
     shifts = [j * dilation - pad for j in range(kernel_w)]
     count = float(Ch * T)
-    kern = _make_bwd_kernel(b_tile, shifts, count,
-                            _mask_builder(T, Tp), dt)
-    bmap = lambda b: (b, 0, 0)
+    kern = _make_bwd_kernel(b_tile, Tp, T, shifts, count, dt)
+    bmap = lambda b: (0, b)
     gshapes = [p.shape for p in packed]
     outs = pl.pallas_call(
         kern,
         grid=(B // b_tile,),
-        in_specs=[pl.BlockSpec((b_tile, C, Tp), bmap,
+        in_specs=[pl.BlockSpec((C, b_tile * Tp), bmap,
                                memory_space=pltpu.VMEM)] * 2
         + _param_specs(gshapes),
         out_specs=tuple(
-            [pl.BlockSpec((b_tile, C, Tp), bmap, memory_space=pltpu.VMEM)]
+            [pl.BlockSpec((C, b_tile * Tp), bmap, memory_space=pltpu.VMEM)]
             + _param_specs(gshapes)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((B, C, Tp), x.dtype)]
+            [jax.ShapeDtypeStruct((C, B * Tp), x.dtype)]
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, dy, *packed)
-    return outs[0][..., :T], outs[1:]
+    )(x2, dy2, *packed)
+    return _from_lanes(outs[0], B, T, Tp), outs[1:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
