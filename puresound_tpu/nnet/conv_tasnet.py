@@ -23,9 +23,16 @@ from .lobe.norm import get_norm, apply_norm
 # Set by TRAIN.fused_scan (tasks) or PURESOUND_FUSED_TCN=1.
 FUSED_TCN = int(os.environ.get("PURESOUND_FUSED_TCN", "0")) != 0
 
-# Measured crossover guard: the kernel wins when the batch grid has real
-# work per iteration; tiny batches stay on the stock XLA path.
+# Measured crossover guards (v5e, fwd+bwd, T~2000). f32: stock XLA's
+# global-norm TCN autodiff is pathological at batch (593 ms for the
+# 5-block C=128 stack at B=64; 1.3x even for C=192/512 ConvTasNet at
+# B=64) -> engage from B>=16. bf16: stock XLA is already decent; the
+# kernel wins only where the whole tile chain stays latency-lean —
+# measured 1.25x at C<=128 B=64, NEUTRAL at C=192 B=64, SLOWER at B=16 —
+# so bf16 needs B>=32 and in_channels<=128.
 _FUSED_TCN_MIN_ROWS = 16
+_FUSED_TCN_MIN_ROWS_BF16 = 32
+_FUSED_TCN_MAX_C_BF16 = 128
 
 
 class TCN(nn.Module):
@@ -70,12 +77,17 @@ class TCN(nn.Module):
         return x + res
 
     def _fusable(self, x, embed) -> bool:
+        if x.dtype == jnp.bfloat16:
+            fast_enough = (x.shape[0] >= _FUSED_TCN_MIN_ROWS_BF16
+                           and self.in_channels <= _FUSED_TCN_MAX_C_BF16)
+        else:
+            fast_enough = x.shape[0] >= _FUSED_TCN_MIN_ROWS
         return (FUSED_TCN and embed is None and not self.causal
                 and self.dropout == 0.0 and self.emb_dim == 0
                 and self.tcn_norm in ("gLN", "gGN")
                 and self.dconv_norm in ("gLN", "gGN")
                 and self.dconv.hid_channels is None and not self.dconv.skip
-                and x.shape[0] >= _FUSED_TCN_MIN_ROWS)
+                and fast_enough)
 
     def _fused_call(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.tcn_train_kernel import tcn_block_train
