@@ -191,6 +191,50 @@ class ConvSTFT(nn.Module):
             return jnp.stack([mags, phase], axis=-1)
         raise NotImplementedError(self.output_format)
 
+    # ------------------------------------------------------- streaming forms
+    def stream_analysis_ri(self, buf: jnp.ndarray, K: int,
+                           drop_first_bin: bool = True) -> jnp.ndarray:
+        """Streaming analysis: buf [N, (K-1)*hop + n_fft] -> RI-stacked
+        features [N, 2*(F - drop), K] in ONE matmul.
+
+        The offline path's strided conv + bin slices + RI concat cost ~2 ms
+        of glue at serving batch for a 2-frame chunk; here the K frames are
+        static slices and the RI pack (incl. the DFT imag sign and the
+        first-bin drop) is folded into the kernel matrix."""
+        lo = 1 if drop_first_bin else 0
+        fb = self.num_freq_out
+        # [C, n_fft] with C = 2*(fb - lo): rows = [re bins lo.., im bins lo..]
+        w = jnp.concatenate([self.wcos[lo:fb], -self.wsin[lo:fb]], axis=0)
+        frames = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(buf, k * self._hop, self.n_fft,
+                                          axis=1)
+             for k in range(K)], axis=1)  # [N, K, n_fft]
+        return jnp.einsum("nkt,ct->nck", frames, w.astype(buf.dtype))
+
+    def stream_synthesis_frames(self, ri: jnp.ndarray,
+                                drop_first_bin: bool = True) -> jnp.ndarray:
+        """Streaming synthesis: RI-stacked spectra [N, C, K] -> windowed
+        frames [N, K, n_fft] in ONE matmul.
+
+        Folds the first-bin re-pad, Hermitian extension, inverse-DFT basis,
+        window, and 1/n_fft scale into a single fixed [C, n_fft] matrix —
+        replacing the split/pad/flip/concat + two einsums of the offline
+        path. Mirrored interior bins contribute their cos/sin twice, so the
+        basis rows are cos[f] + cos[n_fft - f] (and the imag rows
+        -(sin[f] - sin[n_fft - f]))."""
+        lo = 1 if drop_first_bin else 0
+        fb = self.num_freq_out  # n_fft//2 + 1
+        n = self.n_fft
+        cos_b, sin_b = np.asarray(self._cos_basis), np.asarray(self._sin_basis)
+        # doubling mask for Hermitian-mirrored interior bins 1..fb-2
+        dbl = np.zeros((fb, n), np.float32)
+        dbl[1:fb - 1] = 1.0
+        cos_eff = cos_b[:fb] + dbl * cos_b[(n - np.arange(fb)) % n]
+        sin_eff = -(sin_b[:fb] - dbl * sin_b[(n - np.arange(fb)) % n])
+        basis = np.concatenate([cos_eff[lo:], sin_eff[lo:]], axis=0)
+        basis = basis * self._window_np[None, :] / n
+        return jnp.einsum("nck,cs->nks", ri, jnp.asarray(basis, ri.dtype))
+
     def synthesis_frames(self, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
         """Per-frame synthesis (Hermitian extension + inverse-DFT matmul +
         window / n_fft) WITHOUT overlap-add — streaming engines OLA with a

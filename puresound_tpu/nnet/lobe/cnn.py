@@ -96,6 +96,26 @@ class Conv2d(nn.Module):
             y = y + self.b.astype(x.dtype)[None, :, None, None]
         return y
 
+    def stream_apply(self, h: jnp.ndarray, carry: jnp.ndarray,
+                     pad_f: Tuple[int, int]) -> jnp.ndarray:
+        """Causal frame-streaming form for time kernel 2 / stride 1.
+
+        Equivalent to `self(concat([carry[..., None], h], -1), pad=(pad_f,
+        (0, 0)))` but WITHOUT materializing the [*, K+1]-frame concat
+        (measured as a dominant copy at serving batch): the time context
+        enters as free conv padding, and the carried frame's contribution
+        is a single-tap conv added into frame 0.
+        """
+        assert self.kernel[1] == 2 and self.stride[1] == 1 \
+            and self.dilation[1] == 1
+        y = self(h, pad=(pad_f, (1, 0)))
+        c = jax.lax.conv_general_dilated(
+            carry[..., None], self.w[:, :, :, 0:1].astype(h.dtype),
+            window_strides=self.stride, padding=(pad_f, (0, 0)),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y.at[:, :, :, :1].add(c)
+
 
 class ConvTranspose2d(nn.Module):
     """torch-compatible ConvTranspose2d (padding / output_padding semantics).
@@ -123,21 +143,63 @@ class ConvTranspose2d(nn.Module):
         if self.use_bias:
             self.b = self.param("b", _uniform_init(scale), (self.out_channels,))
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        w = jnp.flip(self.w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # [out, in, kH, kW]
+    def _tconv(self, x: jnp.ndarray, w: jnp.ndarray,
+               pad_t: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """Transpose conv as an input-dilated conv of the flipped kernel.
+        `w` is (a channel slice of) self.w in torch [in, out, kH, kW]
+        layout; `pad_t` overrides the derived time padding (streaming)."""
+        wf = jnp.flip(w, axis=(-2, -1)).transpose(1, 0, 2, 3)  # [out,in,kH,kW]
         pads = []
         for d in range(2):
             lo = self.dilation[d] * (self.kernel[d] - 1) - self.padding[d]
             hi = lo + self.output_padding[d]
             pads.append((lo, hi))
-        y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(1, 1), padding=pads,
+        if pad_t is not None:
+            pads[1] = pad_t
+        return jax.lax.conv_general_dilated(
+            x, wf.astype(x.dtype), window_strides=(1, 1), padding=pads,
             lhs_dilation=self.stride, rhs_dilation=self.dilation,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = self._tconv(x, self.w)
         if self.use_bias:
             y = y + self.b.astype(x.dtype)[None, :, None, None]
         return y
+
+    def _stream_assert(self):
+        assert self.kernel[1] == 2 and self.stride[1] == 1 \
+            and self.dilation[1] == 1 and self.padding[1] == 0 \
+            and self.output_padding[1] == 0
+
+    def _carry_tap(self, carry: jnp.ndarray, dtype) -> jnp.ndarray:
+        """Frame-0 contribution of the carried (previous-chunk last) input
+        frame: a single-tap conv with the earlier-time kernel tap."""
+        wf = jnp.flip(self.w, axis=(-2, -1)).transpose(1, 0, 2, 3)
+        lo = self.dilation[0] * (self.kernel[0] - 1) - self.padding[0]
+        return jax.lax.conv_general_dilated(
+            carry[..., None], wf[:, :, :, 0:1].astype(dtype),
+            window_strides=(1, 1),
+            padding=((lo, lo + self.output_padding[0]), (0, 0)),
+            lhs_dilation=self.stride, rhs_dilation=self.dilation,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    def stream_apply(self, h: jnp.ndarray, carry: jnp.ndarray) -> jnp.ndarray:
+        """Causal frame-streaming form for time kernel 2 / stride 1 /
+        padding 0: `self(concat([carry[..., None], h], -1))[..., 1:K+1]`
+        WITHOUT the [*, K+1]-frame concat. The module call on `h` alone
+        yields out[t] = W_t1·h[t-1] + W_t0·h[t] (h[-1] = 0) at [..., :K];
+        the carried frame only touches frame 0 via the W_t1 tap.
+
+        NOTE: the slice-free variant (asymmetric time pad (1, 0) on the
+        input-dilated conv) kernel-faults the TPU at B=4096 (worker crash,
+        reproduced twice; B<=3328 fine) — keep the symmetric-pad + slice
+        lowering, which is proven at 4096."""
+        self._stream_assert()
+        K = h.shape[-1]
+        y = self(h)[..., :K]
+        return y.at[:, :, :, :1].add(self._carry_tap(carry, h.dtype))
 
 
 class DepthwiseSeparableConv1d(nn.Module):

@@ -249,9 +249,9 @@ class Unet(nn.Module):
         new_down = []
         for i in range(self._n_cnn):
             new_down.append(h[..., -1])
-            inp = jnp.concatenate([state["down"][i][..., None], h], axis=-1)
             kf = self.kernel_f[i]
-            h = self.cnn_down[i](inp, pad=((kf // 2, kf // 2), (0, 0)))
+            h = self.cnn_down[i].stream_apply(h, state["down"][i],
+                                              (kf // 2, kf // 2))
             h = self.down_act[i](apply_norm(self.down_norm[i], h, False))
             skips.append(h)
         return h, skips, new_down
@@ -262,7 +262,9 @@ class Unet(nn.Module):
         Streaming a transpose layer keeps the last input frame pending; the
         conv over [pending | K inputs] yields K+2 raw frames of which
         [1 : K+1] are exactly the offline (left-trimmed) outputs delayed by
-        one frame (causal mode: the same slice IS the offline output)."""
+        one frame (causal mode: the same slice IS the offline output).
+        ConvTranspose2d.stream_apply computes that slice concat-free (the
+        pending frame enters as a 1-tap correction on frame 0)."""
         K = h.shape[-1]
         n = self._n_cnn
         new_up, new_skipq = [], []
@@ -278,8 +280,7 @@ class Unet(nn.Module):
                                  if self.transpose_delay else None)
             h = jnp.concatenate([h, skip_use], axis=1)
             new_up.append(h[..., -1])
-            inp = jnp.concatenate([state["up"][j][..., None], h], axis=-1)
-            y = self.cnn_up[j](inp)[..., 1 : K + 1]
+            y = self.cnn_up[j].stream_apply(h, state["up"][j])
             if self.up_norm[j] is not None:
                 y = self.up_act[j](apply_norm(self.up_norm[j], y, False))
             h = y

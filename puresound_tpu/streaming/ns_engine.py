@@ -145,14 +145,11 @@ class StreamingNS(nn.Module):
         assert S % hop == 0, "chunk length must be a multiple of the hop"
         K = S // hop
 
-        # --- analysis
+        # --- analysis (one matmul: framing slices -> RI-packed kernel)
         buf = jnp.concatenate([state["enc_tail"], chunk], axis=-1)
-        feats = self.encoder(buf)  # [B, F, K, 2]
+        ri = self.encoder.encoder.stream_analysis_ri(
+            buf, K, self.drop_first_bin)  # [B, C, K]
         new_enc_tail = buf[:, -(n_fft - hop):]
-        re, im = feats[..., 0], feats[..., 1]
-        if self.drop_first_bin:
-            re, im = re[:, 1:], im[:, 1:]
-        ri = jnp.concatenate([re, im], axis=1)  # [B, C, K]
 
         # --- mask
         assert not (fused and dp_kernel), \
@@ -180,13 +177,9 @@ class StreamingNS(nn.Module):
         enh = apply_tf_masks(feats_use, mask, mask_type=self.mask_type,
                              f_type=self.f_type)
 
-        # --- synthesis
-        enh_re, enh_im = jnp.split(enh, 2, axis=1)
-        if self.drop_first_bin:
-            pad = jnp.zeros((B, 1, K), enh_re.dtype)
-            enh_re = jnp.concatenate([pad, enh_re], axis=1)
-            enh_im = jnp.concatenate([pad, enh_im], axis=1)
-        frames = self.encoder.encoder.synthesis_frames(enh_re, enh_im)
+        # --- synthesis (one matmul: Hermitian + iDFT + window folded)
+        frames = self.encoder.encoder.stream_synthesis_frames(
+            enh, self.drop_first_bin)
         ola = overlap_add(frames, hop)  # [B, S + n_fft - hop]
         ola = ola.at[:, : n_fft - hop].add(state["ola_tail"])
         emit = ola[:, :S] / jnp.tile(state["wsum"], K)[None, :]
