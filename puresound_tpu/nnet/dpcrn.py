@@ -167,7 +167,8 @@ class DPCRN(DualPathStreaming, Unet):
 
     def bottleneck_kernel_chunk(self, x: jnp.ndarray, state: dict,
                                 interpret: bool = False,
-                                b_tile: int = 0, int8_hh: bool = False):
+                                b_tile: int = 0, int8_hh: bool = False,
+                                xscr_half: bool = False):
         """Both dual-path blocks through the VMEM-resident Pallas kernel.
 
         x: [B, CH, F, K] -> (y [B, CH, F, K], new h1/c1/h2/c2). Requires the
@@ -185,14 +186,88 @@ class DPCRN(DualPathStreaming, Unet):
         if not b_tile:
             # 128 streams/tile (x2 frames = 256 rows/scan step) fits the
             # 100 MB scoped-VMEM budget with the chunked proj/inter
-            # temporaries (unchunked needed ~104 MB)
-            b_tile = next(t for t in (128, 64, 32, 16, 8, 4, 2, 1)
-                          if B % t == 0)
+            # temporaries (unchunked needed ~104 MB); xscr_half (bf16
+            # residual scratch) makes room for 256-stream tiles, halving
+            # the serial grid
+            tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
+                else (128, 64, 32, 16, 8, 4, 2, 1)
+            b_tile = next(t for t in tiles if B % t == 0)
         y, h_out, c_out = dual_path_chunk(
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
             self._dp_kernel_weights(int8_hh), b_tile=b_tile,
-            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh)
+            interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh,
+            xscr_half=xscr_half)
         return (y.transpose(2, 3, 0, 1), h_out[0], c_out[0],
                 h_out[1], c_out[1])
+
+    # --------------------------------------- center-fused masker (Pallas)
+    def _center_conv_weights(self):
+        """BN-folded d4/u0 conv weights for ops/masker_kernel.center_chunk.
+
+        Wd[s*3+df]: d4 (cnn_down[4], [CH, Ci, 3, 2]) tap (df, dt=s),
+        transposed to [Ci, CH]. Wh/Ws[s*3+df]: u0 (cnn_up[0],
+        torch-transpose layout [2CH, Co, 3, 2]) h/skip halves, time taps
+        flipped (slot s multiplies input frame k-1+s; see
+        masker_kernel._dense_conv_matrix).
+        """
+        def bn_affine(norm):
+            v = norm.variables
+            g = v["params"]["scale"]
+            b = v["params"]["bias"]
+            mu = v["batch_stats"]["mean"]
+            rstd = jnp.reciprocal(jnp.sqrt(v["batch_stats"]["var"]
+                                           + norm.eps))
+            return g * rstd, b - mu * g * rstd
+
+        wd = self.cnn_down[-1].variables["params"]["w"]    # [CH, Ci, 3, 2]
+        bd = self.cnn_down[-1].variables["params"]["b"]
+        gd, betad = bn_affine(self.down_norm[-1])
+        wd = wd * gd[:, None, None, None]
+        bd = bd * gd + betad
+        Wd = [jnp.transpose(wd[:, :, df, s])                 # [Ci, CH]
+              for s in range(2) for df in range(3)]
+        alpha_d = self.down_act[-1].alpha
+
+        wu = self.cnn_up[0].variables["params"]["w"]       # [2CH, Co, 3, 2]
+        bu = self.cnn_up[0].variables["params"]["b"]
+        gu, betau = bn_affine(self.up_norm[0])
+        wu = wu * gu[None, :, None, None]
+        bu = bu * gu + betau
+        CH = wu.shape[0] // 2
+        Wh = [wu[:CH, :, df, 1 - s] for s in range(2) for df in range(3)]
+        Ws = [wu[CH:, :, df, 1 - s] for s in range(2) for df in range(3)]
+        alpha_u = self.up_act[0].alpha
+        return (tuple(Wd), bd, alpha_d, tuple(Wh), tuple(Ws), bu, alpha_u)
+
+    def center_kernel_chunk(self, x: jnp.ndarray, state: dict,
+                            interpret: bool = False, b_tile: int = 0,
+                            int8_hh: bool = False, xscr_half: bool = False):
+        """d4 conv + dual-path bottleneck + u0 transpose conv through the
+        center-fused Pallas kernel (ops/masker_kernel.py).
+
+        x: [B, Ci, F, K] (down layer 3 output) ->
+        (y [B, Co, F, K] — up layer 0 output, new d4c/u0h/u0s conv
+        carries, new h1/c1/h2/c2). Needs mk_kernel streaming state
+        (init_stream_state(mk_kernel=True))."""
+        import jax as _jax
+
+        from ..ops.masker_kernel import center_chunk
+
+        interpret = interpret or _jax.default_backend() == "cpu"
+        B = x.shape[0]
+        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, Ci]
+        dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        if not b_tile:
+            tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
+                else (128, 64, 32, 16, 8, 4, 2, 1)
+            b_tile = next(t for t in tiles if B % t == 0)
+        y, d4c, u0h, u0s, h_out, c_out = center_chunk(
+            xt, state["d4c"], state["u0h"], state["u0s"],
+            [state["h1"], state["h2"]], [state["c1"], state["c2"]],
+            self._center_conv_weights(), self._dp_kernel_weights(int8_hh),
+            b_tile=b_tile, interpret=interpret, dot_dtype=dot_dtype,
+            int8_hh=int8_hh, xscr_half=xscr_half)
+        return (y.transpose(2, 3, 0, 1), d4c, u0h, u0s,
+                h_out[0], c_out[0], h_out[1], c_out[1])
 
 

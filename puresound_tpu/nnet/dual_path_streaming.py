@@ -28,17 +28,37 @@ class DualPathStreaming:
                 and not self.spectral_compress)
 
     def init_stream_state(self, batch: int, dtype=jnp.float32,
-                          dp_kernel: bool = False) -> dict:
+                          dp_kernel: bool = False,
+                          mk_kernel: bool = False) -> dict:
         """Streaming state: 1-frame time context per conv layer (all time
         kernels are 2, causal) + inter-LSTM carries of both DPRNN blocks
         (+ skip FIFOs when transpose_delay adds per-up-layer lookahead).
 
         dp_kernel=True lays the inter carries out kernel-natively
-        ([F, B, H] per block) for the fused dual-path Pallas kernel."""
-        state = self._init_unet_stream_state(batch, dtype)
+        ([F, B, H] per block) for the fused dual-path Pallas kernel.
+        mk_kernel=True (DPCRN, causal only) is the center-fused masker
+        kernel layout: down carries for layers 0..n-2 and up carries for
+        layers 1..n-1 only (the kernel owns d4/u0), plus kernel-native
+        d4c/u0h/u0s conv-context carries ([F, B, C])."""
         Fb = self._stream_freqs()[-1]
         H = self.rnn_hidden
-        if dp_kernel:
+        if mk_kernel:
+            assert not self.transpose_delay, \
+                "mk_kernel supports causal configs only"
+            assert self.causal_streamable()
+            freqs, chans, n = self._stream_freqs(), self._chans, self._n_cnn
+            state = {
+                "down": [jnp.zeros((batch, chans[i], freqs[i]), dtype)
+                         for i in range(n - 1)],
+                "up": [jnp.zeros((batch, 2 * chans[n - j], freqs[n - j]),
+                                 dtype) for j in range(1, n)],
+                "d4c": jnp.zeros((Fb, batch, chans[n - 1]), dtype),
+                "u0h": jnp.zeros((Fb, batch, chans[n]), dtype),
+                "u0s": jnp.zeros((Fb, batch, chans[n]), dtype),
+            }
+        else:
+            state = self._init_unet_stream_state(batch, dtype)
+        if dp_kernel or mk_kernel:
             carry = lambda: jnp.zeros((Fb, batch, H), dtype)
         else:
             carry = lambda: jnp.zeros((1, batch * Fb, H), dtype)
@@ -48,7 +68,8 @@ class DualPathStreaming:
     def stream_frames(self, x: jnp.ndarray, state: dict,
                       fused: bool = False, dp_kernel: bool = False,
                       interpret: bool = False, dp_b_tile: int = 0,
-                      int8_hh: bool = False, attn_kernel: bool = False):
+                      int8_hh: bool = False, attn_kernel: bool = False,
+                      xscr_half: bool = False, mk_kernel: bool = False):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -68,11 +89,27 @@ class DualPathStreaming:
         VMEM-resident Pallas kernel (state from
         init_stream_state(dp_kernel=True)).
         """
+        if mk_kernel:
+            # center-fused masker kernel: d4 conv + both dual-path blocks
+            # + u0 transpose conv in ONE Pallas call (state from
+            # init_stream_state(mk_kernel=True)); XLA keeps the cheap
+            # outer layers (d0-d3, u1-u4)
+            n = self._n_cnn
+            h3, skips, new_down = self._stream_down(x, state,
+                                                    n_layers=n - 1)
+            y0, d4c, u0h, u0s, h1, c1, h2, c2 = self.center_kernel_chunk(
+                h3, state, interpret=interpret, b_tile=dp_b_tile,
+                int8_hh=int8_hh, xscr_half=xscr_half)
+            skips = skips + [None]  # u0's skip lives inside the kernel
+            mask, new_up, _ = self._stream_up(y0, skips, state, start=1)
+            return mask, dict(state, down=new_down, up=new_up,
+                              d4c=d4c, u0h=u0h, u0s=u0s,
+                              h1=h1, c1=c1, h2=h2, c2=c2)
         h, skips, new_down = self._stream_down(x, state)
         if dp_kernel:
             h, h1, c1, h2, c2 = self.bottleneck_kernel_chunk(
                 h, state, interpret=interpret, b_tile=dp_b_tile,
-                int8_hh=int8_hh)
+                int8_hh=int8_hh, xscr_half=xscr_half)
         else:
             kw = {"attn_kernel": True} if attn_kernel else {}
             h, h1, c1 = self.dprnn_block1.step_chunk(

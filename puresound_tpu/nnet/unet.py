@@ -242,12 +242,15 @@ class Unet(nn.Module):
                 for j in range(n)]
         return state
 
-    def _stream_down(self, x: jnp.ndarray, state: dict):
-        """x: [B, C, K] frames -> (bottleneck [B, ch, F, K], skips, updates)."""
+    def _stream_down(self, x: jnp.ndarray, state: dict,
+                     n_layers: Optional[int] = None):
+        """x: [B, C, K] frames -> (bottleneck [B, ch, F, K], skips, updates).
+        n_layers stops after that many down layers (center-fused kernels
+        take over the rest; state['down'] then holds that many carries)."""
         h = self._pack_input(x)
         skips = [h]
         new_down = []
-        for i in range(self._n_cnn):
+        for i in range(self._n_cnn if n_layers is None else n_layers):
             new_down.append(h[..., -1])
             kf = self.kernel_f[i]
             h = self.cnn_down[i].stream_apply(h, state["down"][i],
@@ -256,8 +259,11 @@ class Unet(nn.Module):
             skips.append(h)
         return h, skips, new_down
 
-    def _stream_up(self, h: jnp.ndarray, skips, state: dict):
+    def _stream_up(self, h: jnp.ndarray, skips, state: dict,
+                   start: int = 0):
         """h: bottleneck output [B, ch, F, K] -> (mask [B, C, K], updates).
+        start skips the first `start` up layers (center-fused kernels
+        already applied them; state['up'][j - start] then carries layer j).
 
         Streaming a transpose layer keeps the last input frame pending; the
         conv over [pending | K inputs] yields K+2 raw frames of which
@@ -268,7 +274,7 @@ class Unet(nn.Module):
         K = h.shape[-1]
         n = self._n_cnn
         new_up, new_skipq = [], []
-        for j in range(n):
+        for j in range(start, n):
             skip_now = skips[-j - 1]
             if self.transpose_delay and j > 0:
                 cat = jnp.concatenate([state["skipq"][j], skip_now], axis=-1)
@@ -280,7 +286,7 @@ class Unet(nn.Module):
                                  if self.transpose_delay else None)
             h = jnp.concatenate([h, skip_use], axis=1)
             new_up.append(h[..., -1])
-            y = self.cnn_up[j].stream_apply(h, state["up"][j])
+            y = self.cnn_up[j].stream_apply(h, state["up"][j - start])
             if self.up_norm[j] is not None:
                 y = self.up_act[j](apply_norm(self.up_norm[j], y, False))
             h = y

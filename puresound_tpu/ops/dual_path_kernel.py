@@ -60,8 +60,8 @@ def _lstm_gates(gates, c, H):
 _PER_BLOCK = 18
 
 
-def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
-                 int8_hh: bool = False):
+def make_dots(dot_dtype, int8_hh: bool = False):
+    """(dot, dot_hh) closures shared by the fused dual-path kernels."""
     def dot(a, w_ref):
         return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
                        preferred_element_type=jnp.float32)
@@ -75,6 +75,102 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
         hq = jnp.clip(jnp.round(h * 127.0), -127.0, 127.0).astype(jnp.int8)
         acc = jnp.dot(hq, w_ref[:], preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (scale_ref[:] / (127.0 * 127.0))
+
+    return dot, dot_hh
+
+
+def dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
+                   h_in, c_in, h_out, c_out,
+                   n_blocks: int, K: int, F: int, H: int, bt: int,
+                   int8_hh: bool, row0: int = 0):
+    """Run all dual-path blocks in place on x_scr [F, row0 + K*bt, CH]
+    (rows [row0:] are the (frame, stream)-flattened activation; rows
+    before row0 — e.g. a carried previous frame kept by a surrounding
+    fused conv — are left untouched). Shared by dual_path_chunk and the
+    center-fused masker kernel (ops/masker_kernel.py)."""
+    CH = x_scr.shape[-1]
+    R = K * bt
+    PB = _PER_BLOCK + (3 if int8_hh else 0)
+
+    for b in range(n_blocks):
+        w = {}
+        sc = lambda n: ([f"s_{n}"] if int8_hh else [])
+        names = (["w_ih_f", "w_hh_f"] + sc("hh_f") + ["b_f"]
+                 + ["w_ih_b", "w_hh_b"] + sc("hh_b") + ["b_b"]
+                 + ["pw_f", "pw_b", "pb", "ig", "ib"]
+                 + ["w_ih_i", "w_hh_i"] + sc("hh_i")
+                 + ["b_i", "pw_i", "pb_i", "tg", "tb"])
+        for j, name in enumerate(names):
+            w[name] = w_refs[b * PB + j]
+
+        # -------- intra (frequency) pass: fwd + bwd fused per step ----
+        zero = jnp.zeros((R, H), jnp.float32)
+
+        def intra_step(f, carry):
+            hf, cf, hb, cb = carry
+            xf = x_scr[f, row0:, :]
+            gf = (dot(xf, w["w_ih_f"])
+                  + dot_hh(hf, w["w_hh_f"], w.get("s_hh_f"))
+                  + w["b_f"][:])
+            hf, cf = _lstm_gates(gf, cf, H)
+            yf_scr[f] = hf.astype(yf_scr.dtype)
+            fb = F - 1 - f
+            xb = x_scr[fb, row0:, :]
+            gb = (dot(xb, w["w_ih_b"])
+                  + dot_hh(hb, w["w_hh_b"], w.get("s_hh_b"))
+                  + w["b_b"][:])
+            hb, cb = _lstm_gates(gb, cb, H)
+            yb_scr[fb] = hb.astype(yb_scr.dtype)
+            return (hf, cf, hb, cb)
+
+        jax.lax.fori_loop(0, F, intra_step, (zero, zero, zero, zero))
+
+        # projection of both directions + LN + residual; chunked over F
+        # to bound the Mosaic stack temporaries (VMEM); finer chunks at
+        # wider tiles
+        n_pchunk = 8 if (R >= 512 and F % 8 == 0) else (
+            4 if F % 4 == 0 else (2 if F % 2 == 0 else 1))
+        pc = F // n_pchunk
+        for p0 in range(0, F, pc):
+            yf = yf_scr[p0:p0 + pc].reshape(pc * R, H)
+            yb = yb_scr[p0:p0 + pc].reshape(pc * R, H)
+            t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
+            t = _ln(t, w["ig"][:], w["ib"][:])
+            x_scr[p0:p0 + pc, row0:, :] = (
+                x_scr[p0:p0 + pc, row0:, :]
+                + t.reshape(pc, R, CH)).astype(x_scr.dtype)
+
+        # ---------------- inter (time) pass, K carried steps ----------
+        # rows are (freq, stream)-independent: chunk F to keep the
+        # [rows, 4H] gate temporaries inside the VMEM budget
+        n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
+            2 if F % 2 == 0 else 1)
+        ic = F // n_ichunk
+        for p0 in range(0, F, ic):
+            h = h_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+            c = c_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+            for k in range(K):
+                lo, hi = row0 + k * bt, row0 + (k + 1) * bt
+                rows = x_scr[p0:p0 + ic, lo:hi, :].reshape(ic * bt, CH)
+                gates = (dot(rows, w["w_ih_i"])
+                         + dot_hh(h, w["w_hh_i"], w.get("s_hh_i"))
+                         + w["b_i"][:])
+                h, c = _lstm_gates(gates, c, H)
+                t = dot(h, w["pw_i"]) + w["pb_i"][:]
+                t = _ln(t, w["tg"][:], w["tb"][:])
+                x_scr[p0:p0 + ic, lo:hi, :] = (
+                    x_scr[p0:p0 + ic, lo:hi, :]
+                    + t.reshape(ic, bt, CH)).astype(x_scr.dtype)
+            h_out[b][p0:p0 + ic] = h.reshape(ic, bt, H).astype(h_out[b].dtype)
+            c_out[b][p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out[b].dtype)
+
+
+def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
+                 int8_hh: bool = False):
+    # NOTE: x_scr's dtype follows the scratch shape passed by the caller
+    # (f32 by default; bf16 under xscr_half to halve VMEM for bigger
+    # stream tiles) — all arithmetic stays f32, writes cast to the ref.
+    dot, dot_hh = make_dots(dot_dtype, int8_hh)
 
     def kernel(x_ref, *refs):
         # refs: h_in[b], c_in[b] per block ... weights ... y, h_out[b],
@@ -97,77 +193,11 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
         # stays on the leading axis (Mosaic-safe) and each serial scan step
         # carries K*bt rows — 4x fewer sequential iterations than scanning
         # per frame per direction.
-        x_scr[:] = x_ref[:].astype(jnp.float32).reshape(F, R, CH)
+        x_scr[:] = x_ref[:].reshape(F, R, CH).astype(x_scr.dtype)
 
-        for b in range(n_blocks):
-            w = {}
-            sc = lambda n: ([f"s_{n}"] if int8_hh else [])
-            names = (["w_ih_f", "w_hh_f"] + sc("hh_f") + ["b_f"]
-                     + ["w_ih_b", "w_hh_b"] + sc("hh_b") + ["b_b"]
-                     + ["pw_f", "pw_b", "pb", "ig", "ib"]
-                     + ["w_ih_i", "w_hh_i"] + sc("hh_i")
-                     + ["b_i", "pw_i", "pb_i", "tg", "tb"])
-            for j, name in enumerate(names):
-                w[name] = w_refs[b * PB + j]
-
-            # -------- intra (frequency) pass: fwd + bwd fused per step ----
-            zero = jnp.zeros((R, H), jnp.float32)
-
-            def intra_step(f, carry):
-                hf, cf, hb, cb = carry
-                xf = x_scr[f]
-                gf = (dot(xf, w["w_ih_f"])
-                      + dot_hh(hf, w["w_hh_f"], w.get("s_hh_f"))
-                      + w["b_f"][:])
-                hf, cf = _lstm_gates(gf, cf, H)
-                yf_scr[f] = hf.astype(yf_scr.dtype)
-                fb = F - 1 - f
-                xb = x_scr[fb]
-                gb = (dot(xb, w["w_ih_b"])
-                      + dot_hh(hb, w["w_hh_b"], w.get("s_hh_b"))
-                      + w["b_b"][:])
-                hb, cb = _lstm_gates(gb, cb, H)
-                yb_scr[fb] = hb.astype(yb_scr.dtype)
-                return (hf, cf, hb, cb)
-
-            jax.lax.fori_loop(0, F, intra_step, (zero, zero, zero, zero))
-
-            # projection of both directions + LN + residual; chunked over F
-            # to bound the Mosaic stack temporaries (VMEM); finer chunks at
-            # wider tiles
-            n_pchunk = 8 if (R >= 512 and F % 8 == 0) else (
-                4 if F % 4 == 0 else (2 if F % 2 == 0 else 1))
-            pc = F // n_pchunk
-            for p0 in range(0, F, pc):
-                yf = yf_scr[p0:p0 + pc].reshape(pc * R, H)
-                yb = yb_scr[p0:p0 + pc].reshape(pc * R, H)
-                t = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
-                t = _ln(t, w["ig"][:], w["ib"][:])
-                x_scr[p0:p0 + pc] = x_scr[p0:p0 + pc] + t.reshape(pc, R, CH)
-
-            # ---------------- inter (time) pass, K carried steps ----------
-            # rows are (freq, stream)-independent: chunk F to keep the
-            # [rows, 4H] gate temporaries inside the VMEM budget
-            n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
-                2 if F % 2 == 0 else 1)
-            ic = F // n_ichunk
-            for p0 in range(0, F, ic):
-                h = h_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
-                c = c_in[b][p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
-                for k in range(K):
-                    rows = x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :].reshape(
-                        ic * bt, CH)
-                    gates = (dot(rows, w["w_ih_i"])
-                             + dot_hh(h, w["w_hh_i"], w.get("s_hh_i"))
-                             + w["b_i"][:])
-                    h, c = _lstm_gates(gates, c, H)
-                    t = dot(h, w["pw_i"]) + w["pb_i"][:]
-                    t = _ln(t, w["tg"][:], w["tb"][:])
-                    x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :] = (
-                        x_scr[p0:p0 + ic, k * bt:(k + 1) * bt, :]
-                        + t.reshape(ic, bt, CH))
-                h_out[b][p0:p0 + ic] = h.reshape(ic, bt, H).astype(h_out[b].dtype)
-                c_out[b][p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out[b].dtype)
+        dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
+                       h_in, c_in, h_out, c_out,
+                       n_blocks, K, F, H, bt, int8_hh)
 
         y_ref[:] = x_scr[:].reshape(F, K, bt, CH).astype(y_ref.dtype)
 
@@ -181,10 +211,10 @@ def init_carries(n_blocks: int, F: int, batch: int, H: int,
     return [z() for _ in range(n_blocks)], [z() for _ in range(n_blocks)]
 
 
-@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype", "int8_hh"))
+@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half"))
 def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
                     interpret: bool = False, dot_dtype=jnp.float32,
-                    int8_hh: bool = False):
+                    int8_hh: bool = False, xscr_half: bool = False):
     """Run a chunk through all dual-path blocks with VMEM-resident state.
 
     Args:
@@ -218,10 +248,14 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
     out_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
 
     # direction buffers only feed the (dot_dtype) projection dots — store
-    # them at dot precision to halve their VMEM in serving mode
+    # them at dot precision to halve their VMEM in serving mode.
+    # xscr_half additionally stores the residual activation scratch in
+    # bf16 (arithmetic stays f32), halving the dominant VMEM buffer to
+    # make room for wider stream tiles (b_tile 256).
     scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
+    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
     scratch_shapes = [
-        pltpu.VMEM((F, K * b_tile, CH), jnp.float32),
+        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
         pltpu.VMEM((F, K * b_tile, H), scr_dt),
         pltpu.VMEM((F, K * b_tile, H), scr_dt),
     ]

@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dual_path_kernel import _PER_BLOCK, _ln, _lstm_gates
+from .dual_path_kernel import (_PER_BLOCK, _ln, _lstm_gates, dual_path_body,
+                               make_dots)
 
 
 # ---------------------------------------------------------------------------
@@ -170,3 +171,208 @@ def pack_channel_perm(F: int, C: int) -> np.ndarray:
             blk, lane = lane_of(f, c, P)
             perm[blk * 128 + lane] = c * F + f
     return perm
+
+
+# ---------------------------------------------------------------------------
+# center-fused kernel: d4 conv -> dual-path bottleneck -> u0 transpose conv
+# ---------------------------------------------------------------------------
+#
+# The three central masker layers move the largest tensors of the NS
+# streaming step (bottleneck in/out and the u0 skip concat are [B, 128, 64,
+# K] each — ~134 MB at B=4096 bf16) and the stock path also pays two full
+# packing transposes around the dual-path kernel. Fusing them keeps all of
+# it VMEM-resident; the outer layers (d0-d3, u1-u4, C <= 64) stay in XLA
+# where their freq-packing would otherwise need banded weight matrices
+# (see build_layer_blocks — groundwork validated for a future full fusion).
+#
+# Conv formulation: with rows = [carried prev frame | K chunk frames] per
+# freq, a causal time-kernel-2 freq-conv is SIX shared-weight matmuls
+# (3 freq taps x 2 time-row slices) accumulated in f32; the u0 transpose
+# conv is the same with time taps flipped and the freq relation inverted
+# (see _dense_conv_matrix notes), split into an h-part and a skip-part so
+# the stock path's channel concat never materializes.
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _make_center_kernel(n_blocks: int, K: int, F: int, H: int, Ci: int,
+                        CH: int, Co: int, dot_dtype, int8_hh: bool):
+    fc = min(16, F)  # freq-chunk bounding the Mosaic stack temporaries
+    assert F % fc == 0, f"bottleneck freq count {F} must chunk by {fc}"
+    dot, dot_hh = make_dots(dot_dtype, int8_hh)
+    PB = _PER_BLOCK + (3 if int8_hh else 0)
+    N_CONV = 6  # (2 time slots) x (3 freq taps)
+
+    def kernel(x_ref, *refs):
+        # refs layout:
+        #   d4c, u0h, u0s,
+        #   h_in[2], c_in[2],
+        #   Wd[6], bd, alpha_d, Wh[6], Ws[6], bu, alpha_u,
+        #   dp weights [PB * n_blocks],
+        #   y, d4c_out, u0h_out, u0s_out, h_out[2], c_out[2],
+        #   scratch: x_scr [F, K*bt, CH], skip_scr, yf_scr, yb_scr
+        it = iter(range(len(refs)))
+        nxt = lambda: refs[next(it)]
+        d4c_ref, u0h_ref, u0s_ref = nxt(), nxt(), nxt()
+        h_in = [nxt() for _ in range(n_blocks)]
+        c_in = [nxt() for _ in range(n_blocks)]
+        Wd = [nxt() for _ in range(N_CONV)]
+        bd_ref, ad_ref = nxt(), nxt()
+        Wh = [nxt() for _ in range(N_CONV)]
+        Ws = [nxt() for _ in range(N_CONV)]
+        bu_ref, au_ref = nxt(), nxt()
+        w_refs = [nxt() for _ in range(PB * n_blocks)]
+        y_ref = nxt()
+        d4c_out, u0h_out, u0s_out = nxt(), nxt(), nxt()
+        h_out = [nxt() for _ in range(n_blocks)]
+        c_out = [nxt() for _ in range(n_blocks)]
+        x_scr, skip_scr, yf_scr, yb_scr = (nxt(), nxt(), nxt(), nxt())
+
+        bt = x_ref.shape[2]
+        R = K * bt
+
+        # ---------------- d4: conv (k_f 3, pad 1) + BN + PReLU -> x_scr ----
+        # rows buffer: [carry | K frames]; freq chunks with a +-1 halo
+        # read straight from the input refs (chunk-local values keep the
+        # Mosaic stack small)
+        alpha_d = ad_ref[0]
+        for f0 in range(0, F, fc):
+            lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
+            v = jnp.concatenate(
+                [d4c_ref[lo:hi].astype(jnp.float32),
+                 x_ref[lo:hi].reshape(hi - lo, R, Ci).astype(jnp.float32)],
+                axis=1)
+            pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
+            v = jnp.pad(v, pads)  # [fc+2, bt+R, Ci]
+            acc = jnp.zeros((fc * R, CH), jnp.float32) + bd_ref[:]
+            for s in range(2):  # time-row slot (kernel_t == 2)
+                rows = slice(s * bt, s * bt + R)
+                for df in range(3):
+                    lhs = v[df:df + fc, rows, :].reshape(fc * R, Ci)
+                    acc += dot(lhs, Wd[s * 3 + df])
+            acc = _prelu(acc, alpha_d).reshape(fc, R, CH)
+            x_scr[f0:f0 + fc] = acc.astype(x_scr.dtype)
+            skip_scr[f0:f0 + fc] = acc.astype(skip_scr.dtype)
+        d4c_out[:] = x_ref[:, K - 1].astype(d4c_out.dtype)
+        u0s_out[:] = skip_scr[:, (K - 1) * bt:, :].astype(u0s_out.dtype)
+
+        # ---------------- dual-path bottleneck (both blocks, in place) ----
+        dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
+                       h_in, c_in, h_out, c_out,
+                       n_blocks, K, F, H, bt, int8_hh)
+        u0h_out[:] = x_scr[:, (K - 1) * bt:, :].astype(u0h_out.dtype)
+
+        # ------- u0: transpose conv (k_f 3, s 1, p 1) + BN + PReLU -> y ----
+        # out[fo] reads h/skip freqs fo+1-df; rows as in d4. Chunked over
+        # freq with a +-1 halo read from the scratch + carry refs.
+        alpha_u = au_ref[0]
+        for f0 in range(0, F, fc):
+            lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
+
+            def halo(scr, carry_ref):
+                v = jnp.concatenate(
+                    [carry_ref[lo:hi].astype(jnp.float32),
+                     scr[lo:hi].astype(jnp.float32)], axis=1)
+                pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
+                return jnp.pad(v, pads)  # [fc+2, bt+R, CH]
+
+            hv = halo(x_scr, u0h_ref)
+            sv = halo(skip_scr, u0s_ref)
+            acc = jnp.zeros((fc * R, Co), jnp.float32) + bu_ref[:]
+            for s in range(2):
+                rows = slice(s * bt, s * bt + R)
+                for df in range(3):
+                    fs = slice(2 - df, 2 - df + fc)
+                    acc += dot(hv[fs, rows, :].reshape(fc * R, CH),
+                               Wh[s * 3 + df])
+                    acc += dot(sv[fs, rows, :].reshape(fc * R, CH),
+                               Ws[s * 3 + df])
+            acc = _prelu(acc, alpha_u)
+            y_ref[f0:f0 + fc] = acc.reshape(fc, K, bt, Co).astype(y_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half"))
+def center_chunk(x, d4c, u0h, u0s, h_in, c_in, conv_weights, dp_weights,
+                 b_tile: int = 128, interpret: bool = False,
+                 dot_dtype=jnp.float32, int8_hh: bool = False,
+                 xscr_half: bool = False):
+    """d4 conv -> dual-path bottleneck -> u0 transpose conv, one kernel.
+
+    Args:
+        x: [F, K, B, Ci] d3 output (freq-major packing as dual_path_chunk).
+        d4c: [F, B, Ci] carried previous d3-out frame (d4's conv context).
+        u0h: [F, B, CH] carried previous bottleneck-out frame.
+        u0s: [F, B, CH] carried previous d4-out (skip) frame.
+        h_in/c_in: per-block [F, B, H] inter-LSTM carries.
+        conv_weights: (Wd[6] of [Ci, CH], bd [CH], alpha_d [1],
+                       Wh[6] of [CH, Co], Ws[6] of [CH, Co], bu [Co],
+                       alpha_u [1]) — BatchNorm eval affine pre-folded.
+        dp_weights: flat dual-path tuple (dual_path_kernel module doc).
+
+    Returns: (y [F, K, B, Co], d4c', u0h', u0s', h_out, c_out).
+    """
+    F, K, B, Ci = x.shape
+    n_blocks = len(h_in)
+    H = h_in[0].shape[-1]
+    CH = u0h.shape[-1]
+    Wd6, bd, alpha_d, Wh6, Ws6, bu, alpha_u = conv_weights
+    Co = bu.shape[0]
+    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
+    n_tiles = B // b_tile
+
+    kernel = _make_center_kernel(n_blocks, K, F, H, Ci, CH, Co, dot_dtype,
+                                 int8_hh)
+
+    grid = (n_tiles,)
+    spec_x = pl.BlockSpec((F, K, b_tile, Ci), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_y = pl.BlockSpec((F, K, b_tile, Co), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    carry = lambda C: pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    full = lambda w: pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                                  memory_space=pltpu.VMEM)
+
+    conv_flat = list(Wd6) + [bd, alpha_d] + list(Wh6) + list(Ws6) + [bu, alpha_u]
+    in_specs = ([spec_x, carry(Ci), carry(CH), carry(CH)]
+                + [carry(H)] * (2 * n_blocks)
+                + [full(w) for w in conv_flat]
+                + [full(w) for w in dp_weights])
+
+    out_shape = ([jax.ShapeDtypeStruct((F, K, B, Co), x.dtype),
+                  jax.ShapeDtypeStruct((F, B, Ci), d4c.dtype),
+                  jax.ShapeDtypeStruct((F, B, CH), u0h.dtype),
+                  jax.ShapeDtypeStruct((F, B, CH), u0s.dtype)]
+                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
+                    for _ in range(2 * n_blocks)])
+    out_specs = ([spec_y, carry(Ci), carry(CH), carry(CH)]
+                 + [carry(H)] * (2 * n_blocks))
+
+    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
+    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
+    scratch_shapes = [
+        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
+        pltpu.VMEM((F, K * b_tile, CH), scr_dt),
+        pltpu.VMEM((F, K * b_tile, H), scr_dt),
+        pltpu.VMEM((F, K * b_tile, H), scr_dt),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, d4c, u0h, u0s, *h_in, *c_in, *conv_flat, *dp_weights)
+    y, d4c_n, u0h_n, u0s_n = outs[:4]
+    h_out = list(outs[4:4 + n_blocks])
+    c_out = list(outs[4 + n_blocks:])
+    return y, d4c_n, u0h_n, u0s_n, h_out, c_out

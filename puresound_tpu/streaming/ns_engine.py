@@ -101,7 +101,8 @@ class StreamingNS(nn.Module):
         return x.squeeze(-1)
 
     def init_state(self, batch: int, dtype=jnp.float32,
-                   dp_kernel: bool = False) -> dict:
+                   dp_kernel: bool = False,
+                   mk_kernel: bool = False) -> dict:
         tail = self._n_fft - self._hop
         # steady-state periodic window-sum-square normalizer (one hop period)
         from ..dsp.stft import hann_window
@@ -111,7 +112,11 @@ class StreamingNS(nn.Module):
         for k in range(self._n_fft // self._hop):
             wsum += win[k * self._hop : (k + 1) * self._hop]
         self_norm = jnp.asarray(wsum.astype(np.float32))
-        masker_kw = {"dp_kernel": True} if dp_kernel else {}
+        masker_kw = {}
+        if dp_kernel:
+            masker_kw["dp_kernel"] = True
+        if mk_kernel:
+            masker_kw["mk_kernel"] = True
         state = {
             "enc_tail": jnp.zeros((batch, tail), dtype),
             "ola_tail": jnp.zeros((batch, tail), dtype),
@@ -130,7 +135,9 @@ class StreamingNS(nn.Module):
              fused: bool = False,
              dp_kernel: bool = False,
              int8_hh: bool = False,
-             attn_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
+             attn_kernel: bool = False,
+             xscr_half: bool = False,
+             mk_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
@@ -152,15 +159,17 @@ class StreamingNS(nn.Module):
         new_enc_tail = buf[:, -(n_fft - hop):]
 
         # --- mask
-        assert not (fused and dp_kernel), \
-            "fused and dp_kernel are mutually exclusive"
+        assert sum(map(bool, (fused, dp_kernel, mk_kernel))) <= 1, \
+            "fused / dp_kernel / mk_kernel are mutually exclusive"
         kw = {"fused": True} if fused else {}
         if attn_kernel:
             kw["attn_kernel"] = True
-        if dp_kernel:
-            kw = {"dp_kernel": True}
+        if dp_kernel or mk_kernel:
+            kw = {"dp_kernel": True} if dp_kernel else {"mk_kernel": True}
             if int8_hh:
                 kw["int8_hh"] = True
+            if xscr_half:
+                kw["xscr_half"] = True
         if dvec is not None:
             mask, masker_state = self.masker.stream_frames(
                 ri, state["masker"], dvec, **kw)

@@ -464,3 +464,97 @@ def test_tcn_fused_flag_routes_module(rng, monkeypatch):
              tcn_norm="bN1d", dconv_norm="bN1d")
     pc = mc.init(KEY, x)
     assert np.all(np.isfinite(np.asarray(mc.apply(pc, x))))
+
+
+def test_center_masker_kernel_matches_stock(rng):
+    """Center-fused masker kernel (ops/masker_kernel.center_chunk: last
+    down conv + both dual-path blocks + first up transpose conv) ==
+    stock stream_frames over carried chunks (interpret mode)."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = DPCRN(input_type="RI", input_dim=128, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8, 16, 16, 32), transpose_t_size=2,
+              transpose_delay=False, kernel_t=(2,) * 5, stride_t=(1,) * 5,
+              dilation_t=(1,) * 5, kernel_f=(5, 3, 3, 3, 3),
+              stride_f=(2, 2, 1, 1, 1), dilation_f=(1,) * 5,
+              delay=(0,) * 5, rnn_hidden=16)
+    B, C = 3, 128
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s_ref = m.apply(v, B, method=DPCRN.init_stream_state)
+    s_mk = m.apply(v, B, jnp.float32, False, True,
+                   method=DPCRN.init_stream_state)
+    Fb = m._stream_freqs()[-1]
+    assert s_mk["d4c"].shape == (Fb, B, 16)
+    assert s_mk["u0h"].shape == (Fb, B, 32)
+    assert len(s_mk["down"]) == 4 and len(s_mk["up"]) == 4
+
+    for step in range(3):
+        x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+        y_ref, s_ref = m.apply(v, x, s_ref, method=DPCRN.stream_frames)
+        y_mk, s_mk = m.apply(v, x, s_mk, mk_kernel=True,
+                             method=DPCRN.stream_frames)
+        np.testing.assert_allclose(np.asarray(y_mk), np.asarray(y_ref),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"chunk {step}")
+
+
+def test_masker_banded_builder_matches_convs(rng):
+    """Block-banded freq-conv weight builder (masker_kernel.
+    build_layer_blocks) reproduces Conv2d / ConvTranspose2d on every
+    DPCRN layer geometry (groundwork for full masker fusion)."""
+    from puresound_tpu.nnet.lobe.cnn import Conv2d, ConvTranspose2d
+    from puresound_tpu.ops.masker_kernel import (build_layer_blocks,
+                                                 lane_of, pack_geometry)
+
+    K, B = 2, 3
+
+    def pack(x, F, C):
+        P, n_blk = pack_geometry(F, C)
+        _, _, _, T = x.shape
+        out = np.zeros((n_blk, T * B, 128), np.float32)
+        for f in range(F):
+            for c in range(C):
+                blk, lane = lane_of(f, c, P)
+                out[blk, :, lane] = x[:, c, f, :].T.reshape(T * B)
+        return out
+
+    def unpack(s, F, C, T):
+        P, _ = pack_geometry(F, C)
+        x = np.zeros((B, C, F, T), np.float32)
+        for f in range(F):
+            for c in range(C):
+                blk, lane = lane_of(f, c, P)
+                x[:, c, f, :] = s[blk, :, lane].reshape(T, B).T
+        return x
+
+    for kind, Cin, Cout, Fin, Fout, kf, s in [
+            ("conv", 2, 8, 64, 32, 5, 2),
+            ("conv", 8, 16, 16, 16, 3, 1),
+            ("tconv", 16, 8, 16, 16, 3, 1),
+            ("tconv", 8, 8, 16, 32, 3, 2)]:
+        pad = kf // 2
+        op = s - kf + 2 * pad if kind == "tconv" else 0
+        x = rng.standard_normal((B, Cin, Fin, K + 1)).astype(np.float32)
+        if kind == "conv":
+            mod = Conv2d(Cin, Cout, (kf, 2), stride=(s, 1),
+                         pad=((pad, pad), (0, 0)))
+            params = mod.init(KEY, jnp.asarray(x))
+            ref = mod.apply(params, jnp.asarray(x), pad=((pad, pad), (0, 0)))
+        else:
+            mod = ConvTranspose2d(Cin, Cout, (kf, 2), stride=(s, 1),
+                                  padding=(pad, 0), output_padding=(op, 0))
+            params = mod.init(KEY, jnp.asarray(x))
+            ref = mod.apply(params, jnp.asarray(x))[..., 1:K + 1]
+        w = np.asarray(params["params"]["w"])
+        b = np.asarray(params["params"]["b"])
+        triples, W, bias = build_layer_blocks(w, b, kind, s, pad, op,
+                                              Fin, Fout)
+        _, nbo = pack_geometry(Fout, Cout)
+        xbuf = pack(x, Fin, Cin)
+        out = np.zeros((nbo, K * B, 128), np.float32) + bias[None, None, :]
+        for (ob, ib, dt, idx) in triples:
+            out[ob] += xbuf[ib, dt * B:(dt + K) * B, :] @ W[idx]
+        got = unpack(out, Fout, Cout, K)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5,
+                                   err_msg=f"{kind} C{Cin}->{Cout}")
