@@ -154,7 +154,7 @@ def action_eval(hparam, backend, ckpt):
 
 def action_stream_eval(hparam, backend, ckpt, chunk_ms,
                        half=False, fused=False, dp_kernel=False,
-                       attn_kernel=False):
+                       attn_kernel=False, mk_kernel=False):
     """Chunked real-time streaming inference over the eval set: enhanced
     wavs (aligned with the input) + per-utterance and average RTF."""
     from puresound_tpu.src.audio import AudioIO
@@ -174,7 +174,8 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms,
             noisy = AudioIO.resample(noisy, wav_sr, sr)
         enh, rtf = stream_signal(engine, variables, np.asarray(noisy), sr,
                                  chunk_ms=chunk_ms, half=half, fused=fused,
-                                 dp_kernel=dp_kernel, attn_kernel=attn_kernel)
+                                 dp_kernel=dp_kernel, attn_kernel=attn_kernel,
+                                 mk_kernel=mk_kernel)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
@@ -201,7 +202,8 @@ def main(config):
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half, config.fused,
-                           config.dp_kernel, config.attn_kernel)
+                           config.dp_kernel, config.attn_kernel,
+                           config.mk_kernel)
     else:
         raise NameError("Unrecognize action.")
 
@@ -223,6 +225,9 @@ if __name__ == "__main__":
     parser.add_argument("--attn_kernel", action="store_true",
                         help="stream_eval with the fused intra-attention "
                              "kernel (DPARN; fastest)")
+    parser.add_argument("--mk_kernel", action="store_true",
+                        help="stream_eval with the center-fused masker "
+                             "kernel (DPCRN: d4 conv + dual-path + u0)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

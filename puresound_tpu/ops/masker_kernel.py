@@ -1,34 +1,33 @@
-"""Pallas TPU kernel: the ENTIRE DPCRN masker streaming chunk fused.
+"""Pallas TPU kernels fusing the DPCRN masker's streaming chunk.
 
 Round-3 NS streaming breakdown at B=4096 (bf16, dp_kernel): dual-path
 kernel 10.5 ms, but the XLA down/up conv chains + skip/channel concats +
 the [B,CH,F,K]<->[F,K,B,CH] packing transposes around the kernel cost
 another ~9 ms — almost entirely HBM copies (the conv FLOPs are <1 ms).
 
-This kernel runs the WHOLE masker per stream tile with every intermediate
-VMEM-resident: freq-packed down convs -> dual-path bottleneck (both
-blocks, same math as ops/dual_path_kernel.py) -> up transpose convs with
-skip connections read straight from the down scratch buffers. HBM traffic
-collapses to: packed RI in, packed mask out, conv time-carries, inter-LSTM
-carries, and one weight read.
+Shipped here: `center_chunk`, fusing the three CENTER layers — the last
+down conv (d4), both dual-path blocks (shared body with
+ops/dual_path_kernel.py), and the first up transpose conv (u0) — per
+stream tile with everything VMEM-resident. These move the step's largest
+tensors (bottleneck in/out and the u0 skip are [B, 128, 64, K] each) and
+the u0 channel concat; the packing transposes around the old dp_kernel
+disappear too. The outer layers (d0-d3 / u1-u4, C <= 64) stay in XLA.
 
-Freq-packed activation layout
------------------------------
-Per layer, activations live in scratch as [n_blk, (K+1)*bt, 128]:
-- lanes pack P = 128//C consecutive freqs: lane(f, c) = c*P + f%P,
-  blk(f) = f//P  (for the bottleneck C=128 this degrades to lanes ==
-  channels and blk == f — exactly the dual-path kernel's layout);
-- rows are time slots: rows [0:bt] hold the carried previous-chunk frame
-  (the conv time context), rows [(k+1)*bt] hold this chunk's frame k.
+Conv formulation inside the kernel: rows are [carried previous frame |
+K chunk frames] per frequency, so a causal time-kernel-2 conv is SIX
+shared-weight matmuls (3 freq taps x 2 time-row slices, freq-chunked
+with +-1 halos); BatchNorm eval affines are folded into the weights
+host-side; the u0 transpose conv flips the time taps and inverts the
+freq relation, split into an h-part and a skip-part so the stock path's
+channel concat never materializes.
 
-A causal time-kernel-2 conv then becomes, per time tap dt in {0, 1}, a
-row-contiguous slice [dt*bt : dt*bt + K*bt]; the frequency taps (incl.
-stride-2 and transpose stride-2 up layers) are folded into PRECOMPUTED
-block-banded weight matrices: out_blk <- sum_{(ib, dt)} in[ib, rows(dt)]
-@ W[ob, ib, dt] with W [128, 128] built host-side from the conv weights
-(BatchNorm eval affine folded in; see build_layer_blocks). Out-of-range
-freq taps fall in guard rows of the dense build and are dropped, which
-reproduces the explicit zero-padding of the stock path.
+Also here (groundwork for fusing the OUTER layers, where 128//C > 1
+freq-packing makes conv taps cross lane groups): a validated
+block-banded weight builder — `build_layer_blocks` turns any of the
+down/up conv layers into static (out_blk, in_blk, dt) -> [128, 128]
+matmul lists over the packed layout lane(f, c) = c*P + f%P, P = 128//C
+(tested against Conv2d/ConvTranspose2d on every DPCRN geometry in
+tests/test_pallas_kernels.py).
 
 Parity anchor: the stock streaming path Unet._stream_down/_stream_up
 (nnet/unet.py) + DPRNNblock2D.step_chunk (nnet/dpcrn.py); reference

@@ -34,6 +34,7 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
                   half: bool = False, fused: bool = False,
                   dp_kernel: bool = False,
                   attn_kernel: bool = False,
+                  mk_kernel: bool = False,
                   ) -> Tuple[np.ndarray, float]:
     """Stream `wav` [L] through `engine` chunk by chunk.
 
@@ -44,7 +45,9 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     half=True serves in bfloat16 (params + state; see streaming/halfprec).
     fused=True routes STFT-engine recurrences through the Pallas scan.
     dp_kernel=True (DPCRN engines) fuses the whole dual-path bottleneck
-    into one VMEM-resident Pallas kernel (fastest serving path).
+    into one VMEM-resident Pallas kernel. mk_kernel=True additionally
+    fuses the center convs (d4 + u0) into that kernel
+    (ops/masker_kernel.center_chunk).
     """
     import jax.numpy as jnp
 
@@ -64,15 +67,18 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     x = np.zeros((1, n_chunks * chunk), np.float32)
     x[0, :L] = wav
 
-    if fused and dp_kernel:
-        raise ValueError("--fused and --dp_kernel are mutually exclusive "
-                         "(dp_kernel already fuses the whole bottleneck)")
-    if (fused or dp_kernel) and not isinstance(engine, (StreamingNS,
-                                                        StreamingDSS)):
-        raise ValueError("fused/dp_kernel apply to STFT-domain engines "
+    if sum(map(bool, (fused, dp_kernel, mk_kernel))) > 1:
+        raise ValueError("--fused / --dp_kernel / --mk_kernel are mutually "
+                         "exclusive (each already fuses the bottleneck)")
+    if (fused or dp_kernel or mk_kernel) and not isinstance(
+            engine, (StreamingNS, StreamingDSS)):
+        raise ValueError("fused/dp_kernel/mk_kernel apply to STFT-domain engines "
                          f"(StreamingNS/StreamingDSS), not {type(engine).__name__}")
     if dp_kernel and not hasattr(engine.masker, "bottleneck_kernel_chunk"):
         raise ValueError("dp_kernel requires a DPCRN masker "
+                         f"(got {type(engine.masker).__name__})")
+    if mk_kernel and not hasattr(engine.masker, "center_kernel_chunk"):
+        raise ValueError("mk_kernel requires a DPCRN masker "
                          f"(got {type(engine.masker).__name__})")
     kw = {"fused": True} if fused else {}
     if attn_kernel:
@@ -84,6 +90,8 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
         kw["attn_kernel"] = True
     if dp_kernel:
         kw = {"dp_kernel": True}
+    if mk_kernel:
+        kw = {"mk_kernel": True}
     if isinstance(engine, StreamingNS):
         if dvec is not None:
             step = jax.jit(lambda v, c, s, d: engine.apply(
@@ -104,7 +112,11 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     else:
         raise TypeError(f"unknown streaming engine {type(engine)}")
 
-    init_kw = {"dp_kernel": True} if dp_kernel else {}
+    init_kw = {}
+    if dp_kernel:
+        init_kw["dp_kernel"] = True
+    if mk_kernel:
+        init_kw["mk_kernel"] = True
     init_state = lambda: engine.apply(variables, 1, dt,
                                       method=type(engine).init_state,
                                       **init_kw)

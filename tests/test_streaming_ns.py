@@ -412,3 +412,43 @@ def test_dp_kernel_long_stream_no_drift(rng):
     a, b = np.asarray(y_ref), np.asarray(y_k)
     assert np.isfinite(b).all()
     np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-3)
+
+
+def test_streaming_ns_engine_mk_kernel_equals_offline(rng):
+    """Full pipeline with the center-fused masker kernel (mk_kernel=True:
+    d4 conv + dual-path + u0 in one Pallas call, interpret on CPU) ==
+    offline inference."""
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = _small_dpcrn(input_dim=n_fft)
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               drop_first_bin=True, mask_constraint="linear",
+                               f_type="Complex", mask_type="Complex")
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+
+    L = 32 * 24
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    variables = offline.init(KEY, x, method=SoTaskWrapModule.inference)
+
+    pad = n_fft - hop
+    x_primed = jnp.pad(x, ((0, 0), (pad, 0)))
+    y_off = np.asarray(offline.apply(variables, x_primed,
+                                     method=SoTaskWrapModule.inference))
+
+    state = engine.apply(variables, 2, mk_kernel=True,
+                         method=StreamingNS.init_state)
+    assert "d4c" in state["masker"] and len(state["masker"]["down"]) == 4
+    outs = []
+    chunk = hop * 2
+    for i in range(0, L, chunk):
+        y, state = engine.apply(variables, x[:, i:i + chunk], state,
+                                mk_kernel=True, method=StreamingNS.step)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=-1)
+
+    lo = n_fft
+    hi = y_stream.shape[-1]
+    np.testing.assert_allclose(y_stream[:, lo:hi], y_off[:, lo:hi],
+                               atol=3e-5, rtol=1e-3)
