@@ -397,13 +397,17 @@ def _make_sustained_dataset(root, n_utts=32, utt_seconds=4.0, sr=16000):
 
 
 def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
-                            mixed=True):
+                            mixed=True, on_device_augment=False):
     """END-TO-END training throughput: real DataLoader (fork workers,
     shared-memory handoff) running the full augmentation chain (speed
     perturb resample + RIR fftconvolve + SNR noise + biquad response) into
     the flagship jitted train step. Reports sustained audio-seconds/s and
     the fraction of wall time the chip sat idle waiting on host data —
-    SURVEY.md s7 hard-part 6, unmeasured until round 3."""
+    SURVEY.md s7 hard-part 6, unmeasured until round 3.
+
+    on_device_augment=True moves RIR/noise/volume into the jitted step
+    (src/augment_jax.DeviceAugmentor); workers keep decode/crop/speed/
+    biquad — the lever for the host-bound finding above."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -417,13 +421,16 @@ def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
 
     root = "/tmp/puresound_bench_data"
     man = _make_sustained_dataset(root)
+    ds_aug = dict(noise_folder=os.path.join(root, "noise"),
+                  rir_folder=os.path.join(root, "rir"),
+                  vol_perturbed=(0.5, 1.2))
+    if on_device_augment:
+        ds_aug = dict(noise_folder=None, rir_folder=None, vol_perturbed=None)
     ds = TseDataset(
         man, resample_to=16000, max_length=seconds,
         enroll_rule="fixed_length", enroll_augment=False,
-        noise_folder=os.path.join(root, "noise"),
-        rir_folder=os.path.join(root, "rir"),
         speed_perturbed=True, perturb_frequency_response=True,
-        vol_perturbed=(0.5, 1.2))
+        **ds_aug)
     loader = DataLoader(ds, batch_size=B, shuffle=True,
                         collate_fn=TseCollateFunc(),
                         num_workers=num_workers, drop_last=True, seed=0)
@@ -437,9 +444,18 @@ def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}),
                               optax.adam(1e-3))
+    augment_fn = None
+    if on_device_augment:
+        from puresound_tpu.src.augment_jax import DeviceAugmentor
+
+        augment_fn = DeviceAugmentor(
+            16000, noise_folder=os.path.join(root, "noise"),
+            rir_folder=os.path.join(root, "rir"), rir_mode="image",
+            vol_range=(0.5, 1.2)).make_augment_fn()
     step = make_train_step(
         model, grad_clip=10.0,
-        compute_dtype=jnp.bfloat16 if mixed else None)
+        compute_dtype=jnp.bfloat16 if mixed else None,
+        augment_fn=augment_fn)
     key = jax.random.PRNGKey(1)
 
     def fix(x):
@@ -488,6 +504,7 @@ def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
         "host_wait_ms_mean": round(t_wait / n_steps * 1000.0, 2),
         "host_idle_pct": round(100.0 * t_wait / total, 1),
         "host_cores": os.cpu_count(),
+        "on_device_augment": on_device_augment,
     }
 
 
@@ -728,6 +745,15 @@ def main():
                     num_workers=int(os.environ.get("BENCH_WORKERS", 4)))
             except Exception as e:
                 detail["train_sustained"] = f"failed: {type(e).__name__}"
+            try:
+                detail["train_sustained_device_augment"] = (
+                    measure_train_sustained(
+                        B=8, seconds=2.0, n_steps=30,
+                        num_workers=int(os.environ.get("BENCH_WORKERS", 4)),
+                        on_device_augment=True))
+            except Exception as e:
+                detail["train_sustained_device_augment"] = (
+                    f"failed: {type(e).__name__}")
 
     try:
         detail["denoise_rtf_single_stream"] = round(

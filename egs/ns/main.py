@@ -52,7 +52,15 @@ def init_dataloader(hparam):
             "perturb_frequency_response", False),
         vol_perturbed=hparam["DATASET"]["vol_perturbed"],
     )
-    train_ds = NsDataset(folder=hparam["DATASET"]["train"], **common)
+    train_kw = dict(common)
+    if hparam["DATASET"].get("augment_on_device"):
+        # RIR / noise / volume move into the jitted train step
+        # (puresound_tpu/src/augment_jax.py); workers keep only decode,
+        # crop, speed and the biquad response. Dev stays on the host
+        # chain so dev losses are comparable across modes.
+        train_kw.update(noise_folder=None, rir_folder=None,
+                        vol_perturbed=None)
+    train_ds = NsDataset(folder=hparam["DATASET"]["train"], **train_kw)
     dev_ds = NsDataset(folder=hparam["DATASET"]["dev"], **common)
     n_work = int(hparam["TRAIN"].get("num_workers", 0))
     train = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],

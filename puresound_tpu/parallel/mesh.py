@@ -70,7 +70,8 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     donate: bool = True,
                     remat: bool = False,
                     compute_dtype=None,
-                    accum_steps: int = 1) -> Callable:
+                    accum_steps: int = 1,
+                    augment_fn: Optional[Callable] = None) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     The returned step(state, batch, rng) -> (state, metrics) where batch is
@@ -100,6 +101,10 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
     (last micro-batch wins, like k sequential steps would).
     """
     loss_kwargs = loss_kwargs or {}
+    # augment_fn(rng, batch) -> batch runs INSIDE the jitted step (on
+    # device, before the forward): with a mesh it executes sharded over
+    # "dp" like the rest of the step — the on-device augmentation path
+    # (src/augment_jax.DeviceAugmentor.make_augment_fn).
 
     def _cast(tree, dt):
         return jax.tree_util.tree_map(
@@ -107,6 +112,10 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
 
     def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        if augment_fn is not None:
+            rng, arng = jax.random.split(rng)
+            batch = augment_fn(arng, batch)
+
         def forward(params, stats, batch, rng):
             if compute_dtype is not None:
                 params = _cast(params, compute_dtype)

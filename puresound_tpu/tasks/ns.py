@@ -239,12 +239,32 @@ class NsTask(BaseTrainer):
             _rnn.FUSED_TRAIN_SCAN = True
             _ct.FUSED_TCN = True
         mp = self.hparam["TRAIN"].get("mixed_precision")
+        augment_fn = None
+        if self.hparam["DATASET"].get("augment_on_device"):
+            # host workers only decode + crop; RIR/noise/volume run
+            # batched inside the jitted step (src/augment_jax) — the
+            # sustained-training bench measured the host chain as the
+            # bottleneck on few-core hosts
+            from ..src.augment_jax import DeviceAugmentor
+
+            ds = self.hparam["DATASET"]
+            vol = ds.get("vol_perturbed")
+            if vol and not isinstance(vol, (tuple, list)):
+                vol = tuple(float(v) for v in str(vol).strip().split(","))
+            self.device_augmentor = DeviceAugmentor(
+                sample_rate=ds["sample_rate"],
+                noise_folder=ds.get("noise_folder"),
+                rir_folder=ds.get("rir_folder"),
+                rir_mode=ds.get("rir_mode") or "image",
+                vol_range=vol)
+            augment_fn = self.device_augmentor.make_augment_fn()
         self._train_step = make_train_step(
             self.model, grad_clip=self.hparam["OPTIMIZER"].get("gradiend_clip"),
             mesh=self._mesh, donate=False,
             compute_dtype=jnp.bfloat16 if mp else None,
             remat=self.hparam["TRAIN"].get("remat", False),
-            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1))
+            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1),
+            augment_fn=augment_fn)
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}

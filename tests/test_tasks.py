@@ -381,3 +381,35 @@ TRAIN:
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "Data-parallel training over 8x1 device mesh" in r.stdout
     assert os.path.isfile(str(tmp_path / "ckpt" / "epoch_0.ckpt"))
+
+
+def test_ns_training_loop_device_augment(tmp_path, rng):
+    """NsTask with DATASET.augment_on_device: RIR/noise run inside the
+    jitted step (src/augment_jax); the loop still optimizes."""
+    from scipy.io import wavfile
+
+    man = _make_ns_data(tmp_path)
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    wavfile.write(noise_dir / "n0.wav", SR,
+                  (rng.standard_normal(SR) * 3000).astype(np.int16))
+    ds = NsDataset(man, resample_to=SR, max_length=1)  # host: decode+crop
+    loader = DataLoader(ds, batch_size=3, shuffle=True,
+                        collate_fn=NsCollateFunc())
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    hp = _hparam(tmp_path, extra={"DATASET": {
+        "augment_on_device": True, "noise_folder": str(noise_dir),
+        "rir_folder": None, "rir_mode": None, "vol_perturbed": None}})
+    task = NsTask(hp, model, init_fn, "cpu", loader, loader)
+    assert task.device_augmentor.noise_bank is not None
+    loss0 = task.train_one_epoch(0)["total_loss"]
+    for _ in range(3):
+        loss1 = task.train_one_epoch(0)["total_loss"]
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0
