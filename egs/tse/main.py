@@ -61,10 +61,18 @@ def init_dataloader(hparam):
         enroll_rule=hparam["DATASET"]["enroll_rule"],
         is_vad_dataset=is_vad,
     )
+    train_kw = dict(common)
+    if hparam["DATASET"].get("augment_on_device"):
+        # RIR / noise / volume move into the jitted train step
+        # (puresound_tpu/src/augment_jax.py); workers keep decode, crop,
+        # speed, biquad and enrollment handling. Dev stays on the host
+        # chain so dev losses are comparable across modes.
+        train_kw.update(noise_folder=None, rir_folder=None,
+                        vol_perturbed=None)
     train_ds = TseDataset(folder=hparam["DATASET"]["train"],
                           single_spk_pb=hparam["DATASET"]["single_spk_prob"],
                           inactive_training=hparam["DATASET"]["inactive_training"],
-                          **common)
+                          **train_kw)
     dev_ds = TseDataset(folder=hparam["DATASET"]["dev"], single_spk_pb=0.0,
                         inactive_training=0.0, **common)
 

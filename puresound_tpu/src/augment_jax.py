@@ -174,9 +174,16 @@ class DeviceAugmentor:
         return wav + scale[:, None] * noise.astype(wav.dtype)
 
     # ------------------------------------------------------------------ apply
-    def __call__(self, rng, noisy, clean):
+    def __call__(self, rng, noisy, clean, vol_extra=None, inactive=None):
         """[B, L] (or [B, 1, L]) input/target -> augmented pair; all
-        randomness from `rng` (per-example draws)."""
+        randomness from `rng` (per-example draws).
+
+        vol_extra: optional list of extra signals (e.g. the TSE enrollment)
+        scaled by the SAME volume ratio (the host chain's _vol_perturb
+        couples them). inactive: optional [B] bool — for those examples
+        the target becomes the AUGMENTED mixture (TSE inactive-speaker
+        training: tasks/tse.py get_feature sets clean := process after
+        augmentation)."""
         import jax
         import jax.numpy as jnp
 
@@ -203,28 +210,47 @@ class DeviceAugmentor:
             mixed = self._mix_noise(k_noise, x)
             x = jnp.where(use[:, None], mixed, x)
 
+        extra = list(vol_extra) if vol_extra else []
         if self.vol_range is not None:
             lo, hi = self.vol_range
             ratio = jax.random.uniform(k_vol, (B,), minval=lo, maxval=hi)
             x = jnp.clip(x * ratio[:, None], -1.0, 1.0)
             t = jnp.clip(t * ratio[:, None], -1.0, 1.0)
+            extra = [jnp.clip(e * ratio.reshape((B,) + (1,) * (e.ndim - 1)),
+                              -1.0, 1.0) for e in extra]
 
         # per-example NaN rollback (host chain's safety net)
         bad = (jnp.any(jnp.isnan(x), axis=-1)
                | jnp.any(jnp.isnan(t), axis=-1))
         x = jnp.where(bad[:, None], noisy, x)
         t = jnp.where(bad[:, None], clean, t)
+        if inactive is not None:
+            t = jnp.where(inactive[:, None], x, t)
         if squeeze:
             x, t = x[:, None], t[:, None]
-        return x, t
+        return (x, t, extra) if vol_extra else (x, t)
 
     def make_augment_fn(self, noisy_key: str = "noisy",
-                        target_key: str = "ref_clean"):
+                        target_key: str = "ref_clean",
+                        inactive_key: Optional[str] = None,
+                        vol_keys: Tuple[str, ...] = ()):
         """(rng, batch_kwargs) -> batch_kwargs for make_train_step's
-        augment_fn hook."""
+        augment_fn hook. inactive_key names a [B] bool batch entry (TSE
+        inactive-speaker targets); vol_keys name extra signals coupled to
+        the volume ratio (TSE enrollment)."""
         def fn(rng, batch):
-            x, t = self(rng, batch[noisy_key], batch[target_key])
             out = dict(batch)
+            inactive = batch[inactive_key] if inactive_key else None
+            extra = [batch[k] for k in vol_keys if batch.get(k) is not None]
+            if extra:
+                x, t, extra = self(rng, batch[noisy_key], batch[target_key],
+                                   vol_extra=extra, inactive=inactive)
+                for k, e in zip([k for k in vol_keys
+                                 if batch.get(k) is not None], extra):
+                    out[k] = e
+            else:
+                x, t = self(rng, batch[noisy_key], batch[target_key],
+                            inactive=inactive)
             out[noisy_key] = x
             out[target_key] = t
             return out

@@ -258,6 +258,32 @@ class TseTask(NsTask):
             _rnn.FUSED_TRAIN_SCAN = True
             _ct.FUSED_TCN = True
         mp = self.hparam["TRAIN"].get("mixed_precision")
+        augment_fn = None
+        if self.hparam["DATASET"].get("augment_on_device"):
+            # as in NsTask: RIR/noise/volume batched inside the jitted
+            # step (src/augment_jax). TSE specifics mirrored: noise SNR
+            # drawn from (5, 15) (get_feature above), the volume ratio
+            # also scales the enrollment (_vol_perturb couples them), and
+            # inactive utterances take target := the AUGMENTED mixture.
+            # Enrollment-side augmentation (enroll_augment) stays host.
+            from ..src.augment_jax import DeviceAugmentor
+
+            ds = self.hparam["DATASET"]
+            if str(ds.get("type", "")).lower() == "pvad":
+                raise ValueError("augment_on_device does not support PVAD "
+                                 "(VAD-label targets must not be warped)")
+            vol = ds.get("vol_perturbed")
+            if vol and not isinstance(vol, (tuple, list)):
+                vol = tuple(float(v) for v in str(vol).strip().split(","))
+            self.device_augmentor = DeviceAugmentor(
+                sample_rate=ds["sample_rate"],
+                noise_folder=ds.get("noise_folder"),
+                rir_folder=ds.get("rir_folder"),
+                rir_mode=ds.get("rir_mode") or "image",
+                noise_snr_range=(5.0, 15.0),
+                vol_range=vol)
+            augment_fn = self.device_augmentor.make_augment_fn(
+                inactive_key="inactive_labels", vol_keys=("enroll",))
         self._train_step = make_train_step(
             self.model,
             loss_kwargs={"alpha": self.hparam["LOSS"].get("alpha", 10.0),
@@ -266,7 +292,8 @@ class TseTask(NsTask):
             mesh=self._mesh, donate=False,
             compute_dtype=jnp.bfloat16 if mp else None,
             remat=self.hparam["TRAIN"].get("remat", False),
-            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1))
+            accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1),
+            augment_fn=augment_fn)
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}

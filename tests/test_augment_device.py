@@ -156,3 +156,29 @@ def test_train_step_augment_fn_hook(corpora, rng):
     aug = run(dev.make_augment_fn())
     assert all(np.isfinite(aug))
     assert abs(aug[0] - plain[0]) > 1e-6  # augmentation actually applied
+
+
+def test_inactive_targets_become_augmented_mixture(corpora, rng):
+    """TSE inactive-speaker semantics: target := the augmented mixture
+    for inactive rows (tasks/tse.py get_feature), clean target elsewhere;
+    the volume ratio also scales the coupled extra signal (enrollment)."""
+    from puresound_tpu.src.augment_jax import DeviceAugmentor
+
+    noise_dir, _ = corpora
+    dev = DeviceAugmentor(SR, noise_folder=noise_dir, p_noise=1.0,
+                          noise_snr_range=(5.0, 15.0), vol_range=(0.5, 0.5))
+    noisy = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32) * 0.2)
+    clean = jnp.asarray(rng.standard_normal((2, SR)).astype(np.float32) * 0.2)
+    enroll = jnp.asarray(rng.standard_normal((2, SR // 2)).astype(np.float32))
+    inactive = jnp.asarray([True, False])
+
+    fn = dev.make_augment_fn(inactive_key="inactive_labels",
+                             vol_keys=("enroll",))
+    out = fn(KEY, {"noisy": noisy, "ref_clean": clean, "enroll": enroll,
+                   "inactive_labels": inactive})
+    x, t, e = np.asarray(out["noisy"]), np.asarray(out["ref_clean"]), \
+        np.asarray(out["enroll"])
+    np.testing.assert_array_equal(t[0], x[0])           # inactive: t == x
+    np.testing.assert_allclose(t[1], np.asarray(clean)[1] * 0.5, atol=1e-6)
+    np.testing.assert_allclose(e, np.clip(np.asarray(enroll) * 0.5, -1, 1),
+                               atol=1e-6)                # vol couples enroll

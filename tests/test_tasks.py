@@ -413,3 +413,61 @@ def test_ns_training_loop_device_augment(tmp_path, rng):
         loss1 = task.train_one_epoch(0)["total_loss"]
     assert np.isfinite(loss0) and np.isfinite(loss1)
     assert loss1 < loss0
+
+
+def test_tse_training_loop_device_augment(tmp_path, rng):
+    """TseTask with DATASET.augment_on_device: device augmentation with
+    inactive-target + enrollment volume coupling through the real step."""
+    from scipy.io import wavfile
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.conv_tasnet import TCN
+    from puresound_tpu.nnet.encoder import FreeEncDec
+    from puresound_tpu.nnet.lobe.cnn import Conv1d
+    from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.nnet.skim import SkiM
+
+    man = _make_tse_data(tmp_path)
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    wavfile.write(noise_dir / "n0.wav", SR,
+                  (rng.standard_normal(SR) * 3000).astype(np.int16))
+    ds = TseDataset(man, resample_to=SR, max_length=1, single_spk_pb=0.0,
+                    inactive_training=0.5)  # host: decode/crop/enroll only
+    loader = DataLoader(ds, batch_size=4, shuffle=True,
+                        collate_fn=TseCollateFunc(), drop_last=True)
+
+    model = SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=24,
+                           output_active=True),
+        masker=SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+                    seg_size=20, causal=True, embed_dim=8, embed_norm=True,
+                    embed_fusion="FiLM", block_with_embed=(1, 1)),
+        speaker_net=(TCN(24, 16, 3, dilation=1, causal=False, tcn_norm="gLN",
+                         dconv_norm="gGN"),
+                     AttentiveStatisticsPooling(24, 16),
+                     Conv1d(48, 8, 1, use_bias=False)),
+        loss_func_wav=SDRLoss.init_mode("sisnr"),
+        mask_constraint="ReLU")
+
+    def init_fn():
+        x = jnp.zeros((2, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=x,
+                          ref_clean=x, train=False)
+
+    hp = _hparam(tmp_path, extra={"DATASET": {
+        "augment_on_device": True, "noise_folder": str(noise_dir),
+        "rir_folder": None, "rir_mode": None,
+        "vol_perturbed": (0.6, 1.0)}})
+    task = TseTask(hp, model, init_fn, "cpu", loader, loader)
+    assert task.device_augmentor.noise_bank is not None
+    loss = task.train_one_epoch(0)["total_loss"]
+    assert np.isfinite(loss)
+
+    # PVAD guard
+    hp_vad = _hparam(tmp_path, extra={"DATASET": {
+        "type": "pvad", "augment_on_device": True,
+        "noise_folder": str(noise_dir)}})
+    with pytest.raises(ValueError, match="PVAD"):
+        TseTask(hp_vad, model, init_fn, "cpu", loader, loader)
