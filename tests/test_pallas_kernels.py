@@ -558,3 +558,22 @@ def test_masker_banded_builder_matches_convs(rng):
         got = unpack(out, Fout, Cout, K)
         np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5,
                                    err_msg=f"{kind} C{Cin}->{Cout}")
+
+
+def test_dual_path_kernel_xscr_half_accuracy(rng):
+    """bf16 residual scratch (xscr_half — VMEM lever for wider stream
+    tiles) stays within serving tolerance of the f32-scratch kernel."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = _test_dpcrn()
+    B, C = 2, 64
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s = m.apply(v, B, jnp.float32, True, method=DPCRN.init_stream_state)
+    x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+    y0, _ = m.apply(v, x, s, dp_kernel=True, method=DPCRN.stream_frames)
+    y1, _ = m.apply(v, x, s, dp_kernel=True, xscr_half=True,
+                    method=DPCRN.stream_frames)
+    a, b = np.asarray(y0), np.asarray(y1)
+    snr = 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-20))
+    assert snr > 35, snr

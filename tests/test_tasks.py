@@ -374,10 +374,17 @@ TRAIN:
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_PLATFORMS="cpu")
-    r = subprocess.run(
-        [_sys.executable, os.path.join(repo, "egs", "ns", "main.py"),
-         str(conf), "--action", "train", "--backend", "cpu"],
-        capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
+    # one retry: under full-suite memory pressure the fresh subprocess
+    # has been observed dying AFTER training completes (same XLA-CPU
+    # late-abort class as the in-process note above); standalone it
+    # passes reliably
+    for _attempt in range(2):
+        r = subprocess.run(
+            [_sys.executable, os.path.join(repo, "egs", "ns", "main.py"),
+             str(conf), "--action", "train", "--backend", "cpu"],
+            capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
+        if r.returncode == 0:
+            break
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "Data-parallel training over 8x1 device mesh" in r.stdout
     assert os.path.isfile(str(tmp_path / "ckpt" / "epoch_0.ckpt"))
