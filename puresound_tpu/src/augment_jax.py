@@ -36,6 +36,7 @@ mixing, so the response perturbation no longer shapes the added noise.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -89,6 +90,32 @@ class DeviceAugmentor:
     """Batched jittable RIR + noise + volume augmentation from preloaded
     corpus banks. Use through `make_augment_fn` / `__call__` inside a
     jitted train step."""
+
+    @classmethod
+    def from_arrays(cls, sample_rate: int,
+                    noise: Optional[np.ndarray] = None,
+                    rir: Optional[np.ndarray] = None, **kw):
+        """Synthetic banks (tests / multi-chip dryruns): noise [N, L] and
+        rir [N, Lr] numpy arrays instead of corpus folders."""
+        import tempfile
+
+        from scipy.io import wavfile
+
+        with tempfile.TemporaryDirectory() as td:
+            nf = rf = None
+            if noise is not None:
+                nf = os.path.join(td, "noise")
+                os.makedirs(nf)
+                for i, row in enumerate(noise):
+                    wavfile.write(os.path.join(nf, f"n{i}.wav"), sample_rate,
+                                  (np.clip(row, -1, 1) * 32767).astype(np.int16))
+            if rir is not None:
+                rf = os.path.join(td, "rir")
+                os.makedirs(rf)
+                for i, row in enumerate(rir):
+                    wavfile.write(os.path.join(rf, f"r{i}.wav"), sample_rate,
+                                  (np.clip(row, -1, 1) * 32767).astype(np.int16))
+            return cls(sample_rate, noise_folder=nf, rir_folder=rf, **kw)
 
     def __init__(self, sample_rate: int,
                  noise_folder: Optional[str] = None,
