@@ -691,10 +691,32 @@ def main():
         try:
             dp_engine, dp_vars = build_dparn_engine()
 
+            # pick the faster fused path: center-fused masker kernel
+            # (d4 + attention + inter LSTM + u0) vs the intra-attention
+            # kernel with stock convs
+            da_use_mk = False
+            if not smoke:
+                try:
+                    probe_B = 1024
+                    mk_ms, _, _ = measure_ns_step_ms(
+                        dp_engine, dp_vars, probe_B, dp_kernel=False,
+                        mk_kernel=True)
+                    at_ms, _, _ = measure_ns_step_ms(
+                        dp_engine, dp_vars, probe_B, dp_kernel=False,
+                        attn_kernel=True)
+                    da_use_mk = mk_ms < at_ms
+                    detail["dparn_kernel_probe"] = {
+                        "B": probe_B, "attn_ms": round(at_ms, 3),
+                        "mk_ms": round(mk_ms, 3)}
+                except Exception as e:
+                    detail["dparn_kernel_probe"] = (
+                        f"mk failed: {type(e).__name__}")
+
             def dparn_measure(B):
-                ms, _, _ = measure_ns_step_ms(dp_engine, dp_vars, B,
-                                              dp_kernel=False,
-                                              attn_kernel=not smoke)
+                ms, _, _ = measure_ns_step_ms(
+                    dp_engine, dp_vars, B, dp_kernel=False,
+                    mk_kernel=da_use_mk,
+                    attn_kernel=not smoke and not da_use_mk)
                 return ms
 
             da_B, da_ms, da_results = search_capacity(
@@ -704,7 +726,8 @@ def main():
             detail["dparn_streams_per_chip"] = da_B
             detail["dparn_step_ms"] = round(da_ms, 3)
             detail["dparn_batches_tested"] = da_results
-            detail["dparn_attn_kernel"] = not smoke
+            detail["dparn_attn_kernel"] = not smoke and not da_use_mk
+            detail["dparn_mk_kernel"] = da_use_mk
             if da_B == 0 and da_results:
                 B0, ms0 = da_results[0]
                 detail["dparn_streams_per_chip"] = round(B0 * 16.0 / ms0)

@@ -235,7 +235,8 @@ if __name__ == "__main__":
                              "kernel (DPARN; fastest)")
     parser.add_argument("--mk_kernel", action="store_true",
                         help="stream_eval with the center-fused masker "
-                             "kernel (DPCRN: d4 conv + dual-path + u0)")
+                             "kernel (DPCRN/DPARN: d4 conv + bottleneck "
+                             "+ u0 in one Pallas call)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

@@ -146,6 +146,54 @@ class _DPARNBase(DualPathStreaming, Unet):
         self.dprnn_block1 = DPARNblock2D(ch, self.rnn_hidden, self.nhead, self.dropout)
         self.dprnn_block2 = DPARNblock2D(ch, self.rnn_hidden, self.nhead, self.dropout)
 
+    # --------------------------------------- center-fused masker (Pallas)
+    def _dparn_block_weights(self):
+        """Flat per-block weights for ops/masker_kernel.dparn_center_chunk
+        (attention layers via _attn_kernel_weights + the inter LSTM)."""
+        ws = []
+        for blk in (self.dprnn_block1, self.dprnn_block2):
+            ws += list(blk._attn_kernel_weights())
+            inter = blk.inter_rnn.rnn.fwd
+            ws += [inter.w_ih, inter.w_hh, inter.b_ih + inter.b_hh,
+                   blk.inter_rnn.proj.variables["params"]["kernel"],
+                   blk.inter_rnn.proj.variables["params"]["bias"],
+                   blk.inter_norm.variables["params"]["scale"],
+                   blk.inter_norm.variables["params"]["bias"]]
+        return tuple(ws)
+
+    def center_kernel_chunk(self, x: jnp.ndarray, state: dict,
+                            interpret: bool = False, b_tile: int = 0,
+                            int8_hh: bool = False, xscr_half: bool = False):
+        """d4 conv + DPARN bottleneck (attention intra + inter LSTM) + u0
+        transpose conv through the center-fused Pallas kernel.
+
+        x: [B, Ci, F, K] (down layer 3 output) -> same contract as
+        DPCRN.center_kernel_chunk; needs mk_kernel streaming state."""
+        import jax as _jax
+
+        from ..ops.masker_kernel import dparn_center_chunk
+
+        assert not int8_hh, "int8_hh is not supported on the DPARN kernel"
+        interpret = interpret or _jax.default_backend() == "cpu"
+        B = x.shape[0]
+        F = x.shape[2]
+        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, Ci]
+        pe = jnp.asarray(
+            self.dprnn_block1.intra_atten1.pos._pe[:F]).astype(jnp.float32)
+        dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        if not b_tile:
+            tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
+                else (128, 64, 32, 16, 8, 4, 2, 1)
+            b_tile = next(t for t in tiles if B % t == 0)
+        y, d4c, u0h, u0s, h_out, c_out = dparn_center_chunk(
+            xt, pe, state["d4c"], state["u0h"], state["u0s"],
+            [state["h1"], state["h2"]], [state["c1"], state["c2"]],
+            self._center_conv_weights(), self._dparn_block_weights(),
+            heads=self.nhead, b_tile=b_tile, interpret=interpret,
+            dot_dtype=dot_dtype, xscr_half=xscr_half)
+        return (y.transpose(2, 3, 0, 1), d4c, u0h, u0s,
+                h_out[0], c_out[0], h_out[1], c_out[1])
+
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.spectral_compress:
             x = spectral_compression(x, alpha=0.3, dim=1)

@@ -201,44 +201,6 @@ class DPCRN(DualPathStreaming, Unet):
                 h_out[1], c_out[1])
 
     # --------------------------------------- center-fused masker (Pallas)
-    def _center_conv_weights(self):
-        """BN-folded d4/u0 conv weights for ops/masker_kernel.center_chunk.
-
-        Wd[s*3+df]: d4 (cnn_down[4], [CH, Ci, 3, 2]) tap (df, dt=s),
-        transposed to [Ci, CH]. Wh/Ws[s*3+df]: u0 (cnn_up[0],
-        torch-transpose layout [2CH, Co, 3, 2]) h/skip halves, time taps
-        flipped (slot s multiplies input frame k-1+s; see
-        masker_kernel._dense_conv_matrix).
-        """
-        def bn_affine(norm):
-            v = norm.variables
-            g = v["params"]["scale"]
-            b = v["params"]["bias"]
-            mu = v["batch_stats"]["mean"]
-            rstd = jnp.reciprocal(jnp.sqrt(v["batch_stats"]["var"]
-                                           + norm.eps))
-            return g * rstd, b - mu * g * rstd
-
-        wd = self.cnn_down[-1].variables["params"]["w"]    # [CH, Ci, 3, 2]
-        bd = self.cnn_down[-1].variables["params"]["b"]
-        gd, betad = bn_affine(self.down_norm[-1])
-        wd = wd * gd[:, None, None, None]
-        bd = bd * gd + betad
-        Wd = [jnp.transpose(wd[:, :, df, s])                 # [Ci, CH]
-              for s in range(2) for df in range(3)]
-        alpha_d = self.down_act[-1].alpha
-
-        wu = self.cnn_up[0].variables["params"]["w"]       # [2CH, Co, 3, 2]
-        bu = self.cnn_up[0].variables["params"]["b"]
-        gu, betau = bn_affine(self.up_norm[0])
-        wu = wu * gu[None, :, None, None]
-        bu = bu * gu + betau
-        CH = wu.shape[0] // 2
-        Wh = [wu[:CH, :, df, 1 - s] for s in range(2) for df in range(3)]
-        Ws = [wu[CH:, :, df, 1 - s] for s in range(2) for df in range(3)]
-        alpha_u = self.up_act[0].alpha
-        return (tuple(Wd), bd, alpha_d, tuple(Wh), tuple(Ws), bu, alpha_u)
-
     def center_kernel_chunk(self, x: jnp.ndarray, state: dict,
                             interpret: bool = False, b_tile: int = 0,
                             int8_hh: bool = False, xscr_half: bool = False):

@@ -34,51 +34,62 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+ATTN_LAYER_NAMES = ("wqT", "wkT", "wvT", "woT", "ln1_g", "ln1_b",
+                    "ff1_k", "ff1_b", "ff2_k", "ff2_b", "ln2_g", "ln2_b")
+
+
+def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a):
+    """x: [rt, F, C] f32. One MhaSelfAttenLayer, deterministic. Shared by
+    the intra-attention kernel and the DPARN center-fused masker kernel
+    (ops/masker_kernel.dparn_center_chunk). `cast` sets the dtype of the
+    3-D attention dot_general operands (bf16 in serving mode)."""
+    rt, F, C = x.shape
+    Dh = C // H
+    src = x
+    xq = x + pe if pe is not None else x
+    x2 = xq.reshape(rt * F, C)
+
+    # per-head loop with 3-D ops only: Mosaic rejects the 4-D
+    # head transpose form on this toolchain (remote-compile 500);
+    # column slices + batch-0 dot_general compile fine
+    q2 = dot(x2, w["wqT"])
+    k2 = dot(x2, w["wkT"])
+    v2 = dot(x2, w["wvT"])
+    outs = []
+    for hh in range(H):
+        sl = slice(hh * Dh, (hh + 1) * Dh)
+        qh = q2[:, sl].reshape(rt, F, Dh)
+        kh = k2[:, sl].reshape(rt, F, Dh)
+        vh = v2[:, sl].reshape(rt, F, Dh)
+        logits = jax.lax.dot_general(
+            cast(qh), cast(kh),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(Dh))
+        weights = jax.nn.softmax(logits, axis=-1)
+        outs.append(jax.lax.dot_general(
+            cast(weights), cast(vh),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))  # [rt, F, Dh]
+    out = jnp.concatenate(outs, axis=-1).reshape(rt * F, C)
+    out = dot(out, w["woT"]).reshape(rt, F, C)
+    x = _ln(src + out, w["ln1_g"][:], w["ln1_b"][:])
+    src = x
+    ff = dot(x.reshape(rt * F, C), w["ff1_k"]) + w["ff1_b"][:]
+    ff = jnp.maximum(ff, 0.0)
+    ff = dot(ff, w["ff2_k"]) + w["ff2_b"][:]
+    return _ln(src + ff.reshape(rt, F, C), w["ln2_g"][:], w["ln2_b"][:])
+
+
 def _make_kernel(H: int, with_pe: tuple, dot_dtype):
     n_layers = len(with_pe)
 
+    def dot(a, w_ref):
+        return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
+                       preferred_element_type=jnp.float32)
+
     def encoder_layer(x, pe, w):
-        """x: [rt, F, C] f32. One MhaSelfAttenLayer, deterministic."""
-        rt, F, C = x.shape
-        Dh = C // H
-        src = x
-        xq = x + pe if pe is not None else x
-        x2 = xq.reshape(rt * F, C)
-
-        def dot(a, w_ref):
-            return jnp.dot(a.astype(dot_dtype), w_ref[:].astype(dot_dtype),
-                           preferred_element_type=jnp.float32)
-
-        # per-head loop with 3-D ops only: Mosaic rejects the 4-D
-        # head transpose form on this toolchain (remote-compile 500);
-        # column slices + batch-0 dot_general compile fine
-        q2 = dot(x2, w["wqT"])
-        k2 = dot(x2, w["wkT"])
-        v2 = dot(x2, w["wvT"])
-        outs = []
-        for hh in range(H):
-            sl = slice(hh * Dh, (hh + 1) * Dh)
-            qh = q2[:, sl].reshape(rt, F, Dh)
-            kh = k2[:, sl].reshape(rt, F, Dh)
-            vh = v2[:, sl].reshape(rt, F, Dh)
-            logits = jax.lax.dot_general(
-                qh.astype(dot_dtype), kh.astype(dot_dtype),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) / jnp.sqrt(
-                    jnp.float32(Dh))
-            weights = jax.nn.softmax(logits, axis=-1)
-            outs.append(jax.lax.dot_general(
-                weights.astype(dot_dtype), vh.astype(dot_dtype),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32))  # [rt, F, Dh]
-        out = jnp.concatenate(outs, axis=-1).reshape(rt * F, C)
-        out = dot(out, w["woT"]).reshape(rt, F, C)
-        x = _ln(src + out, w["ln1_g"][:], w["ln1_b"][:])
-        src = x
-        ff = dot(x.reshape(rt * F, C), w["ff1_k"]) + w["ff1_b"][:]
-        ff = jnp.maximum(ff, 0.0)
-        ff = dot(ff, w["ff2_k"]) + w["ff2_b"][:]
-        return _ln(src + ff.reshape(rt, F, C), w["ln2_g"][:], w["ln2_b"][:])
+        return attention_encoder_layer(x, pe, w, H, dot,
+                                       cast=lambda a: a.astype(dot_dtype))
 
     def kernel(x_ref, pe_ref, *refs):
         y_ref = refs[-1]

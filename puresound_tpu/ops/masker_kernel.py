@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dparn_attention_kernel import ATTN_LAYER_NAMES, attention_encoder_layer
 from .dual_path_kernel import (_PER_BLOCK, _ln, _lstm_gates, dual_path_body,
                                make_dots)
 
@@ -195,6 +196,92 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
 
 
+def conv_down_stage(dot, x_ref, carry_ref, Wd, bd_ref, alpha_ref,
+                    x_scr, skip_scr, F, K, bt, Ci, CH, fc):
+    """Last down conv (k_f 3, pad 1, stride 1) + folded BN + PReLU into
+    x_scr AND skip_scr. Rows buffer per freq = [carry | K frames]; freq
+    chunks read a +-1 halo straight from the input refs (chunk-local
+    values keep the Mosaic stack small)."""
+    R = K * bt
+    alpha = alpha_ref[0]
+    for f0 in range(0, F, fc):
+        lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
+        v = jnp.concatenate(
+            [carry_ref[lo:hi].astype(jnp.float32),
+             x_ref[lo:hi].reshape(hi - lo, R, Ci).astype(jnp.float32)],
+            axis=1)
+        pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
+        v = jnp.pad(v, pads)  # [fc+2, bt+R, Ci]
+        acc = jnp.zeros((fc * R, CH), jnp.float32) + bd_ref[:]
+        for s in range(2):  # time-row slot (kernel_t == 2)
+            rows = slice(s * bt, s * bt + R)
+            for df in range(3):
+                lhs = v[df:df + fc, rows, :].reshape(fc * R, Ci)
+                acc += dot(lhs, Wd[s * 3 + df])
+        acc = _prelu(acc, alpha).reshape(fc, R, CH)
+        x_scr[f0:f0 + fc] = acc.astype(x_scr.dtype)
+        skip_scr[f0:f0 + fc] = acc.astype(skip_scr.dtype)
+
+
+def conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
+                  bu_ref, alpha_ref, y_ref, F, K, bt, CH, Co, fc):
+    """First up transpose conv (k_f 3, s 1, p 1) + folded BN + PReLU:
+    out[fo] reads h/skip freqs fo+1-df; rows as in conv_down_stage,
+    chunked over freq with +-1 halos from the scratch + carry refs."""
+    R = K * bt
+    alpha = alpha_ref[0]
+    for f0 in range(0, F, fc):
+        lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
+
+        def halo(scr, carry_ref):
+            v = jnp.concatenate(
+                [carry_ref[lo:hi].astype(jnp.float32),
+                 scr[lo:hi].astype(jnp.float32)], axis=1)
+            pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
+            return jnp.pad(v, pads)  # [fc+2, bt+R, CH]
+
+        hv = halo(x_scr, u0h_ref)
+        sv = halo(skip_scr, u0s_ref)
+        acc = jnp.zeros((fc * R, Co), jnp.float32) + bu_ref[:]
+        for s in range(2):
+            rows = slice(s * bt, s * bt + R)
+            for df in range(3):
+                fs = slice(2 - df, 2 - df + fc)
+                acc += dot(hv[fs, rows, :].reshape(fc * R, CH),
+                           Wh[s * 3 + df])
+                acc += dot(sv[fs, rows, :].reshape(fc * R, CH),
+                           Ws[s * 3 + df])
+        acc = _prelu(acc, alpha)
+        y_ref[f0:f0 + fc] = acc.reshape(fc, K, bt, Co).astype(y_ref.dtype)
+
+
+def inter_lstm_block(dot, x_scr, h_in, c_in, h_out, c_out, w,
+                     K, F, bt, H):
+    """Inter (time) LSTM + projection + LayerNormLast + residual, in
+    place on x_scr [F, K*bt, CH] — the dual_path_body inter section for
+    bottlenecks whose intra pass is not an LSTM (DPARN attention)."""
+    CH = x_scr.shape[-1]
+    n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
+        2 if F % 2 == 0 else 1)
+    ic = F // n_ichunk
+    for p0 in range(0, F, ic):
+        h = h_in[p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+        c = c_in[p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
+        for k in range(K):
+            lo, hi = k * bt, (k + 1) * bt
+            rows = x_scr[p0:p0 + ic, lo:hi, :].reshape(ic * bt, CH)
+            gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
+                     + w["b_i"][:])
+            h, c = _lstm_gates(gates, c, H)
+            t = dot(h, w["pw_i"]) + w["pb_i"][:]
+            t = _ln(t, w["tg"][:], w["tb"][:])
+            x_scr[p0:p0 + ic, lo:hi, :] = (
+                x_scr[p0:p0 + ic, lo:hi, :]
+                + t.reshape(ic, bt, CH)).astype(x_scr.dtype)
+        h_out[p0:p0 + ic] = h.reshape(ic, bt, H).astype(h_out.dtype)
+        c_out[p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out.dtype)
+
+
 def _make_center_kernel(n_blocks: int, K: int, F: int, H: int, Ci: int,
                         CH: int, Co: int, dot_dtype, int8_hh: bool):
     fc = min(16, F)  # freq-chunk bounding the Mosaic stack temporaries
@@ -231,28 +318,8 @@ def _make_center_kernel(n_blocks: int, K: int, F: int, H: int, Ci: int,
         bt = x_ref.shape[2]
         R = K * bt
 
-        # ---------------- d4: conv (k_f 3, pad 1) + BN + PReLU -> x_scr ----
-        # rows buffer: [carry | K frames]; freq chunks with a +-1 halo
-        # read straight from the input refs (chunk-local values keep the
-        # Mosaic stack small)
-        alpha_d = ad_ref[0]
-        for f0 in range(0, F, fc):
-            lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
-            v = jnp.concatenate(
-                [d4c_ref[lo:hi].astype(jnp.float32),
-                 x_ref[lo:hi].reshape(hi - lo, R, Ci).astype(jnp.float32)],
-                axis=1)
-            pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
-            v = jnp.pad(v, pads)  # [fc+2, bt+R, Ci]
-            acc = jnp.zeros((fc * R, CH), jnp.float32) + bd_ref[:]
-            for s in range(2):  # time-row slot (kernel_t == 2)
-                rows = slice(s * bt, s * bt + R)
-                for df in range(3):
-                    lhs = v[df:df + fc, rows, :].reshape(fc * R, Ci)
-                    acc += dot(lhs, Wd[s * 3 + df])
-            acc = _prelu(acc, alpha_d).reshape(fc, R, CH)
-            x_scr[f0:f0 + fc] = acc.astype(x_scr.dtype)
-            skip_scr[f0:f0 + fc] = acc.astype(skip_scr.dtype)
+        conv_down_stage(dot, x_ref, d4c_ref, Wd, bd_ref, ad_ref,
+                        x_scr, skip_scr, F, K, bt, Ci, CH, fc)
         d4c_out[:] = x_ref[:, K - 1].astype(d4c_out.dtype)
         u0s_out[:] = skip_scr[:, (K - 1) * bt:, :].astype(u0s_out.dtype)
 
@@ -262,33 +329,8 @@ def _make_center_kernel(n_blocks: int, K: int, F: int, H: int, Ci: int,
                        n_blocks, K, F, H, bt, int8_hh)
         u0h_out[:] = x_scr[:, (K - 1) * bt:, :].astype(u0h_out.dtype)
 
-        # ------- u0: transpose conv (k_f 3, s 1, p 1) + BN + PReLU -> y ----
-        # out[fo] reads h/skip freqs fo+1-df; rows as in d4. Chunked over
-        # freq with a +-1 halo read from the scratch + carry refs.
-        alpha_u = au_ref[0]
-        for f0 in range(0, F, fc):
-            lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
-
-            def halo(scr, carry_ref):
-                v = jnp.concatenate(
-                    [carry_ref[lo:hi].astype(jnp.float32),
-                     scr[lo:hi].astype(jnp.float32)], axis=1)
-                pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
-                return jnp.pad(v, pads)  # [fc+2, bt+R, CH]
-
-            hv = halo(x_scr, u0h_ref)
-            sv = halo(skip_scr, u0s_ref)
-            acc = jnp.zeros((fc * R, Co), jnp.float32) + bu_ref[:]
-            for s in range(2):
-                rows = slice(s * bt, s * bt + R)
-                for df in range(3):
-                    fs = slice(2 - df, 2 - df + fc)
-                    acc += dot(hv[fs, rows, :].reshape(fc * R, CH),
-                               Wh[s * 3 + df])
-                    acc += dot(sv[fs, rows, :].reshape(fc * R, CH),
-                               Ws[s * 3 + df])
-            acc = _prelu(acc, alpha_u)
-            y_ref[f0:f0 + fc] = acc.reshape(fc, K, bt, Co).astype(y_ref.dtype)
+        conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
+                      bu_ref, au_ref, y_ref, F, K, bt, CH, Co, fc)
 
     return kernel
 
@@ -371,6 +413,170 @@ def center_chunk(x, d4c, u0h, u0s, h_in, c_in, conv_weights, dp_weights,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, d4c, u0h, u0s, *h_in, *c_in, *conv_flat, *dp_weights)
+    y, d4c_n, u0h_n, u0s_n = outs[:4]
+    h_out = list(outs[4:4 + n_blocks])
+    c_out = list(outs[4 + n_blocks:])
+    return y, d4c_n, u0h_n, u0s_n, h_out, c_out
+
+
+# ---------------------------------------------------------------------------
+# DPARN center fusion: d4 conv -> (attention intra + inter LSTM) x2 -> u0
+# ---------------------------------------------------------------------------
+#
+# Same shape as center_chunk but the bottleneck blocks are DPARN's: the
+# intra pass is 2 transformer encoder layers + FC + LayerNormLast over the
+# F frequency tokens of every (stream, frame) row (shared code with
+# ops/dparn_attention_kernel.attention_encoder_layer — straight-line MXU
+# work, no serial frequency scan), the inter pass a uni-LSTM over the K
+# chunk frames. Fusing removes the per-block [B,CH,F,K]<->[N*K,F,CH] pack
+# transposes around the standalone attention kernel, the inter-LSTM HBM
+# round trips, the d4/u0 convs and the u0 skip concat.
+
+# per-block weight order (35 arrays): 2 encoder layers x ATTN_LAYER_NAMES
+# (12 each), then fc_k, fc_b, nrm_g, nrm_b, then inter
+# w_ih_i [CH,4H], w_hh_i [H,4H], b_i [4H], pw_i [H,CH], pb_i [CH],
+# tg [CH], tb [CH]
+_DPARN_PER_BLOCK = 2 * len(ATTN_LAYER_NAMES) + 4 + 7
+
+
+def _make_dparn_center_kernel(n_blocks: int, K: int, F: int, heads: int,
+                              H: int, Ci: int, CH: int, Co: int, dot_dtype):
+    fc = min(16, F)
+    assert F % fc == 0, f"bottleneck freq count {F} must chunk by {fc}"
+    dot, _ = make_dots(dot_dtype, False)
+    cast = lambda a: a.astype(dot_dtype)
+    N_CONV = 6
+    PB = _DPARN_PER_BLOCK
+
+    def kernel(x_ref, pe_ref, *refs):
+        it = iter(range(len(refs)))
+        nxt = lambda: refs[next(it)]
+        d4c_ref, u0h_ref, u0s_ref = nxt(), nxt(), nxt()
+        h_in = [nxt() for _ in range(n_blocks)]
+        c_in = [nxt() for _ in range(n_blocks)]
+        Wd = [nxt() for _ in range(N_CONV)]
+        bd_ref, ad_ref = nxt(), nxt()
+        Wh = [nxt() for _ in range(N_CONV)]
+        Ws = [nxt() for _ in range(N_CONV)]
+        bu_ref, au_ref = nxt(), nxt()
+        w_refs = [nxt() for _ in range(PB * n_blocks)]
+        y_ref = nxt()
+        d4c_out, u0h_out, u0s_out = nxt(), nxt(), nxt()
+        h_out = [nxt() for _ in range(n_blocks)]
+        c_out = [nxt() for _ in range(n_blocks)]
+        x_scr, skip_scr = nxt(), nxt()
+
+        bt = x_ref.shape[2]
+        R = K * bt
+
+        conv_down_stage(dot, x_ref, d4c_ref, Wd, bd_ref, ad_ref,
+                        x_scr, skip_scr, F, K, bt, Ci, CH, fc)
+        d4c_out[:] = x_ref[:, K - 1].astype(d4c_out.dtype)
+        u0s_out[:] = skip_scr[:, (K - 1) * bt:, :].astype(u0s_out.dtype)
+
+        pe = pe_ref[:].astype(jnp.float32)
+        for b in range(n_blocks):
+            w = {}
+            names = ([f"l1_{n}" for n in ATTN_LAYER_NAMES]
+                     + [f"l2_{n}" for n in ATTN_LAYER_NAMES]
+                     + ["fc_k", "fc_b", "nrm_g", "nrm_b",
+                        "w_ih_i", "w_hh_i", "b_i", "pw_i", "pb_i",
+                        "tg", "tb"])
+            for j, name in enumerate(names):
+                w[name] = w_refs[b * PB + j]
+            l1 = {n: w[f"l1_{n}"] for n in ATTN_LAYER_NAMES}
+            l2 = {n: w[f"l2_{n}"] for n in ATTN_LAYER_NAMES}
+
+            # intra attention over freq tokens, chunked over rows (rows
+            # are independent; chunking bounds the Mosaic stack)
+            rc = min(128, R)
+            assert R % rc == 0
+            for r0 in range(0, R, rc):
+                v = x_scr[:, r0:r0 + rc, :].astype(jnp.float32)
+                rows = jnp.swapaxes(v, 0, 1)  # [rc, F, CH]
+                h = attention_encoder_layer(rows, pe, l1, heads, dot, cast)
+                h = attention_encoder_layer(h, None, l2, heads, dot, cast)
+                t = dot(h.reshape(rc * F, CH), w["fc_k"]) + w["fc_b"][:]
+                t = _ln(t, w["nrm_g"][:], w["nrm_b"][:])
+                rows = rows + t.reshape(rc, F, CH)
+                x_scr[:, r0:r0 + rc, :] = jnp.swapaxes(rows, 0, 1).astype(
+                    x_scr.dtype)
+
+            inter_lstm_block(dot, x_scr, h_in[b], c_in[b],
+                             h_out[b], c_out[b], w, K, F, bt, H)
+
+        u0h_out[:] = x_scr[:, (K - 1) * bt:, :].astype(u0h_out.dtype)
+        conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
+                      bu_ref, au_ref, y_ref, F, K, bt, CH, Co, fc)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "b_tile", "interpret", "dot_dtype", "xscr_half"))
+def dparn_center_chunk(x, pe, d4c, u0h, u0s, h_in, c_in, conv_weights,
+                       block_weights, heads: int, b_tile: int = 128,
+                       interpret: bool = False, dot_dtype=jnp.float32,
+                       xscr_half: bool = False):
+    """d4 conv -> DPARN bottleneck (attention intra + inter LSTM, both
+    blocks) -> u0 transpose conv, one kernel. Same contract as
+    center_chunk plus `pe` ([F, CH] sinusoidal positions, first encoder
+    layer only) and `block_weights` (flat, _DPARN_PER_BLOCK per block)."""
+    F, K, B, Ci = x.shape
+    n_blocks = len(h_in)
+    H = h_in[0].shape[-1]
+    CH = u0h.shape[-1]
+    Wd6, bd, alpha_d, Wh6, Ws6, bu, alpha_u = conv_weights
+    Co = bu.shape[0]
+    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
+    n_tiles = B // b_tile
+
+    kernel = _make_dparn_center_kernel(n_blocks, K, F, heads, H, Ci, CH, Co,
+                                       dot_dtype)
+
+    grid = (n_tiles,)
+    spec_x = pl.BlockSpec((F, K, b_tile, Ci), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_y = pl.BlockSpec((F, K, b_tile, Co), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    carry = lambda C: pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    full = lambda w: pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                                  memory_space=pltpu.VMEM)
+
+    conv_flat = list(Wd6) + [bd, alpha_d] + list(Wh6) + list(Ws6) + [bu, alpha_u]
+    in_specs = ([spec_x, full(pe), carry(Ci), carry(CH), carry(CH)]
+                + [carry(H)] * (2 * n_blocks)
+                + [full(w) for w in conv_flat]
+                + [full(w) for w in block_weights])
+
+    out_shape = ([jax.ShapeDtypeStruct((F, K, B, Co), x.dtype),
+                  jax.ShapeDtypeStruct((F, B, Ci), d4c.dtype),
+                  jax.ShapeDtypeStruct((F, B, CH), u0h.dtype),
+                  jax.ShapeDtypeStruct((F, B, CH), u0s.dtype)]
+                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
+                    for _ in range(2 * n_blocks)])
+    out_specs = ([spec_y, carry(Ci), carry(CH), carry(CH)]
+                 + [carry(H)] * (2 * n_blocks))
+
+    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
+    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
+    scratch_shapes = [
+        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
+        pltpu.VMEM((F, K * b_tile, CH), scr_dt),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, pe, d4c, u0h, u0s, *h_in, *c_in, *conv_flat, *block_weights)
     y, d4c_n, u0h_n, u0s_n = outs[:4]
     h_out = list(outs[4:4 + n_blocks])
     c_out = list(outs[4 + n_blocks:])

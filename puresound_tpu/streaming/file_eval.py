@@ -78,7 +78,7 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
         raise ValueError("dp_kernel requires a DPCRN masker "
                          f"(got {type(engine.masker).__name__})")
     if mk_kernel and not hasattr(engine.masker, "center_kernel_chunk"):
-        raise ValueError("mk_kernel requires a DPCRN masker "
+        raise ValueError("mk_kernel requires a DPCRN or DPARN masker "
                          f"(got {type(engine.masker).__name__})")
     kw = {"fused": True} if fused else {}
     if attn_kernel:

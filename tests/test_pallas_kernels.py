@@ -577,3 +577,31 @@ def test_dual_path_kernel_xscr_half_accuracy(rng):
     a, b = np.asarray(y0), np.asarray(y1)
     snr = 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-20))
     assert snr > 35, snr
+
+
+def test_dparn_center_masker_kernel_matches_stock(rng):
+    """DPARN center-fused masker kernel (masker_kernel.dparn_center_chunk:
+    d4 conv + attention intra + inter LSTM (both blocks) + u0 transpose
+    conv) == stock stream_frames over carried chunks (interpret mode)."""
+    from puresound_tpu.nnet.dparn import DPARN
+
+    m = DPARN(input_type="RI", input_dim=128, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8, 16, 16, 32), transpose_t_size=2,
+              transpose_delay=False, kernel_t=(2,) * 5, stride_t=(1,) * 5,
+              dilation_t=(1,) * 5, kernel_f=(5, 3, 3, 3, 3),
+              stride_f=(2, 2, 1, 1, 1), dilation_f=(1,) * 5,
+              delay=(0,) * 5, rnn_hidden=16, nhead=4)
+    B, C = 3, 128
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s_ref = m.apply(v, B, method=DPARN.init_stream_state)
+    s_mk = m.apply(v, B, jnp.float32, False, True,
+                   method=DPARN.init_stream_state)
+    for step in range(3):
+        x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+        y_ref, s_ref = m.apply(v, x, s_ref, method=DPARN.stream_frames)
+        y_mk, s_mk = m.apply(v, x, s_mk, mk_kernel=True,
+                             method=DPARN.stream_frames)
+        np.testing.assert_allclose(np.asarray(y_mk), np.asarray(y_ref),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"chunk {step}")
