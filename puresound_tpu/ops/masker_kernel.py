@@ -5,10 +5,12 @@ kernel 10.5 ms, but the XLA down/up conv chains + skip/channel concats +
 the [B,CH,F,K]<->[F,K,B,CH] packing transposes around the kernel cost
 another ~9 ms — almost entirely HBM copies (the conv FLOPs are <1 ms).
 
-Shipped here: `center_chunk`, fusing the three CENTER layers — the last
-down conv (d4), both dual-path blocks (shared body with
-ops/dual_path_kernel.py), and the first up transpose conv (u0) — per
-stream tile with everything VMEM-resident. These move the step's largest
+Shipped here: `center_chunk` (DPCRN) and `dparn_center_chunk` (DPARN),
+fusing the three CENTER stages — the last down conv (d4), the whole
+bottleneck (dual-path LSTM blocks shared with ops/dual_path_kernel.py,
+or DPARN's attention intra + inter LSTM shared with
+ops/dparn_attention_kernel.py), and the first up transpose conv (u0) —
+per stream tile with everything VMEM-resident. These move the step's largest
 tensors (bottleneck in/out and the u0 skip are [B, 128, 64, K] each) and
 the u0 channel concat; the packing transposes around the old dp_kernel
 disappear too. The outer layers (d0-d3 / u1-u4, C <= 64) stay in XLA.

@@ -61,26 +61,32 @@ class StreamingDSS(nn.Module):
         mask = self.masker(ri)
         return self.encoder.inverse(self.encoder(chunk))
 
-    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+    def init_state(self, batch: int, dtype=jnp.float32,
+                   mk_kernel: bool = False) -> dict:
         tail = self._n_fft - self._hop
         win = hann_window(self._n_fft).astype(np.float64) ** 2
         wsum = np.zeros(self._hop)
         for k in range(self._n_fft // self._hop):
             wsum += win[k * self._hop : (k + 1) * self._hop]
+        masker_kw = {"mk_kernel": True} if mk_kernel else {}
         return {
             "enc_tail": jnp.zeros((batch, tail), dtype),
             "ola_tail": jnp.zeros((batch, self._n_src, tail), dtype),
             "wsum": jnp.asarray(wsum.astype(np.float32)),
-            "masker": self.masker.init_stream_state(batch, dtype),
+            "masker": self.masker.init_stream_state(batch, dtype,
+                                                    **masker_kw),
         }
 
     def step(self, chunk: jnp.ndarray, state: dict,
-             fused: bool = False) -> Tuple[jnp.ndarray, dict]:
+             fused: bool = False,
+             mk_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, M, S], new state): the M separated signals, each
         delayed by n_fft - hop samples vs the input. fused=True routes the
-        masker recurrences through the Pallas LSTM scan."""
+        masker recurrences through the Pallas LSTM scan; mk_kernel=True
+        runs the center-fused masker kernel (d4 + bottleneck + u0, state
+        from init_state(mk_kernel=True))."""
         n_fft, hop, M = self._n_fft, self._hop, self._n_src
         B, S = chunk.shape
         assert S % hop == 0, "chunk length must be a multiple of the hop"
@@ -92,7 +98,11 @@ class StreamingDSS(nn.Module):
         new_enc_tail = buf[:, -(n_fft - hop):]
 
         # --- M masks, applied to the repeated mixture (base_nn.py:338-347)
+        assert not (fused and mk_kernel), \
+            "fused and mk_kernel are mutually exclusive"
         kw = {"fused": True} if fused else {}
+        if mk_kernel:
+            kw = {"mk_kernel": True}
         mask, masker_state = self.masker.stream_frames(ri, state["masker"],
                                                        **kw)
         mask = get_mask(mask, self.mask_constraint)  # [B, M, C, K]
