@@ -164,11 +164,9 @@ class _DPARNBase(DualPathStreaming, Unet):
     def center_kernel_chunk(self, x: jnp.ndarray, state: dict,
                             interpret: bool = False, b_tile: int = 0,
                             int8_hh: bool = False, xscr_half: bool = False):
-        """d4 conv + DPARN bottleneck (attention intra + inter LSTM) + u0
-        transpose conv through the center-fused Pallas kernel.
-
-        x: [B, Ci, F, K] (down layer 3 output) -> same contract as
-        DPCRN.center_kernel_chunk; needs mk_kernel streaming state."""
+        """The six stride-1 inner layers with the DPARN bottleneck
+        (attention intra + inter LSTM) through the wide-center Pallas
+        kernel; same contract as DPCRN.center_kernel_chunk."""
         import jax as _jax
 
         from ..ops.masker_kernel import dparn_center_chunk
@@ -176,22 +174,23 @@ class _DPARNBase(DualPathStreaming, Unet):
         assert not int8_hh, "int8_hh is not supported on the DPARN kernel"
         interpret = interpret or _jax.default_backend() == "cpu"
         B = x.shape[0]
-        F = x.shape[2]
-        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, Ci]
+        Fb = self._stream_freqs()[-1]
+        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, C]
         pe = jnp.asarray(
-            self.dprnn_block1.intra_atten1.pos._pe[:F]).astype(jnp.float32)
+            self.dprnn_block1.intra_atten1.pos._pe[:Fb]).astype(jnp.float32)
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         if not b_tile:
             tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
                 else (128, 64, 32, 16, 8, 4, 2, 1)
             b_tile = next(t for t in tiles if B % t == 0)
-        y, d4c, u0h, u0s, h_out, c_out = dparn_center_chunk(
-            xt, pe, state["d4c"], state["u0h"], state["u0s"],
+        y, dc, u0h, u0s, u1h, u2h, h_out, c_out = dparn_center_chunk(
+            xt, pe, state["dc"], state["u0h"], state["u0s"],
+            state["u1h"], state["u2h"],
             [state["h1"], state["h2"]], [state["c1"], state["c2"]],
-            self._center_conv_weights(), self._dparn_block_weights(),
+            self._mk_conv_weights(), self._dparn_block_weights(),
             heads=self.nhead, b_tile=b_tile, interpret=interpret,
             dot_dtype=dot_dtype, xscr_half=xscr_half)
-        return (y.transpose(2, 3, 0, 1), d4c, u0h, u0s,
+        return (y.transpose(2, 3, 0, 1), dc, u0h, u0s, u1h, u2h,
                 h_out[0], c_out[0], h_out[1], c_out[1])
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

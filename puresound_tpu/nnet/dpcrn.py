@@ -204,12 +204,13 @@ class DPCRN(DualPathStreaming, Unet):
     def center_kernel_chunk(self, x: jnp.ndarray, state: dict,
                             interpret: bool = False, b_tile: int = 0,
                             int8_hh: bool = False, xscr_half: bool = False):
-        """d4 conv + dual-path bottleneck + u0 transpose conv through the
-        center-fused Pallas kernel (ops/masker_kernel.py).
+        """The six stride-1 inner layers (d_{n-3}..d_{n-1} convs, both
+        dual-path blocks, u0..u2 transpose convs) through the wide-center
+        Pallas kernel (ops/masker_kernel.py).
 
-        x: [B, Ci, F, K] (down layer 3 output) ->
-        (y [B, Co, F, K] — up layer 0 output, new d4c/u0h/u0s conv
-        carries, new h1/c1/h2/c2). Needs mk_kernel streaming state
+        x: [B, C, F, K] (down layer n-4 output) -> (y [B, C', F, K] — up
+        layer 2 output, new dc/u0h/u0s/u1h/u2h conv carries, new
+        h1/c1/h2/c2). Needs mk_kernel streaming state
         (init_stream_state(mk_kernel=True))."""
         import jax as _jax
 
@@ -217,19 +218,20 @@ class DPCRN(DualPathStreaming, Unet):
 
         interpret = interpret or _jax.default_backend() == "cpu"
         B = x.shape[0]
-        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, Ci]
+        xt = x.transpose(2, 3, 0, 1)  # [F, K, B, C]
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         if not b_tile:
             tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
                 else (128, 64, 32, 16, 8, 4, 2, 1)
             b_tile = next(t for t in tiles if B % t == 0)
-        y, d4c, u0h, u0s, h_out, c_out = center_chunk(
-            xt, state["d4c"], state["u0h"], state["u0s"],
+        y, dc, u0h, u0s, u1h, u2h, h_out, c_out = center_chunk(
+            xt, state["dc"], state["u0h"], state["u0s"],
+            state["u1h"], state["u2h"],
             [state["h1"], state["h2"]], [state["c1"], state["c2"]],
-            self._center_conv_weights(), self._dp_kernel_weights(int8_hh),
+            self._mk_conv_weights(), self._dp_kernel_weights(int8_hh),
             b_tile=b_tile, interpret=interpret, dot_dtype=dot_dtype,
             int8_hh=int8_hh, xscr_half=xscr_half)
-        return (y.transpose(2, 3, 0, 1), d4c, u0h, u0s,
+        return (y.transpose(2, 3, 0, 1), dc, u0h, u0s, u1h, u2h,
                 h_out[0], c_out[0], h_out[1], c_out[1])
 
 

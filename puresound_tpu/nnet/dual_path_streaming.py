@@ -36,10 +36,12 @@ class DualPathStreaming:
 
         dp_kernel=True lays the inter carries out kernel-natively
         ([F, B, H] per block) for the fused dual-path Pallas kernel.
-        mk_kernel=True (DPCRN, causal only) is the center-fused masker
-        kernel layout: down carries for layers 0..n-2 and up carries for
-        layers 1..n-1 only (the kernel owns d4/u0), plus kernel-native
-        d4c/u0h/u0s conv-context carries ([F, B, C])."""
+        mk_kernel=True (causal only) is the wide-center masker kernel
+        layout: the kernel owns the six stride-1 inner layers
+        (d_{n-3}..d_{n-1}, u0..u2) with kernel-native [F, B, C] carries
+        (down in-carries dc0..dc2 — doubling as the up skip carries —
+        plus the up h-carries u0h/u1h/u2h and the u0 skip u0s); XLA
+        keeps the stride-2 edge layers with stock carries."""
         Fb = self._stream_freqs()[-1]
         H = self.rnn_hidden
         if mk_kernel:
@@ -47,14 +49,21 @@ class DualPathStreaming:
                 "mk_kernel supports causal configs only"
             assert self.causal_streamable()
             freqs, chans, n = self._stream_freqs(), self._chans, self._n_cnn
+            assert n >= 4 and all(
+                self.stride_f[i] == 1 and self.kernel_f[i] == 3
+                and freqs[i] == Fb for i in range(n - 3, n)), \
+                "mk_kernel needs 3 stride-1 k_f-3 inner down layers"
             state = {
                 "down": [jnp.zeros((batch, chans[i], freqs[i]), dtype)
-                         for i in range(n - 1)],
+                         for i in range(n - 3)],
                 "up": [jnp.zeros((batch, 2 * chans[n - j], freqs[n - j]),
-                                 dtype) for j in range(1, n)],
-                "d4c": jnp.zeros((Fb, batch, chans[n - 1]), dtype),
+                                 dtype) for j in range(3, n)],
+                "dc": [jnp.zeros((Fb, batch, chans[i]), dtype)
+                       for i in range(n - 3, n)],
                 "u0h": jnp.zeros((Fb, batch, chans[n]), dtype),
                 "u0s": jnp.zeros((Fb, batch, chans[n]), dtype),
+                "u1h": jnp.zeros((Fb, batch, chans[n - 1]), dtype),
+                "u2h": jnp.zeros((Fb, batch, chans[n - 2]), dtype),
             }
         else:
             state = self._init_unet_stream_state(batch, dtype)
@@ -90,20 +99,22 @@ class DualPathStreaming:
         init_stream_state(dp_kernel=True)).
         """
         if mk_kernel:
-            # center-fused masker kernel: d4 conv + both dual-path blocks
-            # + u0 transpose conv in ONE Pallas call (state from
-            # init_stream_state(mk_kernel=True)); XLA keeps the cheap
-            # outer layers (d0-d3, u1-u4)
+            # wide-center masker kernel: the six stride-1 inner layers
+            # (d_{n-3}..d_{n-1} convs, the whole bottleneck, u0..u2
+            # transpose convs with their skips) in ONE Pallas call (state
+            # from init_stream_state(mk_kernel=True)); XLA keeps only the
+            # cheap stride-2 edge layers (d0..d_{n-4}, u_{n-2}..u_{n-1})
             n = self._n_cnn
-            h3, skips, new_down = self._stream_down(x, state,
-                                                    n_layers=n - 1)
-            y0, d4c, u0h, u0s, h1, c1, h2, c2 = self.center_kernel_chunk(
-                h3, state, interpret=interpret, b_tile=dp_b_tile,
+            hin, skips, new_down = self._stream_down(x, state,
+                                                     n_layers=n - 3)
+            (y2, dc, u0h, u0s, u1h, u2h,
+             h1, c1, h2, c2) = self.center_kernel_chunk(
+                hin, state, interpret=interpret, b_tile=dp_b_tile,
                 int8_hh=int8_hh, xscr_half=xscr_half)
-            skips = skips + [None]  # u0's skip lives inside the kernel
-            mask, new_up, _ = self._stream_up(y0, skips, state, start=1)
+            skips = skips + [None] * 3  # the fused layers' skips live
+            mask, new_up, _ = self._stream_up(y2, skips, state, start=3)
             return mask, dict(state, down=new_down, up=new_up,
-                              d4c=d4c, u0h=u0h, u0s=u0s,
+                              dc=dc, u0h=u0h, u0s=u0s, u1h=u1h, u2h=u2h,
                               h1=h1, c1=c1, h2=h2, c2=c2)
         h, skips, new_down = self._stream_down(x, state)
         if dp_kernel:
@@ -123,15 +134,15 @@ class DualPathStreaming:
             new_state["skipq"] = new_skipq
         return mask, new_state
 
-    def _center_conv_weights(self):
-        """BN-folded d4/u0 conv weights for ops/masker_kernel.center_chunk.
-
-        Wd[s*3+df]: d4 (cnn_down[4], [CH, Ci, 3, 2]) tap (df, dt=s),
-        transposed to [Ci, CH]. Wh/Ws[s*3+df]: u0 (cnn_up[0],
-        torch-transpose layout [2CH, Co, 3, 2]) h/skip halves, time taps
-        flipped (slot s multiplies input frame k-1+s; see
-        masker_kernel._dense_conv_matrix).
-        """
+    def _mk_conv_weights(self):
+        """BN-folded conv weights of the six fused inner layers for the
+        wide-center masker kernel (ops/masker_kernel._wide_call prep
+        order): down layers n-3..n-1 as (W[6] of [C_i, C_{i+1}] — tap
+        (df, dt=s) transposed), then up layers 0..2 as (Wh[6], Ws[6] of
+        [C_h, C_out] — torch-transpose layout halves, time taps flipped:
+        slot s multiplies input frame k-1+s, see
+        masker_kernel._dense_conv_matrix), each followed by its folded
+        bias and PReLU alpha."""
         def bn_affine(norm):
             v = norm.variables
             g = v["params"]["scale"]
@@ -141,22 +152,27 @@ class DualPathStreaming:
                                            + norm.eps))
             return g * rstd, b - mu * g * rstd
 
-        wd = self.cnn_down[-1].variables["params"]["w"]    # [CH, Ci, 3, 2]
-        bd = self.cnn_down[-1].variables["params"]["b"]
-        gd, betad = bn_affine(self.down_norm[-1])
-        wd = wd * gd[:, None, None, None]
-        bd = bd * gd + betad
-        Wd = [jnp.transpose(wd[:, :, df, s])                 # [Ci, CH]
-              for s in range(2) for df in range(3)]
-        alpha_d = self.down_act[-1].alpha
-
-        wu = self.cnn_up[0].variables["params"]["w"]       # [2CH, Co, 3, 2]
-        bu = self.cnn_up[0].variables["params"]["b"]
-        gu, betau = bn_affine(self.up_norm[0])
-        wu = wu * gu[None, :, None, None]
-        bu = bu * gu + betau
-        CH = wu.shape[0] // 2
-        Wh = [wu[:CH, :, df, 1 - s] for s in range(2) for df in range(3)]
-        Ws = [wu[CH:, :, df, 1 - s] for s in range(2) for df in range(3)]
-        alpha_u = self.up_act[0].alpha
-        return (tuple(Wd), bd, alpha_d, tuple(Wh), tuple(Ws), bu, alpha_u)
+        n = self._n_cnn
+        out = []
+        for i in range(n - 3, n):
+            wd = self.cnn_down[i].variables["params"]["w"]  # [Co, Ci, 3, 2]
+            bd = self.cnn_down[i].variables["params"]["b"]
+            g, beta = bn_affine(self.down_norm[i])
+            wd = wd * g[:, None, None, None]
+            bd = bd * g + beta
+            out += [jnp.transpose(wd[:, :, df, sl])          # [Ci, Co]
+                    for sl in range(2) for df in range(3)]
+            out += [bd, self.down_act[i].alpha]
+        for j in range(3):
+            wu = self.cnn_up[j].variables["params"]["w"]     # [2C, Co, 3, 2]
+            bu = self.cnn_up[j].variables["params"]["b"]
+            g, beta = bn_affine(self.up_norm[j])
+            wu = wu * g[None, :, None, None]
+            bu = bu * g + beta
+            C = wu.shape[0] // 2
+            out += [wu[:C, :, df, 1 - sl]
+                    for sl in range(2) for df in range(3)]
+            out += [wu[C:, :, df, 1 - sl]
+                    for sl in range(2) for df in range(3)]
+            out += [bu, self.up_act[j].alpha]
+        return tuple(out)

@@ -176,91 +176,78 @@ def pack_channel_perm(F: int, C: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# center-fused kernel: d4 conv -> dual-path bottleneck -> u0 transpose conv
+# wide-center fusion: d_{n-3}..d_{n-1} convs -> bottleneck -> u0..u2 convs
 # ---------------------------------------------------------------------------
 #
-# The three central masker layers move the largest tensors of the NS
-# streaming step (bottleneck in/out and the u0 skip concat are [B, 128, 64,
-# K] each — ~134 MB at B=4096 bf16) and the stock path also pays two full
-# packing transposes around the dual-path kernel. Fusing them keeps all of
-# it VMEM-resident; the outer layers (d0-d3, u1-u4, C <= 64) stay in XLA
-# where their freq-packing would otherwise need banded weight matrices
-# (see build_layer_blocks — groundwork validated for a future full fusion).
+# Every masker layer the streaming step runs at the bottleneck frequency
+# count is stride-1 with freq kernel 3 — so the whole inner stack (three
+# down convs, the bottleneck, three up transpose convs with their skip
+# connections) fuses into ONE Pallas call with plain shared-weight
+# matmuls: no freq packing, no banded blocks (those remain groundwork for
+# the stride-2 edge layers d0/d1/u3/u4, which stay in XLA and move <15%
+# of the stock path's HBM bytes).
 #
-# Conv formulation: with rows = [carried prev frame | K chunk frames] per
-# freq, a causal time-kernel-2 freq-conv is SIX shared-weight matmuls
-# (3 freq taps x 2 time-row slices) accumulated in f32; the u0 transpose
-# conv is the same with time taps flipped and the freq relation inverted
-# (see _dense_conv_matrix notes), split into an h-part and a skip-part so
-# the stock path's channel concat never materializes.
+# Conv formulation: per layer a scratch buffer [F, bt + K*bt, C] holds
+# [carried prev frame | K chunk frames] rows; a causal time-kernel-2
+# freq-conv is SIX shared-weight matmuls (3 freq taps x 2 time-row
+# slices, +-1 freq halos) accumulated in f32 with the BatchNorm eval
+# affine folded into the weights; transpose convs flip the time taps and
+# invert the freq relation (see _dense_conv_matrix notes) and split into
+# an h-part and a skip-part read straight from the down buffers — the
+# stock path's channel concats never materialize. Up skip carries alias
+# the down in-carries (layer i+1's input carry IS layer i's output last
+# frame), so only the h-side up carries are extra state.
 
 def _prelu(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def conv_down_stage(dot, x_ref, carry_ref, Wd, bd_ref, alpha_ref,
-                    x_scr, skip_scr, F, K, bt, Ci, CH, fc):
-    """Last down conv (k_f 3, pad 1, stride 1) + folded BN + PReLU into
-    x_scr AND skip_scr. Rows buffer per freq = [carry | K frames]; freq
-    chunks read a +-1 halo straight from the input refs (chunk-local
-    values keep the Mosaic stack small)."""
-    R = K * bt
-    alpha = alpha_ref[0]
-    for f0 in range(0, F, fc):
-        lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
-        v = jnp.concatenate(
-            [carry_ref[lo:hi].astype(jnp.float32),
-             x_ref[lo:hi].reshape(hi - lo, R, Ci).astype(jnp.float32)],
-            axis=1)
-        pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
-        v = jnp.pad(v, pads)  # [fc+2, bt+R, Ci]
-        acc = jnp.zeros((fc * R, CH), jnp.float32) + bd_ref[:]
-        for s in range(2):  # time-row slot (kernel_t == 2)
-            rows = slice(s * bt, s * bt + R)
-            for df in range(3):
-                lhs = v[df:df + fc, rows, :].reshape(fc * R, Ci)
-                acc += dot(lhs, Wd[s * 3 + df])
-        acc = _prelu(acc, alpha).reshape(fc, R, CH)
-        x_scr[f0:f0 + fc] = acc.astype(x_scr.dtype)
-        skip_scr[f0:f0 + fc] = acc.astype(skip_scr.dtype)
+def load_rows(scr, carry_ref, frames, bt):
+    """Fill a [F, bt + K*bt, C] stage buffer: carry rows then frames."""
+    scr[:, :bt, :] = carry_ref[:].astype(scr.dtype)
+    if frames is not None:
+        scr[:, bt:, :] = frames.astype(scr.dtype)
 
 
-def conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
-                  bu_ref, alpha_ref, y_ref, F, K, bt, CH, Co, fc):
-    """First up transpose conv (k_f 3, s 1, p 1) + folded BN + PReLU:
-    out[fo] reads h/skip freqs fo+1-df; rows as in conv_down_stage,
-    chunked over freq with +-1 halos from the scratch + carry refs."""
+def conv_stage(dot, h_scr, s_scr, Wh, Ws, b_ref, a_ref, write,
+               F, K, bt, fc, kind):
+    """One fused k_f-3 / stride-1 conv layer over stage buffers.
+
+    h_scr (and optional skip source s_scr): [F, bt + K*bt, C_in] with the
+    carried previous frame in rows [0:bt]. kind 'conv': out fo reads in
+    freqs fo-1+df (causal down conv); 'tconv': fo+1-df (transpose up
+    conv, time taps pre-flipped in the weights). write(f0, acc) stores
+    each freq chunk's [fc*K*bt, C_out] activation."""
     R = K * bt
-    alpha = alpha_ref[0]
+    alpha = a_ref[0]
     for f0 in range(0, F, fc):
         lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
 
-        def halo(scr, carry_ref):
-            v = jnp.concatenate(
-                [carry_ref[lo:hi].astype(jnp.float32),
-                 scr[lo:hi].astype(jnp.float32)], axis=1)
-            pads = ((1 - (f0 - lo), (f0 + fc + 1) - hi), (0, 0), (0, 0))
-            return jnp.pad(v, pads)  # [fc+2, bt+R, CH]
+        def halo(scr):
+            v = scr[lo:hi].astype(jnp.float32)
+            return jnp.pad(v, ((1 - (f0 - lo), (f0 + fc + 1) - hi),
+                               (0, 0), (0, 0)))
 
-        hv = halo(x_scr, u0h_ref)
-        sv = halo(skip_scr, u0s_ref)
-        acc = jnp.zeros((fc * R, Co), jnp.float32) + bu_ref[:]
-        for s in range(2):
-            rows = slice(s * bt, s * bt + R)
+        hv = halo(h_scr)
+        sv = halo(s_scr) if s_scr is not None else None
+        acc = jnp.zeros((fc * R, b_ref.shape[0]), jnp.float32) + b_ref[:]
+        for t in range(2):  # time-row slot (kernel_t == 2)
+            rows = slice(t * bt, t * bt + R)
             for df in range(3):
-                fs = slice(2 - df, 2 - df + fc)
-                acc += dot(hv[fs, rows, :].reshape(fc * R, CH),
-                           Wh[s * 3 + df])
-                acc += dot(sv[fs, rows, :].reshape(fc * R, CH),
-                           Ws[s * 3 + df])
-        acc = _prelu(acc, alpha)
-        y_ref[f0:f0 + fc] = acc.reshape(fc, K, bt, Co).astype(y_ref.dtype)
+                fs = (slice(df, df + fc) if kind == "conv"
+                      else slice(2 - df, 2 - df + fc))
+                acc += dot(hv[fs, rows, :].reshape(fc * R, -1),
+                           Wh[t * 3 + df])
+                if sv is not None:
+                    acc += dot(sv[fs, rows, :].reshape(fc * R, -1),
+                               Ws[t * 3 + df])
+        write(f0, _prelu(acc, alpha))
 
 
 def inter_lstm_block(dot, x_scr, h_in, c_in, h_out, c_out, w,
-                     K, F, bt, H):
+                     K, F, bt, H, row0=0):
     """Inter (time) LSTM + projection + LayerNormLast + residual, in
-    place on x_scr [F, K*bt, CH] — the dual_path_body inter section for
+    place on x_scr rows [row0:] — the dual_path_body inter section for
     bottlenecks whose intra pass is not an LSTM (DPARN attention)."""
     CH = x_scr.shape[-1]
     n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
@@ -270,7 +257,7 @@ def inter_lstm_block(dot, x_scr, h_in, c_in, h_out, c_out, w,
         h = h_in[p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
         c = c_in[p0:p0 + ic].astype(jnp.float32).reshape(ic * bt, H)
         for k in range(K):
-            lo, hi = k * bt, (k + 1) * bt
+            lo, hi = row0 + k * bt, row0 + (k + 1) * bt
             rows = x_scr[p0:p0 + ic, lo:hi, :].reshape(ic * bt, CH)
             gates = (dot(rows, w["w_ih_i"]) + dot(h, w["w_hh_i"])
                      + w["b_i"][:])
@@ -284,200 +271,256 @@ def inter_lstm_block(dot, x_scr, h_in, c_in, h_out, c_out, w,
         c_out[p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out.dtype)
 
 
-def _make_center_kernel(n_blocks: int, K: int, F: int, H: int, Ci: int,
-                        CH: int, Co: int, dot_dtype, int8_hh: bool):
-    fc = min(16, F)  # freq-chunk bounding the Mosaic stack temporaries
-    assert F % fc == 0, f"bottleneck freq count {F} must chunk by {fc}"
-    dot, dot_hh = make_dots(dot_dtype, int8_hh)
-    PB = _PER_BLOCK + (3 if int8_hh else 0)
-    N_CONV = 6  # (2 time slots) x (3 freq taps)
+N_CONV = 6            # (2 time slots) x (3 freq taps)
+N_DOWN = N_UP = 3     # fused inner layers each side of the bottleneck
+# per-layer conv weight refs: down = 6 W + bias + alpha; up = 6 Wh +
+# 6 Ws + bias + alpha
+_N_CONV_REFS = N_DOWN * (N_CONV + 2) + N_UP * (2 * N_CONV + 2)
 
-    def kernel(x_ref, *refs):
-        # refs layout:
-        #   d4c, u0h, u0s,
-        #   h_in[2], c_in[2],
-        #   Wd[6], bd, alpha_d, Wh[6], Ws[6], bu, alpha_u,
-        #   dp weights [PB * n_blocks],
-        #   y, d4c_out, u0h_out, u0s_out, h_out[2], c_out[2],
-        #   scratch: x_scr [F, K*bt, CH], skip_scr, yf_scr, yb_scr
-        it = iter(range(len(refs)))
-        nxt = lambda: refs[next(it)]
-        d4c_ref, u0h_ref, u0s_ref = nxt(), nxt(), nxt()
-        h_in = [nxt() for _ in range(n_blocks)]
-        c_in = [nxt() for _ in range(n_blocks)]
-        Wd = [nxt() for _ in range(N_CONV)]
-        bd_ref, ad_ref = nxt(), nxt()
-        Wh = [nxt() for _ in range(N_CONV)]
-        Ws = [nxt() for _ in range(N_CONV)]
-        bu_ref, au_ref = nxt(), nxt()
-        w_refs = [nxt() for _ in range(PB * n_blocks)]
-        y_ref = nxt()
-        d4c_out, u0h_out, u0s_out = nxt(), nxt(), nxt()
-        h_out = [nxt() for _ in range(n_blocks)]
-        c_out = [nxt() for _ in range(n_blocks)]
-        x_scr, skip_scr, yf_scr, yb_scr = (nxt(), nxt(), nxt(), nxt())
-
-        bt = x_ref.shape[2]
-        R = K * bt
-
-        conv_down_stage(dot, x_ref, d4c_ref, Wd, bd_ref, ad_ref,
-                        x_scr, skip_scr, F, K, bt, Ci, CH, fc)
-        d4c_out[:] = x_ref[:, K - 1].astype(d4c_out.dtype)
-        u0s_out[:] = skip_scr[:, (K - 1) * bt:, :].astype(u0s_out.dtype)
-
-        # ---------------- dual-path bottleneck (both blocks, in place) ----
-        dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
-                       h_in, c_in, h_out, c_out,
-                       n_blocks, K, F, H, bt, int8_hh)
-        u0h_out[:] = x_scr[:, (K - 1) * bt:, :].astype(u0h_out.dtype)
-
-        conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
-                      bu_ref, au_ref, y_ref, F, K, bt, CH, Co, fc)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half"))
-def center_chunk(x, d4c, u0h, u0s, h_in, c_in, conv_weights, dp_weights,
-                 b_tile: int = 128, interpret: bool = False,
-                 dot_dtype=jnp.float32, int8_hh: bool = False,
-                 xscr_half: bool = False):
-    """d4 conv -> dual-path bottleneck -> u0 transpose conv, one kernel.
-
-    Args:
-        x: [F, K, B, Ci] d3 output (freq-major packing as dual_path_chunk).
-        d4c: [F, B, Ci] carried previous d3-out frame (d4's conv context).
-        u0h: [F, B, CH] carried previous bottleneck-out frame.
-        u0s: [F, B, CH] carried previous d4-out (skip) frame.
-        h_in/c_in: per-block [F, B, H] inter-LSTM carries.
-        conv_weights: (Wd[6] of [Ci, CH], bd [CH], alpha_d [1],
-                       Wh[6] of [CH, Co], Ws[6] of [CH, Co], bu [Co],
-                       alpha_u [1]) — BatchNorm eval affine pre-folded.
-        dp_weights: flat dual-path tuple (dual_path_kernel module doc).
-
-    Returns: (y [F, K, B, Co], d4c', u0h', u0s', h_out, c_out).
-    """
-    F, K, B, Ci = x.shape
-    n_blocks = len(h_in)
-    H = h_in[0].shape[-1]
-    CH = u0h.shape[-1]
-    Wd6, bd, alpha_d, Wh6, Ws6, bu, alpha_u = conv_weights
-    Co = bu.shape[0]
-    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
-    n_tiles = B // b_tile
-
-    kernel = _make_center_kernel(n_blocks, K, F, H, Ci, CH, Co, dot_dtype,
-                                 int8_hh)
-
-    grid = (n_tiles,)
-    spec_x = pl.BlockSpec((F, K, b_tile, Ci), lambda i: (0, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-    spec_y = pl.BlockSpec((F, K, b_tile, Co), lambda i: (0, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-    carry = lambda C: pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)
-    full = lambda w: pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                                  memory_space=pltpu.VMEM)
-
-    conv_flat = list(Wd6) + [bd, alpha_d] + list(Wh6) + list(Ws6) + [bu, alpha_u]
-    in_specs = ([spec_x, carry(Ci), carry(CH), carry(CH)]
-                + [carry(H)] * (2 * n_blocks)
-                + [full(w) for w in conv_flat]
-                + [full(w) for w in dp_weights])
-
-    out_shape = ([jax.ShapeDtypeStruct((F, K, B, Co), x.dtype),
-                  jax.ShapeDtypeStruct((F, B, Ci), d4c.dtype),
-                  jax.ShapeDtypeStruct((F, B, CH), u0h.dtype),
-                  jax.ShapeDtypeStruct((F, B, CH), u0s.dtype)]
-                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
-                    for _ in range(2 * n_blocks)])
-    out_specs = ([spec_y, carry(Ci), carry(CH), carry(CH)]
-                 + [carry(H)] * (2 * n_blocks))
-
-    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
-    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
-    scratch_shapes = [
-        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
-        pltpu.VMEM((F, K * b_tile, CH), scr_dt),
-        pltpu.VMEM((F, K * b_tile, H), scr_dt),
-        pltpu.VMEM((F, K * b_tile, H), scr_dt),
-    ]
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, d4c, u0h, u0s, *h_in, *c_in, *conv_flat, *dp_weights)
-    y, d4c_n, u0h_n, u0s_n = outs[:4]
-    h_out = list(outs[4:4 + n_blocks])
-    c_out = list(outs[4 + n_blocks:])
-    return y, d4c_n, u0h_n, u0s_n, h_out, c_out
-
-
-# ---------------------------------------------------------------------------
-# DPARN center fusion: d4 conv -> (attention intra + inter LSTM) x2 -> u0
-# ---------------------------------------------------------------------------
-#
-# Same shape as center_chunk but the bottleneck blocks are DPARN's: the
-# intra pass is 2 transformer encoder layers + FC + LayerNormLast over the
-# F frequency tokens of every (stream, frame) row (shared code with
-# ops/dparn_attention_kernel.attention_encoder_layer — straight-line MXU
-# work, no serial frequency scan), the inter pass a uni-LSTM over the K
-# chunk frames. Fusing removes the per-block [B,CH,F,K]<->[N*K,F,CH] pack
-# transposes around the standalone attention kernel, the inter-LSTM HBM
-# round trips, the d4/u0 convs and the u0 skip concat.
-
-# per-block weight order (35 arrays): 2 encoder layers x ATTN_LAYER_NAMES
-# (12 each), then fc_k, fc_b, nrm_g, nrm_b, then inter
+# DPARN per-block weight order (35 arrays): 2 encoder layers x
+# ATTN_LAYER_NAMES (12 each), then fc_k, fc_b, nrm_g, nrm_b, then inter
 # w_ih_i [CH,4H], w_hh_i [H,4H], b_i [4H], pw_i [H,CH], pb_i [CH],
 # tg [CH], tb [CH]
 _DPARN_PER_BLOCK = 2 * len(ATTN_LAYER_NAMES) + 4 + 7
 
 
-def _make_dparn_center_kernel(n_blocks: int, K: int, F: int, heads: int,
-                              H: int, Ci: int, CH: int, Co: int, dot_dtype):
+def _parse_conv_weights(nxt):
+    """Pull the per-layer conv weight refs (prep order of
+    DualPathStreaming._mk_conv_weights)."""
+    down, up = [], []
+    for _ in range(N_DOWN):
+        Wd = [nxt() for _ in range(N_CONV)]
+        down.append((Wd, nxt(), nxt()))            # (W, bias, alpha)
+    for _ in range(N_UP):
+        Wh = [nxt() for _ in range(N_CONV)]
+        Ws = [nxt() for _ in range(N_CONV)]
+        up.append((Wh, Ws, nxt(), nxt()))          # (Wh, Ws, bias, alpha)
+    return down, up
+
+
+def _make_wide_kernel(bottleneck, n_bneck_refs, K, F, bt, chans, dot_dtype):
+    """Shared conv envelope: 3 down stages -> `bottleneck(x_scr, w_refs,
+    h_in, c_in, h_out, c_out, row0)` -> 3 up stages. chans = (C_in0, C2,
+    C3, C4, CH, Cu2) channel counts of the fused stack."""
     fc = min(16, F)
     assert F % fc == 0, f"bottleneck freq count {F} must chunk by {fc}"
     dot, _ = make_dots(dot_dtype, False)
-    cast = lambda a: a.astype(dot_dtype)
-    N_CONV = 6
-    PB = _DPARN_PER_BLOCK
+    C_in0 = chans[0]
+    R = K * bt
 
-    def kernel(x_ref, pe_ref, *refs):
+    def kernel(x_ref, *refs):
         it = iter(range(len(refs)))
         nxt = lambda: refs[next(it)]
-        d4c_ref, u0h_ref, u0s_ref = nxt(), nxt(), nxt()
-        h_in = [nxt() for _ in range(n_blocks)]
-        c_in = [nxt() for _ in range(n_blocks)]
-        Wd = [nxt() for _ in range(N_CONV)]
-        bd_ref, ad_ref = nxt(), nxt()
-        Wh = [nxt() for _ in range(N_CONV)]
-        Ws = [nxt() for _ in range(N_CONV)]
-        bu_ref, au_ref = nxt(), nxt()
-        w_refs = [nxt() for _ in range(PB * n_blocks)]
+        extra_in = nxt()  # pe for DPARN; unused dummy for DPCRN
+        dc = [nxt() for _ in range(3)]
+        u0h_ref, u0s_ref, u1h_ref, u2h_ref = nxt(), nxt(), nxt(), nxt()
+        h_in = [nxt(), nxt()]
+        c_in = [nxt(), nxt()]
+        down_w, up_w = _parse_conv_weights(nxt)
+        w_refs = [nxt() for _ in range(n_bneck_refs)]
         y_ref = nxt()
-        d4c_out, u0h_out, u0s_out = nxt(), nxt(), nxt()
-        h_out = [nxt() for _ in range(n_blocks)]
-        c_out = [nxt() for _ in range(n_blocks)]
-        x_scr, skip_scr = nxt(), nxt()
+        dc_out = [nxt() for _ in range(3)]
+        u0h_out, u0s_out, u1h_out, u2h_out = nxt(), nxt(), nxt(), nxt()
+        h_out = [nxt(), nxt()]
+        c_out = [nxt(), nxt()]
+        (B_in, B_d2, B_d3, x_scr, skip_scr, B_u0, B_u1) = (
+            nxt(), nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+        scratch_rest = [refs[i] for i in it]  # yf/yb for the dual path
 
-        bt = x_ref.shape[2]
+        def to_scr(dst):
+            def write(f0, acc):
+                dst[f0:f0 + fc, bt:, :] = acc.reshape(
+                    fc, R, dst.shape[-1]).astype(dst.dtype)
+            return write
+
+        def to_both(a, b):
+            def write(f0, acc):
+                v = acc.reshape(fc, R, a.shape[-1])
+                a[f0:f0 + fc, bt:, :] = v.astype(a.dtype)
+                b[f0:f0 + fc, bt:, :] = v.astype(b.dtype)
+            return write
+
+        def to_y(f0, acc):
+            y_ref[f0:f0 + fc] = acc.reshape(
+                fc, K, bt, y_ref.shape[-1]).astype(y_ref.dtype)
+
+        # ---------------- down stages ----------------
+        load_rows(B_in, dc[0], x_ref[:].reshape(F, R, C_in0), bt)
+        B_d2[:, :bt, :] = dc[1][:].astype(B_d2.dtype)
+        conv_stage(dot, B_in, None, *down_w[0][:1], None, down_w[0][1],
+                   down_w[0][2], to_scr(B_d2), F, K, bt, fc, "conv")
+        B_d3[:, :bt, :] = dc[2][:].astype(B_d3.dtype)
+        conv_stage(dot, B_d2, None, down_w[1][0], None, down_w[1][1],
+                   down_w[1][2], to_scr(B_d3), F, K, bt, fc, "conv")
+        x_scr[:, :bt, :] = u0h_ref[:].astype(x_scr.dtype)
+        skip_scr[:, :bt, :] = u0s_ref[:].astype(skip_scr.dtype)
+        conv_stage(dot, B_d3, None, down_w[2][0], None, down_w[2][1],
+                   down_w[2][2], to_both(x_scr, skip_scr), F, K, bt, fc,
+                   "conv")
+        dc_out[0][:] = B_in[:, R:, :].astype(dc_out[0].dtype)
+        dc_out[1][:] = B_d2[:, R:, :].astype(dc_out[1].dtype)
+        dc_out[2][:] = B_d3[:, R:, :].astype(dc_out[2].dtype)
+        u0s_out[:] = skip_scr[:, R:, :].astype(u0s_out.dtype)
+
+        # ---------------- bottleneck (in place, rows [bt:]) ----------------
+        bottleneck(x_scr, extra_in, w_refs, h_in, c_in, h_out, c_out,
+                   scratch_rest, bt)
+        u0h_out[:] = x_scr[:, R:, :].astype(u0h_out.dtype)
+
+        # ---------------- up stages ----------------
+        B_u0[:, :bt, :] = u1h_ref[:].astype(B_u0.dtype)
+        conv_stage(dot, x_scr, skip_scr, up_w[0][0], up_w[0][1],
+                   up_w[0][2], up_w[0][3], to_scr(B_u0), F, K, bt, fc,
+                   "tconv")
+        u1h_out[:] = B_u0[:, R:, :].astype(u1h_out.dtype)
+        B_u1[:, :bt, :] = u2h_ref[:].astype(B_u1.dtype)
+        conv_stage(dot, B_u0, B_d3, up_w[1][0], up_w[1][1],
+                   up_w[1][2], up_w[1][3], to_scr(B_u1), F, K, bt, fc,
+                   "tconv")
+        u2h_out[:] = B_u1[:, R:, :].astype(u2h_out.dtype)
+        conv_stage(dot, B_u1, B_d2, up_w[2][0], up_w[2][1],
+                   up_w[2][2], up_w[2][3], to_y, F, K, bt, fc, "tconv")
+
+    return kernel
+
+
+def _wide_call(x, extra_in, dc, u0h, u0s, u1h, u2h, h_in, c_in,
+               conv_weights, bneck_weights, bottleneck, extra_scratch,
+               b_tile, interpret, dot_dtype, xscr_half, y_C):
+    """pallas_call plumbing shared by center_chunk / dparn_center_chunk."""
+    F, K, B, C_in0 = x.shape
+    H = h_in[0].shape[-1]
+    CH = u0h.shape[-1]
+    chans = (C_in0, dc[1].shape[-1], dc[2].shape[-1], u1h.shape[-1], CH,
+             u2h.shape[-1])
+    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
+    R = K * b_tile
+
+    kernel = _make_wide_kernel(bottleneck, len(bneck_weights), K, F,
+                               b_tile, chans, dot_dtype)
+
+    grid = (B // b_tile,)
+    spec_x = pl.BlockSpec((F, K, b_tile, C_in0), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_y = pl.BlockSpec((F, K, b_tile, y_C), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    carry = lambda a: pl.BlockSpec((F, b_tile, a.shape[-1]),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+    full = lambda w: pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+                                  memory_space=pltpu.VMEM)
+
+    carries = list(dc) + [u0h, u0s, u1h, u2h] + list(h_in) + list(c_in)
+    in_specs = ([spec_x, full(extra_in)] + [carry(a) for a in carries]
+                + [full(w) for w in conv_weights]
+                + [full(w) for w in bneck_weights])
+
+    out_shape = ([jax.ShapeDtypeStruct((F, K, B, y_C), x.dtype)]
+                 + [jax.ShapeDtypeStruct((F, B, a.shape[-1]), a.dtype)
+                    for a in carries])
+    out_specs = tuple([spec_y] + [carry(a) for a in carries])
+
+    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
+    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
+    rows = b_tile + R
+    C_in0_, C2, C3, C4, CH_, Cu2 = chans
+    scratch_shapes = [
+        pltpu.VMEM((F, rows, C_in0_), scr_dt),   # B_in
+        pltpu.VMEM((F, rows, C2), scr_dt),       # B_d2 (d2 out)
+        pltpu.VMEM((F, rows, C3), scr_dt),       # B_d3 (d3 out)
+        pltpu.VMEM((F, rows, CH_), x_scr_dt),    # x_scr (bottleneck)
+        pltpu.VMEM((F, rows, CH_), scr_dt),      # skip_scr
+        pltpu.VMEM((F, rows, C4), scr_dt),       # B_u0 (u0 out)
+        pltpu.VMEM((F, rows, Cu2), scr_dt),      # B_u1 (u1 out)
+    ] + extra_scratch
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, extra_in, *carries, *conv_weights, *bneck_weights)
+    y = outs[0]
+    dc_n = list(outs[1:4])
+    u0h_n, u0s_n, u1h_n, u2h_n = outs[4:8]
+    h_out = list(outs[8:10])
+    c_out = list(outs[10:12])
+    return y, dc_n, u0h_n, u0s_n, u1h_n, u2h_n, h_out, c_out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half"))
+def center_chunk(x, dc, u0h, u0s, u1h, u2h, h_in, c_in, conv_weights,
+                 dp_weights, b_tile: int = 128, interpret: bool = False,
+                 dot_dtype=jnp.float32, int8_hh: bool = False,
+                 xscr_half: bool = False):
+    """DPCRN wide-center fusion: d_{n-3}..d_{n-1} convs -> both dual-path
+    blocks -> u0..u2 transpose convs, one kernel.
+
+    Args:
+        x: [F, K, B, C_in0] — the d_{n-4} output (freq-major packing).
+        dc: 3 down in-carries [F, B, C_i] (layer i's previous last input
+            frame; they double as the up skip carries).
+        u0h/u1h/u2h: carried previous h-inputs of the fused up layers
+            ([F, B, C]); u0s: carried previous d_{n-1}-out (skip) frame.
+        h_in/c_in: per-block [F, B, H] inter-LSTM carries.
+        conv_weights: flat list from DualPathStreaming._mk_conv_weights
+            (BatchNorm eval affines pre-folded, transpose-conv time taps
+            pre-flipped).
+        dp_weights: flat dual-path tuple (dual_path_kernel module doc).
+
+    Returns: (y [F, K, B, C_out], dc', u0h', u0s', u1h', u2h', h', c').
+    """
+    F, K, B, _ = x.shape
+    H = h_in[0].shape[-1]
+    dot, dot_hh = make_dots(dot_dtype, int8_hh)
+
+    def bottleneck(x_scr, extra_in, w_refs, h_in_r, c_in_r, h_out_r,
+                   c_out_r, scratch_rest, bt):
+        yf_scr, yb_scr = scratch_rest
+        dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
+                       h_in_r, c_in_r, h_out_r, c_out_r,
+                       2, K, F, H, bt, int8_hh, row0=bt)
+
+    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
+    extra_scratch = [pltpu.VMEM((F, K * b_tile, H), scr_dt),
+                     pltpu.VMEM((F, K * b_tile, H), scr_dt)]
+    dummy = jnp.zeros((1, 1), jnp.float32)  # no extra input for DPCRN
+    n_pb = _PER_BLOCK + (3 if int8_hh else 0)
+    assert len(dp_weights) == 2 * n_pb
+    y_C = conv_weights[-2].shape[0]  # last up layer's bias length
+    return _wide_call(x, dummy, dc, u0h, u0s, u1h, u2h, h_in, c_in,
+                      tuple(conv_weights), tuple(dp_weights), bottleneck,
+                      extra_scratch, b_tile, interpret, dot_dtype,
+                      xscr_half, y_C)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "b_tile", "interpret", "dot_dtype", "xscr_half"))
+def dparn_center_chunk(x, pe, dc, u0h, u0s, u1h, u2h, h_in, c_in,
+                       conv_weights, block_weights, heads: int,
+                       b_tile: int = 128, interpret: bool = False,
+                       dot_dtype=jnp.float32, xscr_half: bool = False):
+    """DPARN wide-center fusion: same envelope as center_chunk, with the
+    bottleneck = 2x (attention intra over frequency tokens + inter
+    uni-LSTM); `pe` [F, CH] feeds the first encoder layer only and
+    `block_weights` is flat (_DPARN_PER_BLOCK per block)."""
+    F, K, B, _ = x.shape
+    H = h_in[0].shape[-1]
+    dot, _ = make_dots(dot_dtype, False)
+    cast = lambda a: a.astype(dot_dtype)
+
+    def bottleneck(x_scr, pe_ref, w_refs, h_in_r, c_in_r, h_out_r,
+                   c_out_r, scratch_rest, bt):
         R = K * bt
-
-        conv_down_stage(dot, x_ref, d4c_ref, Wd, bd_ref, ad_ref,
-                        x_scr, skip_scr, F, K, bt, Ci, CH, fc)
-        d4c_out[:] = x_ref[:, K - 1].astype(d4c_out.dtype)
-        u0s_out[:] = skip_scr[:, (K - 1) * bt:, :].astype(u0s_out.dtype)
-
-        pe = pe_ref[:].astype(jnp.float32)
-        for b in range(n_blocks):
+        CH = x_scr.shape[-1]
+        pe_v = pe_ref[:].astype(jnp.float32)
+        for b in range(2):
             w = {}
             names = ([f"l1_{n}" for n in ATTN_LAYER_NAMES]
                      + [f"l2_{n}" for n in ATTN_LAYER_NAMES]
@@ -485,7 +528,7 @@ def _make_dparn_center_kernel(n_blocks: int, K: int, F: int, heads: int,
                         "w_ih_i", "w_hh_i", "b_i", "pw_i", "pb_i",
                         "tg", "tb"])
             for j, name in enumerate(names):
-                w[name] = w_refs[b * PB + j]
+                w[name] = w_refs[b * _DPARN_PER_BLOCK + j]
             l1 = {n: w[f"l1_{n}"] for n in ATTN_LAYER_NAMES}
             l2 = {n: w[f"l2_{n}"] for n in ATTN_LAYER_NAMES}
 
@@ -493,10 +536,11 @@ def _make_dparn_center_kernel(n_blocks: int, K: int, F: int, heads: int,
             # are independent; chunking bounds the Mosaic stack)
             rc = min(128, R)
             assert R % rc == 0
-            for r0 in range(0, R, rc):
+            for r0 in range(bt, bt + R, rc):
                 v = x_scr[:, r0:r0 + rc, :].astype(jnp.float32)
                 rows = jnp.swapaxes(v, 0, 1)  # [rc, F, CH]
-                h = attention_encoder_layer(rows, pe, l1, heads, dot, cast)
+                h = attention_encoder_layer(rows, pe_v, l1, heads, dot,
+                                            cast)
                 h = attention_encoder_layer(h, None, l2, heads, dot, cast)
                 t = dot(h.reshape(rc * F, CH), w["fc_k"]) + w["fc_b"][:]
                 t = _ln(t, w["nrm_g"][:], w["nrm_b"][:])
@@ -504,82 +548,13 @@ def _make_dparn_center_kernel(n_blocks: int, K: int, F: int, heads: int,
                 x_scr[:, r0:r0 + rc, :] = jnp.swapaxes(rows, 0, 1).astype(
                     x_scr.dtype)
 
-            inter_lstm_block(dot, x_scr, h_in[b], c_in[b],
-                             h_out[b], c_out[b], w, K, F, bt, H)
+            inter_lstm_block(dot, x_scr, h_in_r[b], c_in_r[b],
+                             h_out_r[b], c_out_r[b], w, K, F, bt, H,
+                             row0=bt)
 
-        u0h_out[:] = x_scr[:, (K - 1) * bt:, :].astype(u0h_out.dtype)
-        conv_up_stage(dot, x_scr, skip_scr, u0h_ref, u0s_ref, Wh, Ws,
-                      bu_ref, au_ref, y_ref, F, K, bt, CH, Co, fc)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "heads", "b_tile", "interpret", "dot_dtype", "xscr_half"))
-def dparn_center_chunk(x, pe, d4c, u0h, u0s, h_in, c_in, conv_weights,
-                       block_weights, heads: int, b_tile: int = 128,
-                       interpret: bool = False, dot_dtype=jnp.float32,
-                       xscr_half: bool = False):
-    """d4 conv -> DPARN bottleneck (attention intra + inter LSTM, both
-    blocks) -> u0 transpose conv, one kernel. Same contract as
-    center_chunk plus `pe` ([F, CH] sinusoidal positions, first encoder
-    layer only) and `block_weights` (flat, _DPARN_PER_BLOCK per block)."""
-    F, K, B, Ci = x.shape
-    n_blocks = len(h_in)
-    H = h_in[0].shape[-1]
-    CH = u0h.shape[-1]
-    Wd6, bd, alpha_d, Wh6, Ws6, bu, alpha_u = conv_weights
-    Co = bu.shape[0]
-    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
-    n_tiles = B // b_tile
-
-    kernel = _make_dparn_center_kernel(n_blocks, K, F, heads, H, Ci, CH, Co,
-                                       dot_dtype)
-
-    grid = (n_tiles,)
-    spec_x = pl.BlockSpec((F, K, b_tile, Ci), lambda i: (0, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-    spec_y = pl.BlockSpec((F, K, b_tile, Co), lambda i: (0, 0, i, 0),
-                          memory_space=pltpu.VMEM)
-    carry = lambda C: pl.BlockSpec((F, b_tile, C), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)
-    full = lambda w: pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
-                                  memory_space=pltpu.VMEM)
-
-    conv_flat = list(Wd6) + [bd, alpha_d] + list(Wh6) + list(Ws6) + [bu, alpha_u]
-    in_specs = ([spec_x, full(pe), carry(Ci), carry(CH), carry(CH)]
-                + [carry(H)] * (2 * n_blocks)
-                + [full(w) for w in conv_flat]
-                + [full(w) for w in block_weights])
-
-    out_shape = ([jax.ShapeDtypeStruct((F, K, B, Co), x.dtype),
-                  jax.ShapeDtypeStruct((F, B, Ci), d4c.dtype),
-                  jax.ShapeDtypeStruct((F, B, CH), u0h.dtype),
-                  jax.ShapeDtypeStruct((F, B, CH), u0s.dtype)]
-                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
-                    for _ in range(2 * n_blocks)])
-    out_specs = ([spec_y, carry(Ci), carry(CH), carry(CH)]
-                 + [carry(H)] * (2 * n_blocks))
-
-    scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
-    x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
-    scratch_shapes = [
-        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
-        pltpu.VMEM((F, K * b_tile, CH), scr_dt),
-    ]
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, pe, d4c, u0h, u0s, *h_in, *c_in, *conv_flat, *block_weights)
-    y, d4c_n, u0h_n, u0s_n = outs[:4]
-    h_out = list(outs[4:4 + n_blocks])
-    c_out = list(outs[4 + n_blocks:])
-    return y, d4c_n, u0h_n, u0s_n, h_out, c_out
+    assert len(block_weights) == 2 * _DPARN_PER_BLOCK
+    y_C = conv_weights[-2].shape[0]
+    return _wide_call(x, pe, dc, u0h, u0s, u1h, u2h, h_in, c_in,
+                      tuple(conv_weights), tuple(block_weights),
+                      bottleneck, [], b_tile, interpret, dot_dtype,
+                      xscr_half, y_C)

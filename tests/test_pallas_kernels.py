@@ -485,9 +485,9 @@ def test_center_masker_kernel_matches_stock(rng):
     s_mk = m.apply(v, B, jnp.float32, False, True,
                    method=DPCRN.init_stream_state)
     Fb = m._stream_freqs()[-1]
-    assert s_mk["d4c"].shape == (Fb, B, 16)
+    assert [a.shape[-1] for a in s_mk["dc"]] == [8, 16, 16]
     assert s_mk["u0h"].shape == (Fb, B, 32)
-    assert len(s_mk["down"]) == 4 and len(s_mk["up"]) == 4
+    assert len(s_mk["down"]) == 2 and len(s_mk["up"]) == 2
 
     for step in range(3):
         x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))

@@ -439,7 +439,7 @@ def test_streaming_ns_engine_mk_kernel_equals_offline(rng):
 
     state = engine.apply(variables, 2, mk_kernel=True,
                          method=StreamingNS.init_state)
-    assert "d4c" in state["masker"] and len(state["masker"]["down"]) == 4
+    assert "dc" in state["masker"] and len(state["masker"]["down"]) == 2
     outs = []
     chunk = hop * 2
     for i in range(0, L, chunk):
