@@ -605,3 +605,28 @@ def test_dparn_center_masker_kernel_matches_stock(rng):
         np.testing.assert_allclose(np.asarray(y_mk), np.asarray(y_ref),
                                    atol=3e-5, rtol=1e-4,
                                    err_msg=f"chunk {step}")
+
+
+def test_center_masker_kernel_int8_hh_accuracy(rng):
+    """Wide-center DPCRN kernel with int8 recurrent dots stays within
+    serving tolerance of the f32 kernel (interpret mode)."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = DPCRN(input_type="RI", input_dim=128, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8, 16, 16, 32), transpose_t_size=2,
+              transpose_delay=False, kernel_t=(2,) * 5, stride_t=(1,) * 5,
+              dilation_t=(1,) * 5, kernel_f=(5, 3, 3, 3, 3),
+              stride_f=(2, 2, 1, 1, 1), dilation_f=(1,) * 5,
+              delay=(0,) * 5, rnn_hidden=16)
+    B, C = 2, 128
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s = m.apply(v, B, jnp.float32, False, True,
+                method=DPCRN.init_stream_state)
+    x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+    y0, _ = m.apply(v, x, s, mk_kernel=True, method=DPCRN.stream_frames)
+    y1, _ = m.apply(v, x, s, mk_kernel=True, int8_hh=True,
+                    method=DPCRN.stream_frames)
+    a, b = np.asarray(y0), np.asarray(y1)
+    snr = 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-20))
+    assert snr > 30, snr
