@@ -106,7 +106,7 @@ def action_dev(hparam, backend, ckpt):
 
 
 def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
-                       fused=False):
+                       fused=False, mk_kernel=False):
     """Chunked real-time streaming separation over the dev set: writes
     per-source (near/far) aligned wavs and reports RTF."""
     import jax
@@ -134,7 +134,8 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
         if wav_sr != sr:
             mix = AudioIO.resample(mix, wav_sr, sr)
         out, rtf = stream_signal(engine, variables, np.asarray(mix), sr,
-                                 chunk_ms=chunk_ms, half=half, fused=fused)
+                                 chunk_ms=chunk_ms, half=half, fused=fused,
+                                 mk_kernel=mk_kernel)
         rtfs.append(rtf)
         print(f"Streamed {key}: RTF {rtf:.1f}x real time")
         for m, tag in enumerate(["near", "far"][:out.shape[0]]):
@@ -160,7 +161,8 @@ def main(config):
         action_dev(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
-                           config.chunk_ms, config.half, config.fused)
+                           config.chunk_ms, config.half, config.fused,
+                           config.mk_kernel)
     else:
         raise NameError("Unrecognize action.")
 
@@ -174,6 +176,9 @@ if __name__ == "__main__":
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",
                         help="stream_eval in bfloat16 (serving mode)")
+    parser.add_argument("--mk_kernel", action="store_true",
+                        help="stream_eval with the wide-center masker "
+                             "kernel (DPARN_Mout)")
     parser.add_argument("--fused", action="store_true",
                         help="stream_eval with Pallas fused recurrences")
     parser.add_argument("--backend", type=str, default="tpu",
