@@ -186,7 +186,8 @@ def build_dparn_engine():
 
 
 def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
-                       dp_kernel=True, attn_kernel=False, mk_kernel=False):
+                       dp_kernel=True, attn_kernel=False, mk_kernel=False,
+                       xscr_half=False):
     import jax
     import jax.numpy as jnp
 
@@ -209,7 +210,7 @@ def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
         return engine.apply(vh, chunk, state,
                             fused=not (dp_kernel or mk_kernel),
                             dp_kernel=dp_kernel, attn_kernel=attn_kernel,
-                            mk_kernel=mk_kernel,
+                            mk_kernel=mk_kernel, xscr_half=xscr_half,
                             method=StreamingNS.step)
 
     return _timeit(step, (chunk, state)), step, (chunk, state)
