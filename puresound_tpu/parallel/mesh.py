@@ -42,6 +42,55 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def tp_spec(shape, n_mp: int, min_size: int = 64) -> P:
+    """Tensor-parallel PartitionSpec for one param leaf, by shape alone.
+
+    Rule: shard the LARGEST eligible axis (divisible by n_mp and at least
+    `min_size`; ties prefer the later axis) over "mp" — that catches both
+    this repo's torch-layout conv kernels ([C_out, C_in, k]: channel axes
+    lead) and dense/LSTM kernels ([in, out]: features trail); biases, norm
+    scales, and tiny kernels stay replicated. Whatever axis is picked,
+    GSPMD derives a correct program (a reduction-axis shard just becomes a
+    psum of partial products). Shape-based on purpose: the optimizer state
+    (adam mu/nu) mirrors param shapes, so the same rule places params and
+    their optimizer moments identically.
+    """
+    if n_mp <= 1 or len(shape) < 2:
+        return P()
+    best = -1
+    for ax, n in enumerate(shape):
+        if n % n_mp == 0 and n >= min_size and (best < 0
+                                                or n >= shape[best]):
+            best = ax
+    if best < 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "mp"
+    return P(*spec)
+
+
+def shard_state_to_mesh(mesh: Mesh, state, tp: bool = False,
+                        tp_min_size: int = 64):
+    """Place a TrainState on the mesh: replicated, or tensor-parallel.
+
+    tp=True shards eligible param (and optimizer-moment) leaves over the
+    "mp" mesh axis per `tp_spec`; GSPMD then derives the activation
+    shardings and collectives inside the jitted step from the leaf
+    placements alone — the XLA-native form of torch tensor parallelism,
+    which the reference never had (its only parallelism is DataParallel,
+    puresound/task/base.py:226-229).
+    """
+    n_mp = mesh.shape.get("mp", 1)
+
+    def put(x):
+        if not hasattr(x, "shape"):
+            return x
+        spec = tp_spec(x.shape, n_mp, tp_min_size) if tp else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, state)
+
+
 class TrainState(struct.PyTreeNode):
     """Minimal functional train state (params + opt + mutable collections)."""
 
@@ -71,7 +120,8 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     remat: bool = False,
                     compute_dtype=None,
                     accum_steps: int = 1,
-                    augment_fn: Optional[Callable] = None) -> Callable:
+                    augment_fn: Optional[Callable] = None,
+                    tp: bool = False, tp_min_size: int = 64) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     The returned step(state, batch, rng) -> (state, metrics) where batch is
@@ -99,6 +149,13 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
     effective B=256 trains inside 16 GB HBM when the full batch OOMs.
     Batch B must be divisible by k. batch_stats chain through the scan
     (last micro-batch wins, like k sequential steps would).
+
+    tp=True switches from replicated params to tensor-parallel ones: place
+    the state with shard_state_to_mesh(mesh, state, tp=True) first (eligible
+    kernel leaves sharded on "mp" per tp_spec) and dp-shard the batch as
+    usual; the step is jitted without explicit in/out shardings so GSPMD
+    derives the 2D (dp x mp) layout, collectives included, from the
+    argument placements.
     """
     loss_kwargs = loss_kwargs or {}
     # augment_fn(rng, batch) -> batch runs INSIDE the jitted step (on
@@ -201,13 +258,30 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
         state = state.apply_gradients(grads)
         if new_stats:
             state = state.replace(batch_stats=new_stats)
+        if tp and mesh is not None:
+            # anchor the output layout to the tp rule — without this GSPMD
+            # may re-decide small updated params as replicated and the
+            # sharded layout (the memory scaling tp buys) erodes step over
+            # step
+            n_mp = mesh.shape.get("mp", 1)
+
+            def constrain(x):
+                if not hasattr(x, "shape"):
+                    return x
+                spec = tp_spec(x.shape, n_mp, tp_min_size)
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+
+            state = state.replace(
+                params=jax.tree_util.tree_map(constrain, state.params),
+                opt_state=jax.tree_util.tree_map(constrain, state.opt_state))
         metrics = {"loss": loss, "grad_norm": gnorm}
         if detail is not None:
             for i, d in enumerate(detail):
                 metrics[f"loss_{i}"] = d
         return state, metrics
 
-    if mesh is not None:
+    if mesh is not None and not tp:
         replicated = NamedSharding(mesh, P())
         dp = NamedSharding(mesh, P("dp"))
         step_fn = jax.jit(
@@ -217,6 +291,11 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
             donate_argnums=(0,) if donate else (),
         )
     else:
+        # tp: the state arrives committed with per-leaf shardings
+        # (shard_state_to_mesh(tp=True)) and the batch dp-sharded; jit
+        # honors the argument placements and GSPMD propagates them through
+        # the step, inserting the mp all-gathers/reduce-scatters and the dp
+        # gradient all-reduce itself.
         step_fn = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     return step_fn
 

@@ -177,12 +177,21 @@ class NsTask(BaseTrainer):
         if self._mesh is None and hparam["TRAIN"].get("multi_gpu"):
             from ..parallel.mesh import make_mesh
 
-            self._mesh = make_mesh()
+            # TRAIN.mp_devices: k > 1 adds tensor parallelism: the mesh
+            # becomes (devices/k dp, k mp) and eligible kernels shard their
+            # output axis over "mp" (parallel/mesh.tp_spec)
+            self._mesh = make_mesh(
+                n_mp=int(hparam["TRAIN"].get("mp_devices") or 1))
+        self._tp = (self._mesh is not None
+                    and self._mesh.shape.get("mp", 1) > 1)
         if self._mesh is not None:
-            from ..parallel.mesh import replicate_to_mesh
+            from ..parallel.mesh import shard_state_to_mesh
 
-            self.state = replicate_to_mesh(self._mesh, self.state)
-            print(f"Data-parallel training over "
+            self.state = shard_state_to_mesh(
+                self._mesh, self.state, tp=self._tp,
+                tp_min_size=int(hparam["TRAIN"].get("tp_min_size") or 64))
+            print(f"{'Tensor+data' if self._tp else 'Data'}-parallel "
+                  f"training over "
                   f"{self._mesh.shape['dp']}x{self._mesh.shape['mp']} "
                   f"device mesh")
         self.train_dataloader = train_dataloader
@@ -264,7 +273,8 @@ class NsTask(BaseTrainer):
             compute_dtype=jnp.bfloat16 if mp else None,
             remat=self.hparam["TRAIN"].get("remat", False),
             accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1),
-            augment_fn=augment_fn)
+            augment_fn=augment_fn, tp=self._tp,
+            tp_min_size=int(self.hparam["TRAIN"].get("tp_min_size") or 64))
 
         def eval_step(params, batch_stats, batch):
             variables = {"params": params}

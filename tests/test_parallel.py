@@ -76,6 +76,59 @@ def test_dp_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_tp_train_step_matches_single_device(rng):
+    """One (dp=2, mp=4) tensor-parallel step must match the unsharded step:
+    eligible kernels sharded on their output axis, GSPMD inserting the mp
+    collectives + dp grad all-reduce from the leaf placements alone."""
+    from jax.sharding import PartitionSpec as P
+
+    from puresound_tpu.parallel import shard_state_to_mesh, tp_spec
+
+    model = _tiny_tse()
+    B, L = 8, 800
+    batch = {
+        "noisy": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "enroll": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "ref_clean": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+    }
+    variables = model.init(KEY, **batch, train=False)
+    tx = optax.adam(1e-3)
+
+    def run(mesh, tp):
+        state = TrainState.create(variables["params"], {}, tx)
+        step = make_train_step(model, grad_clip=10.0, mesh=mesh,
+                               donate=False, tp=tp, tp_min_size=8)
+        rngk = jax.random.PRNGKey(1)
+        if mesh is not None:
+            state = shard_state_to_mesh(mesh, state, tp=tp, tp_min_size=8)
+            b = shard_batch(mesh, batch)
+            rngk = replicate_to_mesh(mesh, rngk)
+        else:
+            b = batch
+        state, metrics = step(state, b, rngk)
+        return float(metrics["loss"]), state
+
+    loss_single, state_single = run(None, False)
+    mesh = make_mesh(n_dp=2, n_mp=4)
+    # the rule must actually shard something at this width (tiny model dims
+    # are multiples of 4 and >= 8)
+    n_sharded = sum(
+        tp_spec(p.shape, 4, min_size=8) != P()
+        for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n_sharded >= 4, n_sharded
+    loss_tp, state_tp = run(mesh, True)
+    np.testing.assert_allclose(loss_tp, loss_single, rtol=1e-5)
+    # params stay sharded through the optimizer update (no silent
+    # degeneration to replicated)
+    mp_leaves = [p for p in jax.tree_util.tree_leaves(state_tp.params)
+                 if hasattr(p, "sharding")
+                 and "mp" in (p.sharding.spec or ())]
+    assert len(mp_leaves) >= 4, len(mp_leaves)
+    for a, b in zip(jax.tree_util.tree_leaves(state_single.params),
+                    jax.tree_util.tree_leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_streaming_step_shards_over_streams(rng):
     """The serving step runs with the stream-batch axis sharded over dp
     (no collectives needed) and matches the unsharded result."""

@@ -314,6 +314,40 @@ def test_ns_training_loop_multi_gpu_matches_single(tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_ns_training_loop_tensor_parallel_matches_single(tmp_path):
+    """TRAIN.mp_devices: 4 on top of multi_gpu builds a (2 dp, 4 mp) mesh
+    with eligible kernels sharded on their output axis (tp_spec); the
+    2D-sharded epoch matches the single-device epoch loss."""
+    from jax.sharding import PartitionSpec as P
+
+    man = _make_ns_data(tmp_path)
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    def run(extra):
+        ds = NsDataset(man, resample_to=SR, max_length=1)
+        loader = DataLoader(ds, batch_size=4, shuffle=True,
+                            collate_fn=NsCollateFunc(), seed=123)
+        hp = _hparam(tmp_path, {"TRAIN": extra})
+        task = NsTask(hp, model, init_fn, "cpu", loader, loader)
+        losses = [task.train_one_epoch(0)["total_loss"] for _ in range(2)]
+        return losses, task
+
+    losses_1, _ = run({})
+    losses_tp, task_tp = run({"multi_gpu": True, "mp_devices": 4,
+                              "tp_min_size": 8})
+    assert task_tp._tp and task_tp._mesh.shape == {"dp": 2, "mp": 4}
+    np.testing.assert_allclose(losses_tp, losses_1, rtol=2e-2)
+    # kernels really are mp-sharded after stepping
+    mp_leaves = [p for p in jax.tree_util.tree_leaves(task_tp.state.params)
+                 if hasattr(p, "sharding") and "mp" in (p.sharding.spec or ())]
+    assert len(mp_leaves) >= 4, len(mp_leaves)
+
+
 def test_ns_cli_train_multi_gpu(tmp_path):
     """egs/ns/main.py --action train with a tiny conf (multi_gpu: true,
     grad_accum: 2) runs the full recipe path on the 8-virtual-device mesh
