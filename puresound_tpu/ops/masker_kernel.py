@@ -219,7 +219,10 @@ def conv_stage(dot, h_scr, s_scr, Wh, Ws, b_ref, a_ref, write,
     conv, time taps pre-flipped in the weights). write(f0, acc) stores
     each freq chunk's [fc*K*bt, C_out] activation."""
     R = K * bt
-    alpha = a_ref[0]
+    # Mosaic supports only 32-bit scalar vector.extracts — a_ref is bf16
+    # under half-precision serving, so cast the vector BEFORE extracting
+    # (a bare a_ref[0] fails the real-TPU compile; interpret mode passes)
+    alpha = a_ref[:].astype(jnp.float32)[0]
     for f0 in range(0, F, fc):
         lo, hi = max(f0 - 1, 0), min(f0 + fc + 1, F)
 

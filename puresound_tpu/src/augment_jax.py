@@ -168,11 +168,19 @@ class DeviceAugmentor:
     # ------------------------------------------------------------- batched ops
     def _convolve_delayed(self, wav, imp, delay):
         """FFT 'full' convolution, sliced [delay : delay + L] per example
-        (== AudioAugmentor._apply_impulse). wav [B, L], imp [B, Lr]."""
+        (== AudioAugmentor._apply_impulse). wav [B, L], imp [B, Lr].
+
+        The FFT length is rounded up to a power of two: XLA's TPU FFT
+        falls back to a materialized DFT-matrix program for sizes with
+        large prime factors (measured ~530 ms at n=39999 vs ~0 at 65536
+        on v5e — it built u32[n, n] twiddle matrices), so the exact
+        L + Lr - 1 length is catastrophically slower than the padded one.
+        """
         import jax.numpy as jnp
 
         L = wav.shape[-1]
         n = L + imp.shape[-1] - 1
+        n = 1 << (n - 1).bit_length()
         out = jnp.fft.irfft(jnp.fft.rfft(wav, n) * jnp.fft.rfft(imp, n), n)
         idx = delay[:, None] + jnp.arange(L)[None, :]
         return jnp.take_along_axis(out, idx, axis=-1).astype(wav.dtype)
