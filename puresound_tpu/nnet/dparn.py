@@ -180,9 +180,15 @@ class _DPARNBase(DualPathStreaming, Unet):
             self.dprnn_block1.intra_atten1.pos._pe[:Fb]).astype(jnp.float32)
         dot_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         if not b_tile:
-            tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
-                else (128, 64, 32, 16, 8, 4, 2, 1)
-            b_tile = next(t for t in tiles if B % t == 0)
+            from ..ops.masker_kernel import pick_center_tile
+
+            chans = (x.shape[1], state["dc"][1].shape[-1],
+                     state["dc"][2].shape[-1], state["u1h"].shape[-1],
+                     state["u0h"].shape[-1], state["u2h"].shape[-1])
+            b_tile = pick_center_tile(
+                B, x.shape[2], x.shape[3], chans,
+                state["h1"].shape[-1],
+                bf16=(x.dtype == jnp.bfloat16), xscr_half=xscr_half)
         y, dc, u0h, u0s, u1h, u2h, h_out, c_out = dparn_center_chunk(
             xt, pe, state["dc"], state["u0h"], state["u0s"],
             state["u1h"], state["u2h"],

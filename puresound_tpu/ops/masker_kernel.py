@@ -387,6 +387,34 @@ def _make_wide_kernel(bottleneck, n_bneck_refs, K, F, bt, chans, dot_dtype):
     return kernel
 
 
+def pick_center_tile(B, F, K, chans, H, bf16: bool, xscr_half: bool,
+                     n_extra_scr: int = 0) -> int:
+    """Largest stream tile whose estimated VMEM footprint fits the chip.
+
+    The estimate is 4.2x the declared scratch bytes, calibrated on the
+    flagship DPCRN geometry where the hardware compiler allocated 185.6 MB
+    at b_tile=128 against ~38 MB of declared scratch (in-kernel
+    temporaries and double-buffered blocks dominate); budget 120 MB of the
+    v5e's 128 MB VMEM. Static tile tables OOM'd the real TPU at geometries
+    interpret mode happily accepted.
+    """
+    scr = 2 if bf16 else 4
+    xscr = 2 if xscr_half else 4
+    C_in0, C2, C3, C4, CH, Cu2 = chans
+
+    def est(bt):
+        rows = bt + K * bt
+        stage = F * rows * ((C_in0 + C2 + C3 + C4 + Cu2 + CH) * scr
+                            + CH * xscr)
+        extra = n_extra_scr * F * K * bt * H * scr
+        return 4.2 * (stage + extra)
+
+    for bt in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if B % bt == 0 and est(bt) <= 120e6:
+            return bt
+    return 1
+
+
 def _wide_call(x, extra_in, dc, u0h, u0s, u1h, u2h, h_in, c_in,
                conv_weights, bneck_weights, bottleneck, extra_scratch,
                b_tile, interpret, dot_dtype, xscr_half, y_C):
