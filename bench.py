@@ -88,7 +88,8 @@ def _timeit(step, args, iters=30):
 # ---------------------------------------------------------------------------
 
 def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
-                        dtype=None, int8_hh=False, int8_full=False):
+                        dtype=None, int8_hh=False, int8_full=False,
+                        b_tile=None):
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +102,9 @@ def measure_tse_step_ms(engine, params, B, chunk_samples, fused=True,
     # (b_tile=2048 fails the remote compile); bigger tiles amortize the
     # per-iteration pipeline latency: 24,576 streams 14.29 (256) ->
     # 12.59 ms (1024). Tiny smoke batches just use one tile.
-    b_tile = min(1024 if dtype == jnp.bfloat16 else 128, B)
+    if b_tile is None:
+        b_tile = min(1024 if dtype == jnp.bfloat16 else 128, B)
+    b_tile = min(b_tile, B)
     if dtype == jnp.bfloat16:
         from puresound_tpu.streaming.halfprec import to_half
 
@@ -187,7 +190,7 @@ def build_dparn_engine():
 
 def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
                        dp_kernel=True, attn_kernel=False, mk_kernel=False,
-                       xscr_half=False):
+                       xscr_half=False, dp_sub_tiles=1):
     import jax
     import jax.numpy as jnp
 
@@ -211,6 +214,7 @@ def measure_ns_step_ms(engine, variables, B, chunk_samples=256,
                             fused=not (dp_kernel or mk_kernel),
                             dp_kernel=dp_kernel, attn_kernel=attn_kernel,
                             mk_kernel=mk_kernel, xscr_half=xscr_half,
+                            dp_sub_tiles=dp_sub_tiles,
                             method=StreamingNS.step)
 
     return _timeit(step, (chunk, state)), step, (chunk, state)
@@ -647,11 +651,14 @@ def main():
             ns_last = {}
 
             # pick the faster fused path at a probe batch: center-fused
-            # masker kernel (d4 + dual-path + u0) vs dual-path-only
+            # masker kernel (d4 + dual-path + u0) vs dual-path-only, and
+            # the dual-path kernel's sub-tile interleave factor (T tiles
+            # advanced per grid program — the serial-latency lever)
             use_mk = False
+            use_sub = 1
             if not smoke:
+                probe_B = 2048
                 try:
-                    probe_B = 2048
                     mk_ms, _, _ = measure_ns_step_ms(ns_engine, ns_vars,
                                                      probe_B, mk_kernel=True)
                     dp_ms, _, _ = measure_ns_step_ms(ns_engine, ns_vars,
@@ -662,10 +669,28 @@ def main():
                         "mk_ms": round(mk_ms, 3)}
                 except Exception as e:
                     detail["ns_kernel_probe"] = f"mk failed: {type(e).__name__}"
+                if not use_mk:
+                    sub_probe = {}
+                    best_ms = detail.get("ns_kernel_probe", {})
+                    best_ms = (best_ms.get("dp_ms", 1e9)
+                               if isinstance(best_ms, dict) else 1e9)
+                    for T in (2, 4):
+                        try:
+                            t_ms, _, _ = measure_ns_step_ms(
+                                ns_engine, ns_vars, probe_B, dp_sub_tiles=T)
+                            sub_probe[f"T{T}_ms"] = round(t_ms, 3)
+                            if t_ms < best_ms:
+                                best_ms, use_sub = t_ms, T
+                        except Exception as e:
+                            sub_probe[f"T{T}_ms"] = (
+                                f"failed: {type(e).__name__}")
+                            break
+                    detail["ns_sub_tiles_probe"] = sub_probe
 
             def ns_measure(B):
                 ms, step, args = measure_ns_step_ms(ns_engine, ns_vars, B,
-                                                    mk_kernel=use_mk)
+                                                    mk_kernel=use_mk,
+                                                    dp_sub_tiles=use_sub)
                 ns_last[B] = (step, args, ms)
                 return ms
 
@@ -679,6 +704,7 @@ def main():
             detail["ns_batches_tested"] = ns_results
             detail["ns_dp_kernel"] = not use_mk
             detail["ns_mk_kernel"] = use_mk
+            detail["ns_dp_sub_tiles"] = use_sub
             if ns_B in ns_last:
                 step, args, ms = ns_last[ns_B]
                 try:

@@ -168,7 +168,8 @@ class DPCRN(DualPathStreaming, Unet):
     def bottleneck_kernel_chunk(self, x: jnp.ndarray, state: dict,
                                 interpret: bool = False,
                                 b_tile: int = 0, int8_hh: bool = False,
-                                xscr_half: bool = False):
+                                xscr_half: bool = False,
+                                sub_tiles: int = 1):
         """Both dual-path blocks through the VMEM-resident Pallas kernel.
 
         x: [B, CH, F, K] -> (y [B, CH, F, K], new h1/c1/h2/c2). Requires the
@@ -191,12 +192,13 @@ class DPCRN(DualPathStreaming, Unet):
             # the serial grid
             tiles = (256, 128, 64, 32, 16, 8, 4, 2, 1) if xscr_half \
                 else (128, 64, 32, 16, 8, 4, 2, 1)
-            b_tile = next(t for t in tiles if B % t == 0)
+            b_tile = next(t for t in tiles
+                          if B % (t * sub_tiles) == 0 and t * sub_tiles <= B)
         y, h_out, c_out = dual_path_chunk(
             xt, [state["h1"], state["h2"]], [state["c1"], state["c2"]],
             self._dp_kernel_weights(int8_hh), b_tile=b_tile,
             interpret=interpret, dot_dtype=dot_dtype, int8_hh=int8_hh,
-            xscr_half=xscr_half)
+            xscr_half=xscr_half, sub_tiles=sub_tiles)
         return (y.transpose(2, 3, 0, 1), h_out[0], c_out[0],
                 h_out[1], c_out[1])
 

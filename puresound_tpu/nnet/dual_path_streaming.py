@@ -78,7 +78,8 @@ class DualPathStreaming:
                       fused: bool = False, dp_kernel: bool = False,
                       interpret: bool = False, dp_b_tile: int = 0,
                       int8_hh: bool = False, attn_kernel: bool = False,
-                      xscr_half: bool = False, mk_kernel: bool = False):
+                      xscr_half: bool = False, mk_kernel: bool = False,
+                      dp_sub_tiles: int = 1):
         """Process a chunk of frames through the streaming path.
 
         x: [B, C, K] -> (mask [B, C, K], new state). Matches __call__ on
@@ -120,7 +121,8 @@ class DualPathStreaming:
         if dp_kernel:
             h, h1, c1, h2, c2 = self.bottleneck_kernel_chunk(
                 h, state, interpret=interpret, b_tile=dp_b_tile,
-                int8_hh=int8_hh, xscr_half=xscr_half)
+                int8_hh=int8_hh, xscr_half=xscr_half,
+                sub_tiles=dp_sub_tiles)
         else:
             kw = {"attn_kernel": True} if attn_kernel else {}
             h, h1, c1 = self.dprnn_block1.step_chunk(

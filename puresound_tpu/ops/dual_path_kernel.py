@@ -79,6 +79,18 @@ def make_dots(dot_dtype, int8_hh: bool = False):
     return dot, dot_hh
 
 
+def _block_weights(w_refs, b: int, int8_hh: bool) -> dict:
+    """Name-map one block's slice of the flat weight-ref tuple."""
+    PB = _PER_BLOCK + (3 if int8_hh else 0)
+    sc = lambda n: ([f"s_{n}"] if int8_hh else [])
+    names = (["w_ih_f", "w_hh_f"] + sc("hh_f") + ["b_f"]
+             + ["w_ih_b", "w_hh_b"] + sc("hh_b") + ["b_b"]
+             + ["pw_f", "pw_b", "pb", "ig", "ib"]
+             + ["w_ih_i", "w_hh_i"] + sc("hh_i")
+             + ["b_i", "pw_i", "pb_i", "tg", "tb"])
+    return {name: w_refs[b * PB + j] for j, name in enumerate(names)}
+
+
 def dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
                    h_in, c_in, h_out, c_out,
                    n_blocks: int, K: int, F: int, H: int, bt: int,
@@ -90,18 +102,9 @@ def dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
     center-fused masker kernel (ops/masker_kernel.py)."""
     CH = x_scr.shape[-1]
     R = K * bt
-    PB = _PER_BLOCK + (3 if int8_hh else 0)
 
     for b in range(n_blocks):
-        w = {}
-        sc = lambda n: ([f"s_{n}"] if int8_hh else [])
-        names = (["w_ih_f", "w_hh_f"] + sc("hh_f") + ["b_f"]
-                 + ["w_ih_b", "w_hh_b"] + sc("hh_b") + ["b_b"]
-                 + ["pw_f", "pw_b", "pb", "ig", "ib"]
-                 + ["w_ih_i", "w_hh_i"] + sc("hh_i")
-                 + ["b_i", "pw_i", "pb_i", "tg", "tb"])
-        for j, name in enumerate(names):
-            w[name] = w_refs[b * PB + j]
+        w = _block_weights(w_refs, b, int8_hh)
 
         # -------- intra (frequency) pass: fwd + bwd fused per step ----
         zero = jnp.zeros((R, H), jnp.float32)
@@ -165,6 +168,98 @@ def dual_path_body(dot, dot_hh, x_scr, yf_scr, yb_scr, w_refs,
             c_out[b][p0:p0 + ic] = c.reshape(ic, bt, H).astype(c_out[b].dtype)
 
 
+def dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
+                         h_in, c_in, h_out, c_out,
+                         n_blocks: int, K: int, F: int, H: int, bt: int,
+                         int8_hh: bool):
+    """T-sub-tile variant of dual_path_body: one grid program advances T
+    independent stream tiles in lockstep, so each serial scan iteration
+    does T tiles' worth of dots/gates — T-fold fewer sequential
+    iterations than running the tiles as separate grid programs, while
+    every vector temporary stays [K*bt, .]-shaped (the sizes known to
+    compile on this toolchain; the equivalent whole-tile b_tile=T*128
+    form crashes the remote compiler).
+
+    x_scrs/yf_scrs/yb_scrs: length-T lists of [F, K*bt, .] scratch refs.
+    h_in/c_in/h_out/c_out: per-block refs of [F, T*bt, H] blocks; sub-tile
+    t owns stream columns [t*bt, (t+1)*bt).
+    """
+    T = len(x_scrs)
+    CH = x_scrs[0].shape[-1]
+    R = K * bt
+
+    for b in range(n_blocks):
+        w = _block_weights(w_refs, b, int8_hh)
+
+        # -------- intra (frequency) pass: fwd + bwd x T tiles per step --
+        zero = jnp.zeros((R, H), jnp.float32)
+
+        def intra_step(f, carry):
+            fb = F - 1 - f
+            out = []
+            for t in range(T):
+                hf, cf, hb, cb = carry[4 * t:4 * t + 4]
+                gf = (dot(x_scrs[t][f], w["w_ih_f"])
+                      + dot_hh(hf, w["w_hh_f"], w.get("s_hh_f"))
+                      + w["b_f"][:])
+                hf, cf = _lstm_gates(gf, cf, H)
+                yf_scrs[t][f] = hf.astype(yf_scrs[t].dtype)
+                gb = (dot(x_scrs[t][fb], w["w_ih_b"])
+                      + dot_hh(hb, w["w_hh_b"], w.get("s_hh_b"))
+                      + w["b_b"][:])
+                hb, cb = _lstm_gates(gb, cb, H)
+                yb_scrs[t][fb] = hb.astype(yb_scrs[t].dtype)
+                out += [hf, cf, hb, cb]
+            return tuple(out)
+
+        jax.lax.fori_loop(0, F, intra_step, tuple([zero] * (4 * T)))
+
+        # projection of both directions + LN + residual (per sub-tile)
+        n_pchunk = 8 if (R >= 512 and F % 8 == 0) else (
+            4 if F % 4 == 0 else (2 if F % 2 == 0 else 1))
+        pc = F // n_pchunk
+        for p0 in range(0, F, pc):
+            for t in range(T):
+                yf = yf_scrs[t][p0:p0 + pc].reshape(pc * R, H)
+                yb = yb_scrs[t][p0:p0 + pc].reshape(pc * R, H)
+                v = dot(yf, w["pw_f"]) + dot(yb, w["pw_b"]) + w["pb"][:]
+                v = _ln(v, w["ig"][:], w["ib"][:])
+                x_scrs[t][p0:p0 + pc] = (
+                    x_scrs[t][p0:p0 + pc]
+                    + v.reshape(pc, R, CH)).astype(x_scrs[t].dtype)
+
+        # ---------------- inter (time) pass: K steps x T tiles ----------
+        n_ichunk = 4 if (bt >= 256 and F % 4 == 0) else (
+            2 if F % 2 == 0 else 1)
+        ic = F // n_ichunk
+        for p0 in range(0, F, ic):
+            hs = [h_in[b][p0:p0 + ic, t * bt:(t + 1) * bt, :]
+                  .astype(jnp.float32).reshape(ic * bt, H)
+                  for t in range(T)]
+            cs = [c_in[b][p0:p0 + ic, t * bt:(t + 1) * bt, :]
+                  .astype(jnp.float32).reshape(ic * bt, H)
+                  for t in range(T)]
+            for k in range(K):
+                lo, hi = k * bt, (k + 1) * bt
+                for t in range(T):
+                    rows = x_scrs[t][p0:p0 + ic, lo:hi, :].reshape(
+                        ic * bt, CH)
+                    gates = (dot(rows, w["w_ih_i"])
+                             + dot_hh(hs[t], w["w_hh_i"], w.get("s_hh_i"))
+                             + w["b_i"][:])
+                    hs[t], cs[t] = _lstm_gates(gates, cs[t], H)
+                    v = dot(hs[t], w["pw_i"]) + w["pb_i"][:]
+                    v = _ln(v, w["tg"][:], w["tb"][:])
+                    x_scrs[t][p0:p0 + ic, lo:hi, :] = (
+                        x_scrs[t][p0:p0 + ic, lo:hi, :]
+                        + v.reshape(ic, bt, CH)).astype(x_scrs[t].dtype)
+            for t in range(T):
+                h_out[b][p0:p0 + ic, t * bt:(t + 1) * bt, :] = (
+                    hs[t].reshape(ic, bt, H).astype(h_out[b].dtype))
+                c_out[b][p0:p0 + ic, t * bt:(t + 1) * bt, :] = (
+                    cs[t].reshape(ic, bt, H).astype(c_out[b].dtype))
+
+
 def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
                  int8_hh: bool = False):
     # NOTE: x_scr's dtype follows the scratch shape passed by the caller
@@ -204,6 +299,49 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
     return kernel
 
 
+def _make_kernel_multi(n_blocks: int, K: int, F: int, H: int, dot_dtype,
+                       T: int, int8_hh: bool = False):
+    """Kernel processing T independent bt-wide sub-tiles per grid program
+    (block width T*bt; see dual_path_body_multi)."""
+    dot, dot_hh = make_dots(dot_dtype, int8_hh)
+
+    def kernel(x_ref, *refs):
+        PB = _PER_BLOCK + (3 if int8_hh else 0)
+        n_carry = 2 * n_blocks
+        h_in = refs[:n_blocks]
+        c_in = refs[n_blocks:n_carry]
+        w_refs = refs[n_carry:n_carry + PB * n_blocks]
+        y_ref = refs[n_carry + PB * n_blocks]
+        h_out = refs[n_carry + PB * n_blocks + 1:
+                     n_carry + PB * n_blocks + 1 + n_blocks]
+        c_out = refs[-3 * T - n_blocks:-3 * T]
+        scr = refs[-3 * T:]
+        x_scrs, yf_scrs, yb_scrs = scr[:T], scr[T:2 * T], scr[2 * T:]
+
+        bt = x_ref.shape[2] // T
+        CH = x_ref.shape[3]
+        # stage each sub-tile's [F, K, bt, CH] slice into its own flat
+        # [F, K*bt, CH] scratch (per-frame copies keep every load/store a
+        # static, sublane-aligned slice — no reshape across a sliced axis)
+        for t in range(T):
+            for k in range(K):
+                x_scrs[t][:, k * bt:(k + 1) * bt, :] = (
+                    x_ref[:, k, t * bt:(t + 1) * bt, :]
+                    .astype(x_scrs[t].dtype))
+
+        dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
+                             h_in, c_in, h_out, c_out,
+                             n_blocks, K, F, H, bt, int8_hh)
+
+        for t in range(T):
+            for k in range(K):
+                y_ref[:, k, t * bt:(t + 1) * bt, :] = (
+                    x_scrs[t][:, k * bt:(k + 1) * bt, :]
+                    .astype(y_ref.dtype))
+
+    return kernel
+
+
 def init_carries(n_blocks: int, F: int, batch: int, H: int,
                  dtype=jnp.float32):
     """Kernel-native inter-LSTM carries: per block (h, c) of [F, B, H]."""
@@ -211,31 +349,45 @@ def init_carries(n_blocks: int, F: int, batch: int, H: int,
     return [z() for _ in range(n_blocks)], [z() for _ in range(n_blocks)]
 
 
-@functools.partial(jax.jit, static_argnames=("b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half"))
+@functools.partial(jax.jit, static_argnames=(
+    "b_tile", "interpret", "dot_dtype", "int8_hh", "xscr_half",
+    "sub_tiles"))
 def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
                     interpret: bool = False, dot_dtype=jnp.float32,
-                    int8_hh: bool = False, xscr_half: bool = False):
+                    int8_hh: bool = False, xscr_half: bool = False,
+                    sub_tiles: int = 1):
     """Run a chunk through all dual-path blocks with VMEM-resident state.
 
     Args:
         x: [F, K, B, CH] bottleneck activations (freq-major).
         h_in/c_in: per-block lists of [F, B, H] inter carries.
         weights: flat tuple, _PER_BLOCK arrays per block (see module doc).
+        sub_tiles: T>1 advances T independent b_tile-wide stream tiles per
+            grid program in lockstep (T-fold fewer serial scan iterations;
+            the kernel is per-iteration latency bound). All vector
+            temporaries stay b_tile-row-sized — unlike raising b_tile,
+            which crashes the remote compiler past 128.
 
     Returns: (y [F, K, B, CH], h_out, c_out — same structure as h_in).
     """
     F, K, B, CH = x.shape
     n_blocks = len(h_in)
     H = h_in[0].shape[-1]
-    assert B % b_tile == 0, f"stream batch {B} must tile by {b_tile}"
-    n_tiles = B // b_tile
+    T = sub_tiles
+    bw = b_tile * T  # streams per grid program (block width)
+    assert B % bw == 0, f"stream batch {B} must tile by {b_tile}x{T}"
+    n_tiles = B // bw
 
-    kernel = _make_kernel(n_blocks, K, F, H, dot_dtype, int8_hh=int8_hh)
+    if T == 1:
+        kernel = _make_kernel(n_blocks, K, F, H, dot_dtype, int8_hh=int8_hh)
+    else:
+        kernel = _make_kernel_multi(n_blocks, K, F, H, dot_dtype, T,
+                                    int8_hh=int8_hh)
 
     grid = (n_tiles,)
-    specs_x = pl.BlockSpec((F, K, b_tile, CH), lambda i: (0, 0, i, 0),
+    specs_x = pl.BlockSpec((F, K, bw, CH), lambda i: (0, 0, i, 0),
                            memory_space=pltpu.VMEM)
-    spec_carry = pl.BlockSpec((F, b_tile, H), lambda i: (0, i, 0),
+    spec_carry = pl.BlockSpec((F, bw, H), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
     in_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
     for w in weights:
@@ -254,11 +406,9 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
     # make room for wider stream tiles (b_tile 256).
     scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
     x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
-    scratch_shapes = [
-        pltpu.VMEM((F, K * b_tile, CH), x_scr_dt),
-        pltpu.VMEM((F, K * b_tile, H), scr_dt),
-        pltpu.VMEM((F, K * b_tile, H), scr_dt),
-    ]
+    scratch_shapes = (
+        [pltpu.VMEM((F, K * b_tile, CH), x_scr_dt)] * T
+        + [pltpu.VMEM((F, K * b_tile, H), scr_dt)] * (2 * T))
 
     outs = pl.pallas_call(
         kernel,

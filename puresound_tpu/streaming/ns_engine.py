@@ -137,7 +137,8 @@ class StreamingNS(nn.Module):
              int8_hh: bool = False,
              attn_kernel: bool = False,
              xscr_half: bool = False,
-             mk_kernel: bool = False) -> Tuple[jnp.ndarray, dict]:
+             mk_kernel: bool = False,
+             dp_sub_tiles: int = 1) -> Tuple[jnp.ndarray, dict]:
         """Advance every stream by a chunk of S samples (S % hop == 0).
 
         Returns ([B, S], new state): the enhanced signal delayed by
@@ -170,6 +171,8 @@ class StreamingNS(nn.Module):
                 kw["int8_hh"] = True
             if xscr_half:
                 kw["xscr_half"] = True
+            if dp_kernel and dp_sub_tiles > 1:
+                kw["dp_sub_tiles"] = dp_sub_tiles
         if dvec is not None:
             mask, masker_state = self.masker.stream_frames(
                 ri, state["masker"], dvec, **kw)

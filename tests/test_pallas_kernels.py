@@ -186,6 +186,31 @@ def test_dual_path_kernel_matches_stock(rng):
                                            atol=3e-5, rtol=1e-4)
 
 
+def test_dual_path_kernel_sub_tiles_matches_single(rng):
+    """sub_tiles=2 (two stream tiles advanced per grid program — the
+    serial-latency lever) must match the single-tile kernel exactly
+    across carried chunks: same per-tile op order, just interleaved."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+
+    m = _test_dpcrn()
+    B, C = 4, 64
+    x0 = jnp.asarray(rng.standard_normal((B, C, 4)).astype(np.float32))
+    v = m.init(KEY, x0)
+    s_1 = m.apply(v, B, dp_kernel=True, method=DPCRN.init_stream_state)
+    s_2 = m.apply(v, B, dp_kernel=True, method=DPCRN.init_stream_state)
+    for step in range(3):
+        x = jnp.asarray(rng.standard_normal((B, C, 2)).astype(np.float32))
+        y_1, s_1 = m.apply(v, x, s_1, False, True, True,
+                           method=DPCRN.stream_frames)
+        y_2, s_2 = m.apply(v, x, s_2, False, True, True,
+                           dp_sub_tiles=2, method=DPCRN.stream_frames)
+        np.testing.assert_allclose(np.asarray(y_2), np.asarray(y_1),
+                                   atol=1e-6, err_msg=f"chunk {step}")
+        for key in ("h1", "c1", "h2", "c2"):
+            np.testing.assert_allclose(np.asarray(s_2[key]),
+                                       np.asarray(s_1[key]), atol=1e-6)
+
+
 def test_dpcrn_fused_step_chunk_matches_stock(rng):
     """DPCRN stream_frames(fused=True) == stock path (Pallas recurrences)."""
     from puresound_tpu.nnet.dpcrn import DPCRN
