@@ -669,23 +669,12 @@ def main():
                         "mk_ms": round(mk_ms, 3)}
                 except Exception as e:
                     detail["ns_kernel_probe"] = f"mk failed: {type(e).__name__}"
-                if not use_mk:
-                    sub_probe = {}
-                    best_ms = detail.get("ns_kernel_probe", {})
-                    best_ms = (best_ms.get("dp_ms", 1e9)
-                               if isinstance(best_ms, dict) else 1e9)
-                    for T in (2, 4):
-                        try:
-                            t_ms, _, _ = measure_ns_step_ms(
-                                ns_engine, ns_vars, probe_B, dp_sub_tiles=T)
-                            sub_probe[f"T{T}_ms"] = round(t_ms, 3)
-                            if t_ms < best_ms:
-                                best_ms, use_sub = t_ms, T
-                        except Exception as e:
-                            sub_probe[f"T{T}_ms"] = (
-                                f"failed: {type(e).__name__}")
-                            break
-                    detail["ns_sub_tiles_probe"] = sub_probe
+                # dp_sub_tiles (T tiles interleaved per grid program) is
+                # NOT probed: measured b_tile scaling is FLAT (128/64/32
+                # within 4% at B=2048 — the kernel is rate bound, not
+                # per-iteration latency bound), so the interleave cannot
+                # pay; and T>1 crashes the remote compiler anyway
+                # (scripts/exp_dp_btile.py, exp_dp_subtiles.py).
 
             def ns_measure(B):
                 ms, step, args = measure_ns_step_ms(ns_engine, ns_vars, B,

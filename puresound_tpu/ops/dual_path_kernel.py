@@ -176,13 +176,13 @@ def dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
     independent stream tiles in lockstep, so each serial scan iteration
     does T tiles' worth of dots/gates — T-fold fewer sequential
     iterations than running the tiles as separate grid programs, while
-    every vector temporary stays [K*bt, .]-shaped (the sizes known to
-    compile on this toolchain; the equivalent whole-tile b_tile=T*128
-    form crashes the remote compiler).
+    every ref block AND vector temporary stays [.., bt, ..]-shaped (the
+    sizes known to compile on this toolchain; both the whole-tile
+    b_tile=256 form and 256-wide block specs crash the remote compiler).
 
     x_scrs/yf_scrs/yb_scrs: length-T lists of [F, K*bt, .] scratch refs.
-    h_in/c_in/h_out/c_out: per-block refs of [F, T*bt, H] blocks; sub-tile
-    t owns stream columns [t*bt, (t+1)*bt).
+    h_in/c_in/h_out/c_out: per-block lists of length-T ref lists, each
+    ref an [F, bt, H] block (sub-tile t's own full-width block).
     """
     T = len(x_scrs)
     CH = x_scrs[0].shape[-1]
@@ -233,12 +233,10 @@ def dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
             2 if F % 2 == 0 else 1)
         ic = F // n_ichunk
         for p0 in range(0, F, ic):
-            hs = [h_in[b][p0:p0 + ic, t * bt:(t + 1) * bt, :]
-                  .astype(jnp.float32).reshape(ic * bt, H)
-                  for t in range(T)]
-            cs = [c_in[b][p0:p0 + ic, t * bt:(t + 1) * bt, :]
-                  .astype(jnp.float32).reshape(ic * bt, H)
-                  for t in range(T)]
+            hs = [h_in[b][t][p0:p0 + ic].astype(jnp.float32)
+                  .reshape(ic * bt, H) for t in range(T)]
+            cs = [c_in[b][t][p0:p0 + ic].astype(jnp.float32)
+                  .reshape(ic * bt, H) for t in range(T)]
             for k in range(K):
                 lo, hi = k * bt, (k + 1) * bt
                 for t in range(T):
@@ -254,10 +252,10 @@ def dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
                         x_scrs[t][p0:p0 + ic, lo:hi, :]
                         + v.reshape(ic, bt, CH)).astype(x_scrs[t].dtype)
             for t in range(T):
-                h_out[b][p0:p0 + ic, t * bt:(t + 1) * bt, :] = (
-                    hs[t].reshape(ic, bt, H).astype(h_out[b].dtype))
-                c_out[b][p0:p0 + ic, t * bt:(t + 1) * bt, :] = (
-                    cs[t].reshape(ic, bt, H).astype(c_out[b].dtype))
+                h_out[b][t][p0:p0 + ic] = hs[t].reshape(
+                    ic, bt, H).astype(h_out[b][t].dtype)
+                c_out[b][t][p0:p0 + ic] = cs[t].reshape(
+                    ic, bt, H).astype(c_out[b][t].dtype)
 
 
 def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
@@ -301,43 +299,47 @@ def _make_kernel(n_blocks: int, K: int, F: int, H: int, dot_dtype,
 
 def _make_kernel_multi(n_blocks: int, K: int, F: int, H: int, dot_dtype,
                        T: int, int8_hh: bool = False):
-    """Kernel processing T independent bt-wide sub-tiles per grid program
-    (block width T*bt; see dual_path_body_multi)."""
+    """Kernel processing T independent bt-wide sub-tiles per grid program.
+
+    Every sub-tile has its OWN input/output/carry refs (separate
+    [F, K, bt, CH] / [F, bt, H] block specs into the same HBM arrays) —
+    block shapes never exceed the single-tile sizes, which is what this
+    toolchain's remote compiler accepts (see dual_path_body_multi).
+    Ref order: x_t (T), h_in[b][t] (n_blocks*T), c_in[b][t], weights,
+    y_t (T), h_out[b][t], c_out[b][t], scratch x_scr_t/yf_t/yb_t (3T).
+    """
     dot, dot_hh = make_dots(dot_dtype, int8_hh)
 
-    def kernel(x_ref, *refs):
+    def kernel(*refs):
         PB = _PER_BLOCK + (3 if int8_hh else 0)
-        n_carry = 2 * n_blocks
-        h_in = refs[:n_blocks]
-        c_in = refs[n_blocks:n_carry]
-        w_refs = refs[n_carry:n_carry + PB * n_blocks]
-        y_ref = refs[n_carry + PB * n_blocks]
-        h_out = refs[n_carry + PB * n_blocks + 1:
-                     n_carry + PB * n_blocks + 1 + n_blocks]
-        c_out = refs[-3 * T - n_blocks:-3 * T]
+        nbt = n_blocks * T
+        x_refs = refs[:T]
+        group = lambda flat: [list(flat[b * T:(b + 1) * T])
+                              for b in range(n_blocks)]
+        h_in = group(refs[T:T + nbt])
+        c_in = group(refs[T + nbt:T + 2 * nbt])
+        w0 = T + 2 * nbt
+        w_refs = refs[w0:w0 + PB * n_blocks]
+        y0 = w0 + PB * n_blocks
+        y_refs = refs[y0:y0 + T]
+        h_out = group(refs[y0 + T:y0 + T + nbt])
+        c_out = group(refs[y0 + T + nbt:y0 + T + 2 * nbt])
         scr = refs[-3 * T:]
         x_scrs, yf_scrs, yb_scrs = scr[:T], scr[T:2 * T], scr[2 * T:]
 
-        bt = x_ref.shape[2] // T
-        CH = x_ref.shape[3]
-        # stage each sub-tile's [F, K, bt, CH] slice into its own flat
-        # [F, K*bt, CH] scratch (per-frame copies keep every load/store a
-        # static, sublane-aligned slice — no reshape across a sliced axis)
+        bt = x_refs[0].shape[2]
+        CH = x_refs[0].shape[3]
         for t in range(T):
-            for k in range(K):
-                x_scrs[t][:, k * bt:(k + 1) * bt, :] = (
-                    x_ref[:, k, t * bt:(t + 1) * bt, :]
-                    .astype(x_scrs[t].dtype))
+            x_scrs[t][:] = x_refs[t][:].reshape(F, K * bt, CH).astype(
+                x_scrs[t].dtype)
 
         dual_path_body_multi(dot, dot_hh, x_scrs, yf_scrs, yb_scrs, w_refs,
                              h_in, c_in, h_out, c_out,
                              n_blocks, K, F, H, bt, int8_hh)
 
         for t in range(T):
-            for k in range(K):
-                y_ref[:, k, t * bt:(t + 1) * bt, :] = (
-                    x_scrs[t][:, k * bt:(k + 1) * bt, :]
-                    .astype(y_ref.dtype))
+            y_refs[t][:] = x_scrs[t][:].reshape(F, K, bt, CH).astype(
+                y_refs[t].dtype)
 
     return kernel
 
@@ -385,31 +387,49 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
                                     int8_hh=int8_hh)
 
     grid = (n_tiles,)
-    specs_x = pl.BlockSpec((F, K, bw, CH), lambda i: (0, 0, i, 0),
-                           memory_space=pltpu.VMEM)
-    spec_carry = pl.BlockSpec((F, bw, H), lambda i: (0, i, 0),
-                              memory_space=pltpu.VMEM)
-    in_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
+    # Per-sub-tile block specs: sub-tile t of program i covers streams
+    # [t*(B/T) + i*b_tile, ...) — contiguous T-th slices of the batch, so
+    # the per-sub-tile outputs reassemble with one concatenate. Block
+    # shapes stay at the single-tile sizes (wider blocks crash the
+    # remote compiler).
+    spec_x_t = [pl.BlockSpec((F, K, b_tile, CH),
+                             lambda i, _t=t: (0, 0, _t * n_tiles + i, 0),
+                             memory_space=pltpu.VMEM) for t in range(T)]
+    spec_carry_t = [pl.BlockSpec((F, b_tile, H),
+                                 lambda i, _t=t: (0, _t * n_tiles + i, 0),
+                                 memory_space=pltpu.VMEM) for t in range(T)]
+    spec_out_x = [pl.BlockSpec((F, K, b_tile, CH), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM)] * T
+    spec_out_carry = [pl.BlockSpec((F, b_tile, H), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)] * T
+
+    in_specs = (spec_x_t
+                + spec_carry_t * n_blocks      # h_in[b] x T specs each
+                + spec_carry_t * n_blocks)     # c_in[b]
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
                                      memory_space=pltpu.VMEM))
 
-    out_shape = ([jax.ShapeDtypeStruct((F, K, B, CH), x.dtype)]
-                 + [jax.ShapeDtypeStruct((F, B, H), h_in[0].dtype)
-                    for _ in range(2 * n_blocks)])
-    out_specs = [specs_x] + [spec_carry] * (2 * n_blocks)
+    Bs = B // T  # streams per sub-tile output array
+    out_shape = ([jax.ShapeDtypeStruct((F, K, Bs, CH), x.dtype)] * T
+                 + [jax.ShapeDtypeStruct((F, Bs, H), h_in[0].dtype)
+                    for _ in range(2 * n_blocks * T)])
+    out_specs = spec_out_x + spec_out_carry * (2 * n_blocks)
 
     # direction buffers only feed the (dot_dtype) projection dots — store
     # them at dot precision to halve their VMEM in serving mode.
     # xscr_half additionally stores the residual activation scratch in
-    # bf16 (arithmetic stays f32), halving the dominant VMEM buffer to
-    # make room for wider stream tiles (b_tile 256).
+    # bf16 (arithmetic stays f32), halving the dominant VMEM buffer.
     scr_dt = jnp.bfloat16 if dot_dtype == jnp.bfloat16 else jnp.float32
     x_scr_dt = jnp.bfloat16 if xscr_half else jnp.float32
     scratch_shapes = (
         [pltpu.VMEM((F, K * b_tile, CH), x_scr_dt)] * T
         + [pltpu.VMEM((F, K * b_tile, H), scr_dt)] * (2 * T))
 
+    operands = ([x] * T
+                + [h for h in h_in for _ in range(T)]
+                + [c for c in c_in for _ in range(T)]
+                + list(weights))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -420,8 +440,16 @@ def dual_path_chunk(x, h_in, c_in, weights, b_tile: int = 128,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, *h_in, *c_in, *weights)
-    y = outs[0]
-    h_out = list(outs[1:1 + n_blocks])
-    c_out = list(outs[1 + n_blocks:])
+    )(*operands)
+    if T == 1:
+        y = outs[0]
+        h_out = list(outs[1:1 + n_blocks])
+        c_out = list(outs[1 + n_blocks:])
+        return y, h_out, c_out
+    y = jnp.concatenate(outs[:T], axis=2)
+    cat = lambda flat, b: jnp.concatenate(flat[b * T:(b + 1) * T], axis=1)
+    h_flat = outs[T:T + n_blocks * T]
+    c_flat = outs[T + n_blocks * T:]
+    h_out = [cat(h_flat, b) for b in range(n_blocks)]
+    c_out = [cat(c_flat, b) for b in range(n_blocks)]
     return y, h_out, c_out
