@@ -87,16 +87,20 @@ class LSTMCellParams(nn.Module):
 
     def scan(self, x: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray, reverse: bool = False):
         """Run over a sequence. x: [B, T, C] -> (y [B, T, H], (hT, cT))."""
-        xp = self.input_proj(x)  # [B, T, 4H]
         # measured crossover: at <256 rows the per-kernel overhead loses to
         # lax.scan (B=8 flagship: 19 ms fused vs 10 ms stock); at 896 rows
         # the fused path wins 66 -> 50 ms
+        xp = self.input_proj(x)  # [B, T, 4H]
         if (FUSED_TRAIN_SCAN and x.shape[0] >= 256 and x.shape[1] >= 8
                 and self.hidden % 8 == 0):
             import jax as _jax
 
             from ...ops.lstm_train_kernel import lstm_scan_train
 
+            # batch-major entry: the [B,T,4H]<->[T,B,4H] swaps around the
+            # kernel FUSE into the projection matmul's output layout (a
+            # time-major caller that transposes raw x instead measured
+            # +0.6 ms — the x transpose materializes as a Pallas operand)
             dd = jnp.bfloat16 if xp.dtype == jnp.bfloat16 else jnp.float32
             y, hT, cT = lstm_scan_train(
                 xp, h0, c0, self.w_hh, reverse, 0,

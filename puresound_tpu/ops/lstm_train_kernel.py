@@ -261,19 +261,24 @@ def _bwd_call(gates, cseq, cprev, hprev, dy_t, dhT, dcT, w_hh,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def lstm_scan_train(xp, h0, c0, w_hh, reverse: bool = False,
-                    b_tile: int = 0, interpret: bool = False,
-                    dot_dtype=jnp.float32):
-    """Differentiable fused LSTM scan.
+def lstm_scan_train_tm(xp_t, h0, c0, w_hh, reverse: bool = False,
+                       b_tile: int = 0, interpret: bool = False,
+                       dot_dtype=jnp.float32):
+    """Differentiable fused LSTM scan, TIME-MAJOR end to end.
 
-    Args match ops.lstm_scan_kernel.lstm_scan: xp [B, T, 4H] hoisted input
-    projections, h0/c0 [B, H], w_hh [H, 4H]. Returns (y [B, T, H],
-    hT [B, H], cT [B, H]); identical numerics to LSTMCellParams.scan, with
-    a Pallas backward (residuals: activated gates + cell sequence).
+    xp_t [T, B, 4H] hoisted input projections, h0/c0 [B, H], w_hh [H, 4H].
+    Returns (y_t [T, B, H], hT [B, H], cT [B, H]).
+
+    Time-major is the kernel's native layout; this entry point avoids the
+    [B, T, 4H] <-> [T, B, 4H] transposes the batch-major wrapper pays —
+    at the flagship training shapes those were ~275 MB HBM round trips per
+    SkiM block per pass (the 4H-wide xp/dxp tensors), on a step measured
+    HBM-bound (backward at ~81% of peak bandwidth). Callers transpose the
+    4x-narrower x instead and project time-major (rnn.LSTMCellParams.scan).
     """
-    y, hT, cT, _, _ = _run_fwd(xp, h0, c0, w_hh, reverse, b_tile, interpret,
-                               dot_dtype)
-    return y, hT, cT
+    y_t, hT, cT, _, _ = _run_fwd(xp_t, h0, c0, w_hh, reverse, b_tile,
+                                 interpret, dot_dtype)
+    return y_t, hT, cT
 
 
 def _resolve_tile(B, b_tile):
@@ -284,33 +289,31 @@ def _resolve_tile(B, b_tile):
     return b_tile
 
 
-def _run_fwd(xp, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
-    B, T, H4 = xp.shape
+def _run_fwd(xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
+    T, B, H4 = xp_t.shape
     b_tile = _resolve_tile(B, b_tile)
-    xp_t = jnp.swapaxes(xp, 0, 1)
-    y_t, hT, cT, gates, cseq = _fwd_call(
+    return _fwd_call(
         xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype)
-    return jnp.swapaxes(y_t, 0, 1), hT, cT, gates, cseq
 
 
-def _fwd_rule(xp, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
-    y, hT, cT, gates, cseq = _run_fwd(xp, h0, c0, w_hh, reverse, b_tile,
-                                      interpret, dot_dtype)
-    return (y, hT, cT), (gates, cseq, c0, h0, y, w_hh)
+def _fwd_rule(xp_t, h0, c0, w_hh, reverse, b_tile, interpret, dot_dtype):
+    y_t, hT, cT, gates, cseq = _run_fwd(xp_t, h0, c0, w_hh, reverse, b_tile,
+                                        interpret, dot_dtype)
+    return (y_t, hT, cT), (gates, cseq, c0, h0, y_t, w_hh)
 
 
 def _bwd_rule(reverse, b_tile, interpret, dot_dtype, res, cts):
-    gates, cseq, c0, h0, y, w_hh = res
-    dy, dhT, dcT = cts
+    gates, cseq, c0, h0, y_t, w_hh = res
+    dy_t, dhT, dcT = cts
     T, B, H4 = gates.shape
     H = H4 // 4
     b_tile = _resolve_tile(B, b_tile)
 
-    y_t = jnp.swapaxes(y, 0, 1)  # [T, B, H] in INPUT time order
     if reverse:
         # forward visited t = T-1 .. 0; "previous" state of visit k is the
         # state after visit k-1, i.e. time index t+1
-        hprev = jnp.concatenate([y_t[1:], h0[None]], axis=0)
+        hprev = jnp.concatenate([y_t[1:], h0[None].astype(y_t.dtype)],
+                                axis=0)
         cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
                                 axis=0)
     else:
@@ -319,16 +322,29 @@ def _bwd_rule(reverse, b_tile, interpret, dot_dtype, res, cts):
         cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
                                 axis=0)
 
-    dy_t = jnp.swapaxes(dy, 0, 1)
     dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
     dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
     dxp_t, dh0, dc0, dwhh = _bwd_call(
         gates, cseq, cprev, hprev, dy_t,
         dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh,
         reverse, b_tile, interpret, dot_dtype)
-    return (jnp.swapaxes(dxp_t, 0, 1).astype(jnp.result_type(gates.dtype)),
+    return (dxp_t.astype(jnp.result_type(gates.dtype)),
             dh0.astype(h0.dtype), dc0.astype(c0.dtype),
             dwhh.astype(w_hh.dtype))
 
 
-lstm_scan_train.defvjp(_fwd_rule, _bwd_rule)
+lstm_scan_train_tm.defvjp(_fwd_rule, _bwd_rule)
+
+
+def lstm_scan_train(xp, h0, c0, w_hh, reverse: bool = False,
+                    b_tile: int = 0, interpret: bool = False,
+                    dot_dtype=jnp.float32):
+    """Batch-major wrapper: xp [B, T, 4H] -> (y [B, T, H], hT, cT).
+
+    Pays [B,T,*] <-> [T,B,*] transposes on xp/y (and their cotangents);
+    prefer lstm_scan_train_tm plus a transpose of the narrower raw x when
+    the projection can be hoisted time-major."""
+    y_t, hT, cT = lstm_scan_train_tm(
+        jnp.swapaxes(xp, 0, 1), h0, c0, w_hh, reverse, b_tile, interpret,
+        dot_dtype)
+    return jnp.swapaxes(y_t, 0, 1), hT, cT
