@@ -120,6 +120,7 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                     remat: bool = False,
                     compute_dtype=None,
                     accum_steps: int = 1,
+                    skip_nonfinite: bool = False,
                     augment_fn: Optional[Callable] = None,
                     tp: bool = False, tp_min_size: int = 64) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
@@ -142,6 +143,13 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
     activation HBM) while the master params, gradients, and optimizer state
     stay float32 (the cast is differentiated through, so grads come out
     f32; batch_stats updates are cast back to f32).
+
+    skip_nonfinite=True guards production runs: a batch producing a
+    NaN/Inf loss or gradient applies a ZERO update (params/opt-moments
+    advance as a zero-gradient step, batch_stats keep their previous
+    value) and metrics["skipped"]=1 flags it. Jittable (jnp.where), so it
+    composes with the dp/tp mesh and grad accumulation. YAML:
+    TRAIN.skip_nan_steps.
 
     accum_steps=k runs gradient accumulation: the batch's leading axis is
     split into k micro-batches scanned sequentially (activation memory is
@@ -255,8 +263,28 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         else:
             gnorm = optax.global_norm(grads)
+        if skip_nonfinite:
+            # production guard: one batch with a NaN/Inf loss or gradient
+            # (bad sample, fp overflow) must not poison the params — apply
+            # a ZERO update instead (Adam moments and the step counter
+            # still advance, matching a zero-gradient step; jittable, so
+            # it composes with the dp/tp mesh and grad accumulation).
+            # metrics["skipped"] reports it; the reference trainer
+            # (puresound/task/base.py:255-276) has no such guard.
+            ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         state = state.apply_gradients(grads)
         if new_stats:
+            if skip_nonfinite and (jax.tree_util.tree_structure(new_stats)
+                                   == jax.tree_util.tree_structure(
+                                       state.batch_stats)):
+                # keep the previous stats on a skipped step (only possible
+                # when the state already carries them — on the very first
+                # apply that CREATES the collections there is no previous)
+                new_stats = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new_stats,
+                    state.batch_stats)
             state = state.replace(batch_stats=new_stats)
         if tp and mesh is not None:
             # anchor the output layout to the tp rule — without this GSPMD
@@ -276,6 +304,8 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
                 params=jax.tree_util.tree_map(constrain, state.params),
                 opt_state=jax.tree_util.tree_map(constrain, state.opt_state))
         metrics = {"loss": loss, "grad_norm": gnorm}
+        if skip_nonfinite:
+            metrics["skipped"] = (~ok).astype(jnp.float32)
         if detail is not None:
             for i, d in enumerate(detail):
                 metrics[f"loss_{i}"] = d

@@ -273,6 +273,7 @@ class NsTask(BaseTrainer):
             compute_dtype=jnp.bfloat16 if mp else None,
             remat=self.hparam["TRAIN"].get("remat", False),
             accum_steps=int(self.hparam["TRAIN"].get("grad_accum") or 1),
+            skip_nonfinite=bool(self.hparam["TRAIN"].get("skip_nan_steps")),
             augment_fn=augment_fn, tp=self._tp,
             tp_min_size=int(self.hparam["TRAIN"].get("tp_min_size") or 64))
 

@@ -417,3 +417,46 @@ def test_grad_accum_with_mesh_and_mixed_precision(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all() if hasattr(np.isfinite(losses), 'all') else all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_skip_nonfinite_guard(rng):
+    """skip_nonfinite=True: a batch with NaN input leaves the params at the
+    zero-update trajectory (flagged in metrics), a clean batch trains; the
+    unguarded step poisons the params. YAML: TRAIN.skip_nan_steps."""
+    model = _tiny_tse()
+    B, L = 4, 400
+    clean = {
+        "noisy": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "enroll": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+        "ref_clean": jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 0.1),
+    }
+    bad = dict(clean)
+    bad["noisy"] = bad["noisy"].at[0, 7].set(np.nan)
+    variables = model.init(KEY, **clean, train=False)
+    rngk = jax.random.PRNGKey(1)
+
+    guarded = make_train_step(model, grad_clip=10.0, donate=False,
+                              skip_nonfinite=True)
+    state = TrainState.create(variables["params"], {}, optax.adam(1e-3))
+    # zero-update reference: what params look like after one zero-grad step
+    zstate = state.apply_gradients(
+        jax.tree_util.tree_map(jnp.zeros_like, state.params))
+
+    s1, m1 = guarded(state, bad, rngk)
+    assert float(m1["skipped"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(zstate.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s1.step) == 1
+
+    s2, m2 = guarded(s1, clean, rngk)
+    assert float(m2["skipped"]) == 0.0 and np.isfinite(float(m2["loss"]))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                               jax.tree_util.tree_leaves(s1.params)))
+
+    unguarded = make_train_step(model, grad_clip=10.0, donate=False)
+    s3, m3 = unguarded(state, bad, rngk)
+    assert not np.isfinite(float(m3["loss"]))
+    assert any(not np.all(np.isfinite(np.asarray(a)))
+               for a in jax.tree_util.tree_leaves(s3.params))
