@@ -317,3 +317,60 @@ def test_tse_veve_dprnn_waveform_parity(torch_oracle):
     snr = 10 * np.log10((t ** 2).sum()
                         / np.maximum(((j - t) ** 2).sum(), 1e-300))
     assert snr > 60.0, f"veve DPRNN waveform parity SNR {snr:.1f} dB"
+
+
+def test_convert_reference_model_migration(torch_oracle):
+    """The user-facing migration API (utils/torch_import.py
+    convert_reference_model): a trained reference TSE model converts into
+    a validated variables dict that reproduces the reference waveform."""
+    torch = torch_oracle
+    import sys
+
+    from puresound_tpu.utils.torch_import import (convert_reference_model,
+                                                  structure_mismatches)
+
+    sys.path.insert(0, "/root/reference/egs/tse")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    mix, enroll = _load_audio()
+    torch.manual_seed(11)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("tse_skim_v0_causal", None, None,
+                        verbose=False).double()
+        tm.eval()
+        with torch.no_grad():
+            t_out = tm.inference(torch.from_numpy(mix.astype(np.float64)),
+                                 torch.from_numpy(enroll.astype(np.float64)))
+        t_out = t_out.numpy()
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    with jax.enable_x64(True):
+        jm = init_tse_model("tse_skim_v0_causal")
+        init_v = jm.init(jax.random.PRNGKey(0),
+                         jnp.asarray(mix.astype(np.float64)),
+                         jnp.asarray(enroll.astype(np.float64)),
+                         method=SoTaskWrapModule.inference)
+        variables = convert_reference_model(tm, init_v)
+        assert structure_mismatches(init_v, variables) == []
+        j_out = np.asarray(jm.apply(
+            variables, jnp.asarray(mix.astype(np.float64)),
+            jnp.asarray(enroll.astype(np.float64)),
+            method=SoTaskWrapModule.inference))
+
+    err = j_out - t_out
+    snr = 10 * np.log10(np.sum(t_out**2) / np.maximum(np.sum(err**2), 1e-300))
+    assert snr > 60.0, f"migrated-model agreement only {snr:.1f} dB"
+
+    # unknown masker -> clear error
+    class Fake:
+        masker = object()
+        encoder = object()
+
+    with pytest.raises(KeyError):
+        convert_reference_model(Fake(), init_v)
