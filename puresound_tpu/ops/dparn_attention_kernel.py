@@ -38,23 +38,13 @@ ATTN_LAYER_NAMES = ("wqT", "wkT", "wvT", "woT", "ln1_g", "ln1_b",
                     "ff1_k", "ff1_b", "ff2_k", "ff2_b", "ln2_g", "ln2_b")
 
 
-def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a):
-    """x: [rt, F, C] f32. One MhaSelfAttenLayer, deterministic. Shared by
-    the intra-attention kernel and the DPARN center-fused masker kernel
-    (ops/masker_kernel.dparn_center_chunk). `cast` sets the dtype of the
-    3-D attention dot_general operands (bf16 in serving mode)."""
-    rt, F, C = x.shape
+def _perhead_attn(q2, k2, v2, rt, F, C, H, cast):
+    """Per-head loop with 3-D ops only: Mosaic rejects the 4-D head
+    transpose form on this toolchain (remote-compile 500); column slices +
+    batch-0 dot_generals compile fine — but each head's dots are [F, Dh] x
+    [Dh, F] with Dh = C/H (16 at the flagship), so every MXU pass runs at
+    ~1/8 lane utilization and the batch unrolls serially."""
     Dh = C // H
-    src = x
-    xq = x + pe if pe is not None else x
-    x2 = xq.reshape(rt * F, C)
-
-    # per-head loop with 3-D ops only: Mosaic rejects the 4-D
-    # head transpose form on this toolchain (remote-compile 500);
-    # column slices + batch-0 dot_general compile fine
-    q2 = dot(x2, w["wqT"])
-    k2 = dot(x2, w["wkT"])
-    v2 = dot(x2, w["wvT"])
     outs = []
     for hh in range(H):
         sl = slice(hh * Dh, (hh + 1) * Dh)
@@ -70,7 +60,67 @@ def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a):
             cast(weights), cast(vh),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))  # [rt, F, Dh]
-    out = jnp.concatenate(outs, axis=-1).reshape(rt * F, C)
+    return jnp.concatenate(outs, axis=-1).reshape(rt * F, C)
+
+
+def _blockdiag_attn(q2, k2, v2, rt, F, C, H, cast):
+    """All-heads-in-one-dot attention via static block-diagonal masks.
+
+    Builds K_bd/V_bd [rt, H*F, C] by tiling K/V H times along the token
+    axis and zeroing columns outside each block's head, so ONE batched
+    [F, C] x [C, H*F] dot yields every head's logits side by side (the
+    mask kills cross-head terms in the full-C contraction), and one
+    [F, H*F] x [H*F, C] dot applies all heads' attention with the outputs
+    landing in their head's column slice. 8x the per-head FLOPs (zeros),
+    but the contractions are full-width (C=128 lanes) instead of Dh=16,
+    and 2 batched dots replace 2*H.
+
+    MEASURED RESULT (flagship geometry F=64 C=128 H=8, R=4096): FAILS the
+    remote TPU compile (tpu_compile_helper 500) at every (dtype, r_tile)
+    tried, f32/bf16 x 32/64 — same failure class as big-tile dual_path
+    configs — while exact in interpret mode (129.5 dB vs perhead).
+    Kept as a documented experiment; 'perhead' stays the default and only
+    hardware-compilable variant (bf16 r_tile=64: 7.5 ms at R=4096)."""
+    Dh = C // H
+    HF = H * F
+    q3 = q2.reshape(rt, F, C)
+    k3 = k2.reshape(rt, F, C)
+    v3 = v2.reshape(rt, F, C)
+    # mask[h*F+g, c] = 1 iff column c belongs to head h
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (HF, C), 0) // F
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (HF, C), 1) // Dh
+    mask = (row_h == col_h).astype(jnp.float32)
+    k_bd = jnp.concatenate([k3] * H, axis=1) * mask  # [rt, HF, C]
+    v_bd = jnp.concatenate([v3] * H, axis=1) * mask
+    logits = jax.lax.dot_general(
+        cast(q3), cast(k_bd),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(Dh))
+    weights = jax.nn.softmax(
+        logits.reshape(rt * F, H, F), axis=-1).reshape(rt, F, HF)
+    out = jax.lax.dot_general(
+        cast(weights), cast(v_bd),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [rt, F, C]
+    return out.reshape(rt * F, C)
+
+
+def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a,
+                            variant: str = "perhead"):
+    """x: [rt, F, C] f32. One MhaSelfAttenLayer, deterministic. Shared by
+    the intra-attention kernel and the DPARN center-fused masker kernel
+    (ops/masker_kernel.dparn_center_chunk). `cast` sets the dtype of the
+    3-D attention dot_general operands (bf16 in serving mode)."""
+    rt, F, C = x.shape
+    src = x
+    xq = x + pe if pe is not None else x
+    x2 = xq.reshape(rt * F, C)
+
+    q2 = dot(x2, w["wqT"])
+    k2 = dot(x2, w["wkT"])
+    v2 = dot(x2, w["wvT"])
+    attn = _blockdiag_attn if variant == "blockdiag" else _perhead_attn
+    out = attn(q2, k2, v2, rt, F, C, H, cast)
     out = dot(out, w["woT"]).reshape(rt, F, C)
     x = _ln(src + out, w["ln1_g"][:], w["ln1_b"][:])
     src = x
@@ -80,7 +130,7 @@ def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a):
     return _ln(src + ff.reshape(rt, F, C), w["ln2_g"][:], w["ln2_b"][:])
 
 
-def _make_kernel(H: int, with_pe: tuple, dot_dtype):
+def _make_kernel(H: int, with_pe: tuple, dot_dtype, variant: str = "perhead"):
     n_layers = len(with_pe)
 
     def dot(a, w_ref):
@@ -89,7 +139,8 @@ def _make_kernel(H: int, with_pe: tuple, dot_dtype):
 
     def encoder_layer(x, pe, w):
         return attention_encoder_layer(x, pe, w, H, dot,
-                                       cast=lambda a: a.astype(dot_dtype))
+                                       cast=lambda a: a.astype(dot_dtype),
+                                       variant=variant)
 
     def kernel(x_ref, pe_ref, *refs):
         y_ref = refs[-1]
@@ -119,9 +170,10 @@ def _make_kernel(H: int, with_pe: tuple, dot_dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "r_tile", "interpret",
-                                             "dot_dtype"))
+                                             "dot_dtype", "variant"))
 def dparn_intra_pass(x, pe, weights, heads: int, r_tile: int = 64,
-                     interpret: bool = False, dot_dtype=jnp.float32):
+                     interpret: bool = False, dot_dtype=jnp.float32,
+                     variant: str = "perhead"):
     """Fused intra pass: 2 encoder layers + FC + LayerNormLast.
 
     Args:
@@ -150,7 +202,7 @@ def dparn_intra_pass(x, pe, weights, heads: int, r_tile: int = 64,
             w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
             memory_space=pltpu.VMEM))
 
-    kernel = _make_kernel(heads, (True, False), dot_dtype)
+    kernel = _make_kernel(heads, (True, False), dot_dtype, variant)
     return pl.pallas_call(
         kernel,
         grid=grid,
