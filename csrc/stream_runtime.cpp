@@ -112,6 +112,22 @@ int64_t hub_output_available(void* h, int sid) {
   return static_cast<int64_t>(hub->out_rings[sid].available());
 }
 
+// Session lifecycle: drop everything buffered in stream `sid`'s rings so a
+// new client can take over the slot. Must be called from the serving-loop
+// side while the slot's client threads are quiescent (i.e. after detach /
+// before the next client starts feeding): the input ring's drain moves the
+// consumer cursor (serving loop IS the consumer), but the output ring's
+// drain moves a cursor normally owned by the client thread.
+void hub_reset_stream(void* h, int sid) {
+  Hub* hub = static_cast<Hub*>(h);
+  Ring& in = hub->in_rings[sid];
+  Ring& out = hub->out_rings[sid];
+  in.tail.store(in.head.load(std::memory_order_acquire),
+                std::memory_order_release);
+  out.tail.store(out.head.load(std::memory_order_acquire),
+                 std::memory_order_release);
+}
+
 // Serving loop: gather one `chunk`-sample frame from every stream into the
 // contiguous batch matrix `out` [n_streams, chunk]. Streams with fewer than
 // `chunk` samples buffered contribute zeros (real-time underrun semantics);

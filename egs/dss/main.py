@@ -53,9 +53,16 @@ def action_train(hparam, backend):
                         noise_folder=hparam["DATASET"]["noise_folder"],
                         vol_perturbed=hparam["DATASET"]["vol_perturbed"],
                         speed_perturbed=hparam["DATASET"]["speed_perturbed"])
+        import jax
+
+        kw = dict(seed=hparam["TRAIN"].get("seed"))
+        if jax.process_count() > 1:
+            kw = dict(shard=(jax.process_index(), jax.process_count()),
+                      seed=int(hparam["TRAIN"].get("seed") or 0))
         return DataLoader(ds, batch_size=hparam["TRAIN"]["batch_size"],
                           shuffle=True, collate_fn=DssCollateFunc(),
-                          num_workers=int(hparam["TRAIN"].get("num_workers", 0)))
+                          num_workers=int(hparam["TRAIN"].get("num_workers", 0)),
+                          **kw)
 
     def init_fn():
         sr = hparam["DATASET"]["sample_rate"]
@@ -151,7 +158,17 @@ def main(config):
 
     hparam = load_hparam(config.config_path)
     create_folder(hparam["TRAIN"]["model_save_dir"])
-    if config.backend == "cpu":
+    if config.num_processes > 1:
+        # multi-host data parallelism (parallel/multihost.py); must run
+        # before first device use
+        from puresound_tpu.parallel.multihost import initialize
+
+        if config.action != "train":
+            raise ValueError("--num_processes > 1 applies to --action train")
+        initialize(config.coordinator, config.num_processes,
+                   config.process_id,
+                   platform="cpu" if config.backend == "cpu" else None)
+    elif config.backend == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -184,4 +201,11 @@ if __name__ == "__main__":
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--coordinator", type=str, default="localhost:12345",
+                        help="multi-host: process-0 address host:port")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="multi-host training: total process count "
+                             "(launch this CLI once per host)")
+    parser.add_argument("--process_id", type=int, default=0,
+                        help="multi-host training: this host's rank")
     main(parser.parse_args())

@@ -94,12 +94,20 @@ def init_dataloader(hparam):
                                 num_workers=n_work)
     else:
         n_work = int(hparam["TRAIN"].get("num_workers", 0))
+        # TRAIN.seed: reproducible batch order/augment draws; multi-process
+        # runs shard each global batch across processes (multihost.py)
+        import jax
+
+        kw = dict(seed=hparam["TRAIN"].get("seed"))
+        if jax.process_count() > 1:
+            kw = dict(shard=(jax.process_index(), jax.process_count()),
+                      seed=int(hparam["TRAIN"].get("seed") or 0))
         train_loader = DataLoader(train_ds, batch_size=hparam["TRAIN"]["batch_size"],
                                   shuffle=True, collate_fn=TseCollateFunc(),
-                                  num_workers=n_work)
+                                  num_workers=n_work, **kw)
         dev_loader = DataLoader(dev_ds, batch_size=hparam["TRAIN"]["batch_size"],
                                 shuffle=True, collate_fn=TseCollateFunc(),
-                                num_workers=n_work)
+                                num_workers=n_work, **kw)
     return train_loader, dev_loader
 
 
@@ -437,7 +445,21 @@ def main(config):
 
     hparam = load_hparam(config.config_path)
     create_folder(hparam["TRAIN"]["model_save_dir"])
-    if config.backend == "cpu":
+    if config.num_processes > 1:
+        # multi-host data parallelism: one process per host, global mesh
+        # (parallel/multihost.py); must run before first device use
+        from puresound_tpu.parallel.multihost import initialize
+
+        if config.action != "train":
+            raise ValueError("--num_processes > 1 applies to --action train")
+        if hparam["TRAIN"].get("contrastive_learning"):
+            raise NotImplementedError("SpeakerSampler batches are not "
+                                      "process-sharded; use one host for "
+                                      "contrastive training")
+        initialize(config.coordinator, config.num_processes,
+                   config.process_id,
+                   platform="cpu" if config.backend == "cpu" else None)
+    elif config.backend == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -474,4 +496,11 @@ if __name__ == "__main__":
     parser.add_argument("--metrics", type=str, default="simple",
                         choices=["simple", "detail"])
     parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--coordinator", type=str, default="localhost:12345",
+                        help="multi-host: process-0 address host:port")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="multi-host training: total process count "
+                             "(launch this CLI once per host)")
+    parser.add_argument("--process_id", type=int, default=0,
+                        help="multi-host training: this host's rank")
     main(parser.parse_args())

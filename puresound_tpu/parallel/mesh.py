@@ -36,7 +36,16 @@ def make_mesh(n_dp: Optional[int] = None, n_mp: int = 1,
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with its leading axis sharded over dp."""
+    """Device-put a host batch with its leading axis sharded over dp.
+
+    Under a multi-process runtime each process passes its LOCAL rows (see
+    DataLoader(shard=...)) and the global batch is their concatenation in
+    process order (parallel/multihost.py)."""
+    if jax.process_count() > 1:
+        from .multihost import global_put
+
+        return global_put(mesh, batch,
+                          lambda x: P("dp") if x.ndim else P())
     sharding = NamedSharding(mesh, P("dp"))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
@@ -81,6 +90,14 @@ def shard_state_to_mesh(mesh: Mesh, state, tp: bool = False,
     puresound/task/base.py:226-229).
     """
     n_mp = mesh.shape.get("mp", 1)
+    if jax.process_count() > 1:
+        if tp:
+            raise NotImplementedError(
+                "tensor parallelism across processes is not supported; "
+                "use TRAIN.mp_devices only within one host")
+        from .multihost import global_put
+
+        return global_put(mesh, state, lambda x: P())
 
     def put(x):
         if not hasattr(x, "shape"):
@@ -331,6 +348,11 @@ def make_train_step(model, loss_kwargs: Optional[Dict] = None,
 
 
 def replicate_to_mesh(mesh: Mesh, tree):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh. Multi-process: every
+    process must pass the identical host value (e.g. seeded rng keys)."""
+    if jax.process_count() > 1:
+        from .multihost import global_put
+
+        return global_put(mesh, tree, lambda x: P())
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

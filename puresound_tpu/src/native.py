@@ -22,9 +22,20 @@ _lib = None
 _tried = False
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    built = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_CSRC):
+        if name.endswith(".cpp") and \
+                os.path.getmtime(os.path.join(_CSRC, name)) > built:
+            return True
+    return False
+
+
 def build(force: bool = False) -> bool:
     """Compile the native library (make -C csrc). Returns success."""
-    if os.path.exists(_LIB_PATH) and not force:
+    if not force and not _stale():
         return True
     try:
         subprocess.run(["make", "-C", _CSRC], check=True,
@@ -40,8 +51,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        if not build():
+    if _stale():
+        if not build() and not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

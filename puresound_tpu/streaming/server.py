@@ -60,6 +60,7 @@ class StreamHub:
         lib.hub_gather.restype = c.c_int
         lib.hub_scatter.argtypes = [c.c_void_p, c.c_int64,
                                     c.POINTER(c.c_float), c.POINTER(c.c_int8)]
+        lib.hub_reset_stream.argtypes = [c.c_void_p, c.c_int]
         lib._hub_bound = True
 
     def __del__(self):
@@ -86,6 +87,11 @@ class StreamHub:
 
     def output_available(self, stream_id: int) -> int:
         return int(self._lib.hub_output_available(self._hub, stream_id))
+
+    def reset_stream(self, stream_id: int):
+        """Drop everything buffered in one stream's rings (slot reuse).
+        Call only while that slot's client threads are quiescent."""
+        self._lib.hub_reset_stream(self._hub, stream_id)
 
     def gather(self, chunk: int):
         batch = np.empty((self.n_streams, chunk), np.float32)
@@ -157,3 +163,140 @@ class StreamingServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+
+
+def _masked_state_reset(state, fresh, mask):
+    """Per-slot state reset inside jit: where(mask[slot], fresh, state).
+
+    The slot axis is located per leaf as the FIRST axis whose size equals
+    the slot count (engine leaves are [B, ...]; recurrent carries are
+    [D, B, H] / [F, B, H]). Leaves with no such axis — shared clocks like
+    SkiM's scalar frame_count, which advances identically for every slot —
+    are reset only when every slot resets at once. If some non-slot axis
+    of a leaf coincidentally equals the slot count, pass an explicit
+    reset_fn to SessionServer instead."""
+    import jax
+    import jax.numpy as jnp
+
+    B = mask.shape[0]
+
+    def w(s, f):
+        for ax in range(s.ndim):
+            if s.shape[ax] == B:
+                m = mask.reshape((1,) * ax + (B,) + (1,) * (s.ndim - ax - 1))
+                return jnp.where(m, f, s)
+        return jnp.where(mask.all(), f, s)
+
+    return jax.tree.map(w, state, fresh)
+
+
+class SessionServer(StreamingServer):
+    """Dynamic stream lifecycle on top of the fixed-slot serving loop.
+
+    The compiled step always sees the same [n_slots, chunk] batch — sessions
+    attach to free slots and detach with ZERO recompilation. A slot's
+    recurrent state is reset in-jit (masked `where` over the state pytree) at
+    the session's first ready tick, so a stream that joins mid-serving
+    produces output bit-identical to a fresh engine fed the same audio.
+    Each TSE session carries its own enrollment: `attach(dvec=...)` (or
+    `enroll=...` through `embed_fn`) writes that slot's row of the
+    conditioning matrix.
+
+    step_fn(chunk [B, S], dvec [B, E] | None, state) -> (out [B, S], state)
+    must be jitted and STATELESS — unlike `StreamingServer`, the server owns
+    the state pytree. `fresh_state` is the engine's `init_state(n_slots)`
+    output (also the initial state). The default reset locates each leaf's
+    slot axis by size (see _masked_state_reset); pass a custom
+    `reset_fn(state, fresh, bool_mask[B]) -> state` for ambiguous layouts.
+
+    Engines with a SHARED segment clock (SkiM's frame_count drives the
+    MemLSTM boundary for all slots at once) need `chunk_samples` to cover
+    whole segments (hop * seg_size * m) so every tick ends on a segment
+    boundary — then a slot attached at any tick sees the same segmentation
+    as a fresh engine. STFT engines (DPCRN/DPARN) have per-frame state
+    only; any hop-multiple chunk works.
+    """
+
+    def __init__(self, step_fn, fresh_state, n_slots: int, chunk_samples: int,
+                 embed_fn=None, embed_dim: Optional[int] = None,
+                 reset_fn=None, ring_capacity: int = 1 << 16,
+                 lockstep: bool = False):
+        super().__init__(step_fn, n_slots, chunk_samples,
+                         ring_capacity=ring_capacity, lockstep=lockstep)
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self._fresh = fresh_state
+        self._state = fresh_state
+        self._embed_fn = embed_fn
+        self._reset = jax.jit(reset_fn or _masked_state_reset)
+        self._dvec = (np.zeros((n_slots, embed_dim), np.float32)
+                      if embed_dim is not None else None)
+        self._dvec_dev = (jnp.asarray(self._dvec)
+                          if self._dvec is not None else None)
+        self._active = np.zeros(n_slots, bool)
+        self._pending_reset = np.zeros(n_slots, bool)
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------- lifecycle
+    def attach(self, enroll=None, dvec=None) -> int:
+        """Claim a free slot for a new stream. Returns the slot id the client
+        must use for push_input/pop_output. For TSE engines pass either a
+        precomputed d-vector row or an enrollment waveform (requires
+        embed_fn; keep enrollment lengths fixed to avoid re-tracing)."""
+        with self._lock:
+            free = np.flatnonzero(~self._active)
+            if len(free) == 0:
+                raise RuntimeError("no free stream slots")
+            sid = int(free[0])
+            if self._dvec is not None:
+                if dvec is None:
+                    if enroll is None or self._embed_fn is None:
+                        raise ValueError("TSE session needs dvec= or "
+                                         "enroll= (with embed_fn)")
+                    dvec = np.asarray(self._embed_fn(
+                        np.asarray(enroll, np.float32)[None]))[0]
+                self._dvec[sid] = np.asarray(dvec, np.float32)
+                self._dvec_dev = self._jnp.asarray(self._dvec)
+            self.hub.reset_stream(sid)
+            self._pending_reset[sid] = True
+            self._active[sid] = True
+            return sid
+
+    def detach(self, sid: int):
+        """Release a slot. The client must have stopped feeding it."""
+        with self._lock:
+            self._active[sid] = False
+            self._pending_reset[sid] = False
+            self.hub.reset_stream(sid)
+
+    @property
+    def n_active(self) -> int:
+        return int(self._active.sum())
+
+    # ------------------------------------------------------------------ tick
+    def tick(self) -> int:
+        with self._lock:
+            active = self._active.copy()
+            if self.lockstep and any(
+                    self.hub.input_available(i) < self.chunk
+                    for i in np.flatnonzero(active)):
+                return 0
+            batch, mask, _ = self.hub.gather(self.chunk)
+            mask &= active
+            if not mask.any():
+                return 0
+            reset_now = self._pending_reset & mask
+            self._pending_reset &= ~mask
+            dvec = self._dvec_dev
+        if reset_now.any():
+            self._state = self._reset(self._state, self._fresh,
+                                      self._jnp.asarray(reset_now))
+        if dvec is None:
+            out, self._state = self.step_fn(batch, self._state)
+        else:
+            out, self._state = self.step_fn(batch, dvec, self._state)
+        self.hub.scatter(np.asarray(out), mask)
+        self.ticks += 1
+        return int(mask.sum())

@@ -305,7 +305,18 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  collate_fn: Optional[Callable] = None, num_workers: int = 0,
                  batch_sampler=None, drop_last: bool = False,
-                 prefetch: int = 2, seed: Optional[int] = None):
+                 prefetch: int = 2, seed: Optional[int] = None,
+                 shard: Optional[tuple] = None):
+        """shard=(process_id, n_processes) makes this loader one process's
+        slice of a MULTI-PROCESS run (parallel/multihost.py): `batch_size`
+        becomes the GLOBAL batch size, every process computes the identical
+        global batch order (requires `seed` when shuffling) and yields only
+        its contiguous `batch_size / n_processes` rows — the global batch is
+        re-assembled on device in process order by mesh.shard_batch. Ragged
+        final batches are wraparound-padded so every process steps in
+        lockstep. Per-item augmentation draws are deterministic per
+        (seed, epoch, batch, process) but differ from the single-process
+        draw sequence."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -315,6 +326,18 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        self.shard = shard
+        if shard is not None:
+            rank, world = shard
+            if batch_sampler is not None:
+                raise ValueError("shard= is incompatible with batch_sampler")
+            if shuffle and seed is None:
+                raise ValueError("sharded loading requires seed= so every "
+                                 "process shuffles identically")
+            if batch_size % world:
+                raise ValueError(f"batch_size {batch_size} must divide by "
+                                 f"n_processes {world}")
+            assert 0 <= rank < world
         # anti-correlation base for unseeded runs (see class docstring)
         self._auto_base = random.getrandbits(63)
         self._epoch = 0
@@ -331,8 +354,16 @@ class DataLoader:
                 random.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]
-            if self.drop_last and len(b) < self.batch_size:
-                continue
+            if len(b) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.shard is not None:  # lockstep: pad, never ragged
+                    b = (b * ((self.batch_size - 1) // len(b) + 1)
+                         )[: self.batch_size]
+            if self.shard is not None:
+                rank, world = self.shard
+                per = self.batch_size // world
+                b = b[rank * per : (rank + 1) * per]
             yield b
 
     def __len__(self):
@@ -503,11 +534,20 @@ class BaseTrainer:
         self.build_model()
         self.build_optim()
 
-        if hparam["TRAIN"].get("use_tensorboard"):
+        if hparam["TRAIN"].get("use_tensorboard") and self._is_primary():
             create_folder(hparam["TRAIN"]["log_dir"])
             self.tf_writer = TensorboardWriter(hparam["TRAIN"]["log_dir"])
         else:
             self.tf_writer = None
+
+    @staticmethod
+    def _is_primary() -> bool:
+        """Host-side I/O owner: process 0 of a multi-process run (always
+        true single-process). Checkpoints, TensorBoard, and eval-audio
+        logging run on the primary only (parallel/multihost.py)."""
+        import jax
+
+        return jax.process_index() == 0
 
     # ------------------------------------------------------------- builders
     def build_model(self):
@@ -724,11 +764,13 @@ class BaseTrainer:
                 self.tf_writer.update_ep_loss("train/avg_loss", loss["total_loss"], epoch)
                 self.tf_writer.update_ep_loss("train/avg_dev_loss", dev_loss["total_loss"], epoch)
 
-            save_dir = self.hparam["TRAIN"]["model_save_dir"]
-            create_folder(save_dir)
-            self.save_ckpt(os.path.join(save_dir, f"epoch_{epoch}.ckpt"), epoch, loss)
-            self.save_ckpt_info(os.path.join(save_dir, f"epoch_{epoch}.info"),
-                                epoch, lr, loss)
+            if self._is_primary():
+                save_dir = self.hparam["TRAIN"]["model_save_dir"]
+                create_folder(save_dir)
+                self.save_ckpt(os.path.join(save_dir, f"epoch_{epoch}.ckpt"),
+                               epoch, loss)
+                self.save_ckpt_info(os.path.join(save_dir, f"epoch_{epoch}.info"),
+                                    epoch, lr, loss)
 
             if epoch >= self.hparam["OPTIMIZER"]["num_epochs_decay"]:
                 new_lr = self.scheduler.step(
@@ -736,5 +778,6 @@ class BaseTrainer:
                     if self.hparam["OPTIMIZER"]["lr_scheduler"] == "Plateau" else None)
                 self.set_learning_rate(new_lr)
 
-            self.gen_logging(epoch=epoch, prefix="")
+            if self._is_primary():
+                self.gen_logging(epoch=epoch, prefix="")
             self.early_stopping(current_epoch=epoch, stop_criterion=25)

@@ -125,10 +125,7 @@ class DssTask(NsTask):
     def inference(self, noisy, enroll=None):
         from ..nnet.base_nn import SiMoTaskWrapModule
 
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
-        return self.model.apply(variables, noisy,
+        return self.model.apply(self._host_variables(), noisy,
                                 method=SiMoTaskWrapModule.inference)
 
     def gen_logging(self, epoch: int, prefix: str):

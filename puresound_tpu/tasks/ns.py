@@ -174,6 +174,12 @@ class NsTask(BaseTrainer):
         self._init_fn = init_fn
         self._mesh = mesh
         super().__init__(hparam, device_backend)
+        import jax as _jax
+
+        if _jax.process_count() > 1 and self._mesh is None \
+                and not hparam["TRAIN"].get("multi_gpu"):
+            raise ValueError("multi-process training requires "
+                             "TRAIN.multi_gpu: true (the global mesh)")
         if self._mesh is None and hparam["TRAIN"].get("multi_gpu"):
             from ..parallel.mesh import make_mesh
 
@@ -204,10 +210,16 @@ class NsTask(BaseTrainer):
         shard it over the mesh."""
         if self._mesh is None:
             return kwargs
+        import jax
         import jax.numpy as jnp
 
         from ..parallel.mesh import shard_batch
 
+        if jax.process_count() > 1:
+            # every process holds its own rows of the global batch and the
+            # sharded DataLoader guarantees equal, dp-divisible row counts
+            # (lockstep wraparound padding) — no local pad here
+            return shard_batch(self._mesh, kwargs)
         n = self._mesh.shape["dp"]
 
         def pad(x):
@@ -313,24 +325,45 @@ class NsTask(BaseTrainer):
         return {"total_loss": total_loss / max(step, 1)}
 
     def compute_dev_loss(self, current_epoch):
+        import jax
+
+        multi = jax.process_count() > 1
         step = 0
         total = 0.0
         for batch in self.dev_dataloader:
             step += 1
+            kwargs = self._batch_kwargs(batch)
+            if multi:
+                # lockstep global batches (sharded dev loader): every
+                # process computes the identical global dev loss, so the
+                # Plateau scheduler stays in sync across processes
+                kwargs = self._shard_train_batch(kwargs)
             total += float(self._eval_step(self.state.params,
                                            self.state.batch_stats,
-                                           self._batch_kwargs(batch)))
+                                           kwargs))
         avg = total / max(step, 1)
         print(f"dev average loss: {avg}")
         return {"total_loss": avg}
 
-    def inference(self, noisy, enroll=None):
-        from ..nnet.base_nn import SoTaskWrapModule
+    def _host_variables(self):
+        """Variables usable by single-process eager paths (eval-audio
+        logging): under a multi-process runtime the replicated global
+        params are read back to host numpy first."""
+        import jax
 
         variables = {"params": self.state.params}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
-        return self.model.apply(variables, noisy, enroll,
+        if jax.process_count() > 1:
+            from ..parallel.multihost import host_local
+
+            variables = host_local(variables)
+        return variables
+
+    def inference(self, noisy, enroll=None):
+        from ..nnet.base_nn import SoTaskWrapModule
+
+        return self.model.apply(self._host_variables(), noisy, enroll,
                                 method=SoTaskWrapModule.inference)
 
     def gen_logging(self, epoch: int, prefix: str):

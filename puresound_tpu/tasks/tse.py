@@ -343,17 +343,7 @@ class TseTask(NsTask):
                         "train/batch_class_loss", detail["loss_1"], self.overall_step)
         return {"total_loss": total_loss / max(step, 1)}
 
-    def compute_dev_loss(self, current_epoch):
-        step = 0
-        total = 0.0
-        for batch in self.dev_dataloader:
-            step += 1
-            total += float(self._eval_step(self.state.params,
-                                           self.state.batch_stats,
-                                           self._batch_kwargs(batch)))
-        avg = total / max(step, 1)
-        print(f"dev average loss: {avg}")
-        return {"total_loss": avg}
+    # compute_dev_loss: inherited from NsTask (incl. multi-process lockstep)
 
     def gen_logging(self, epoch: int, prefix: str):
         import jax.numpy as jnp

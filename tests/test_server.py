@@ -57,8 +57,7 @@ def test_hub_concurrent_producers(rng):
             break
 
 
-def test_streaming_server_end_to_end(rng):
-    """Threaded feeders -> server loop -> outputs == direct engine calls."""
+def _build_tse_engine():
     from puresound_tpu.nnet.conv_tasnet import TCN
     from puresound_tpu.nnet.encoder import FreeEncDec
     from puresound_tpu.nnet.lobe.cnn import Conv1d
@@ -66,7 +65,7 @@ def test_streaming_server_end_to_end(rng):
     from puresound_tpu.nnet.skim import SkiM
     from puresound_tpu.streaming.engine import StreamingTSE
 
-    engine = StreamingTSE(
+    return StreamingTSE(
         encoder=FreeEncDec(win_length=16, hop_length=8, laten_length=24,
                            output_active=True),
         masker=SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
@@ -77,6 +76,13 @@ def test_streaming_server_end_to_end(rng):
                      AttentiveStatisticsPooling(24, 16),
                      Conv1d(48, 8, 1, use_bias=False)),
         mask_constraint="ReLU")
+
+
+def test_streaming_server_end_to_end(rng):
+    """Threaded feeders -> server loop -> outputs == direct engine calls."""
+    from puresound_tpu.streaming.engine import StreamingTSE
+
+    engine = _build_tse_engine()
     B, chunk, n_chunks = 4, 80, 6
     L = chunk * n_chunks
     x = rng.standard_normal((B, L)).astype(np.float32) * 0.1
@@ -138,3 +144,99 @@ def test_streaming_server_end_to_end(rng):
     assert min(len(o) for o in outs) == L, "server did not drain all audio"
     got = np.stack(outs)
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_hub_reset_stream(rng):
+    hub = StreamHub(2, ring_capacity=1024)
+    x = rng.standard_normal(100).astype(np.float32)
+    hub.push_input(0, x)
+    hub.push_input(1, x)
+    batch, mask, _ = hub.gather(50)
+    hub.scatter(batch, mask)
+    hub.reset_stream(0)
+    assert hub.input_available(0) == 0 and hub.output_available(0) == 0
+    # the other slot is untouched
+    assert hub.input_available(1) == 50 and hub.output_available(1) == 50
+    # the slot is immediately reusable
+    hub.push_input(0, x[:64])
+    assert hub.input_available(0) == 64
+
+
+def test_session_server_lifecycle(rng):
+    """Sessions attaching/detaching mid-serving produce output identical to
+    a fresh engine fed the same audio (in-jit masked state reset)."""
+    from puresound_tpu.streaming.engine import StreamingTSE
+    from puresound_tpu.streaming.server import SessionServer
+
+    engine = _build_tse_engine()
+    chunk, n_slots, e_len = 80, 3, 400
+    mk = lambda n: rng.standard_normal(n).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(mk(chunk))[None],
+                            jnp.asarray(mk(e_len))[None],
+                            method=StreamingTSE.init_all)
+
+    @jax.jit
+    def embed_fn(enroll):
+        return engine.apply(variables, enroll, method=StreamingTSE.embed)
+
+    @jax.jit
+    def step_fn(chunk_batch, dvec, st):
+        return engine.apply(variables, chunk_batch, dvec, st,
+                            method=StreamingTSE.step)
+
+    fresh = engine.apply(variables, n_slots, method=StreamingTSE.init_state)
+    server = SessionServer(step_fn, fresh, n_slots, chunk,
+                           embed_fn=embed_fn, embed_dim=8, lockstep=True)
+
+    # reference: one stream alone through a fresh batch-1 engine
+    def solo(x, enroll):
+        dvec = embed_fn(jnp.asarray(enroll)[None])
+        st = engine.apply(variables, 1, method=StreamingTSE.init_state)
+        outs = []
+        for k in range(len(x) // chunk):
+            y, st = step_fn(x[None, k * chunk:(k + 1) * chunk], dvec, st)
+            outs.append(np.asarray(y)[0])
+        return np.concatenate(outs)
+
+    sessions = {}  # sid -> [audio, enroll, n_chunks_fed, collected_out]
+    finished = []  # (audio, enroll, outs)
+
+    def join(n_chunks):
+        audio, enroll = mk(n_chunks * chunk), mk(e_len)
+        sid = server.attach(enroll=enroll)
+        sessions[sid] = [audio, enroll, 0, []]
+        return sid
+
+    def feed_and_tick():
+        for sid, s in sessions.items():
+            server.hub.push_input(sid, s[0][s[2] * chunk:(s[2] + 1) * chunk])
+            s[2] += 1
+        assert server.tick() > 0
+        for sid in list(sessions):
+            s = sessions[sid]
+            got = server.hub.pop_output(sid, chunk)
+            assert len(got) == chunk
+            s[3].append(got)
+            if s[2] * chunk >= len(s[0]):  # exhausted: retire the session
+                finished.append((s[0], s[1], s[3]))
+                del sessions[sid]
+                server.detach(sid)
+
+    a = join(5)
+    feed_and_tick()
+    feed_and_tick()
+    b = join(4)                      # joins two ticks in
+    assert b != a
+    feed_and_tick()
+    feed_and_tick()
+    feed_and_tick()                  # a exhausted + auto-detached here
+    c = join(3)                      # reuses a's slot
+    assert c == a
+    feed_and_tick()                  # b exhausted
+    feed_and_tick()
+    feed_and_tick()                  # c exhausted
+    assert not sessions and server.n_active == 0 and len(finished) == 3
+    for audio, enroll, outs in finished:
+        got = np.concatenate(outs)
+        assert len(got) == len(audio)
+        np.testing.assert_allclose(got, solo(audio, enroll), atol=1e-5)
