@@ -88,7 +88,7 @@ class DPARNblock2D(nn.Module):
                    interpret: bool = False):
         """Streaming chunk step. The intra self-attention runs over the
         FREQUENCY axis (frame-local) batched over all K frames; only the
-        inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B*F, hidden].
+        inter (time) LSTM scans. x: [B, CH, F, K]; h/c: [1, B, F, hidden].
         fused=True runs the inter recurrence through the Pallas scan;
         attn_kernel=True fuses the WHOLE intra pass (both encoder layers +
         FC/norm) into one VMEM-resident Pallas program."""
@@ -117,6 +117,8 @@ class DPARNblock2D(nn.Module):
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
+        hc_shape = h.shape  # [1, B, F, H]
+        h, c = h.reshape(1, N * F, -1), c.reshape(1, N * F, -1)
         if fused:
             import jax as _jax
 
@@ -132,7 +134,7 @@ class DPARNblock2D(nn.Module):
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
-        return res + y, h, c
+        return res + y, h.reshape(hc_shape), c.reshape(hc_shape)
 
 
 class _DPARNBase(DualPathStreaming, Unet):

@@ -59,7 +59,7 @@ class DPRNNblock2D(nn.Module):
     def step_chunk(self, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
                    fused: bool = False):
         """Streaming chunk step. x: [B, CH, F, K]; the inter (time) LSTM
-        carries (h, c) of shape [1, B*F, hidden]. The intra (frequency)
+        carries (h, c) of shape [1, B, F, hidden]. The intra (frequency)
         pass is frame-local and runs batched over all K frames; only the
         inter LSTM scans (K steps). Identical math to __call__.
 
@@ -93,6 +93,8 @@ class DPRNNblock2D(nn.Module):
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
+        hc_shape = h.shape  # [1, B, F, H]
+        h, c = h.reshape(1, N * F, -1), c.reshape(1, N * F, -1)
         if fused:
             cell = self.inter_rnn.rnn.fwd
             y, hT, cT = lstm_scan(cell.input_proj(seq), h[0], c[0],
@@ -104,7 +106,7 @@ class DPRNNblock2D(nn.Module):
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
-        return res + y, h, c
+        return res + y, h.reshape(hc_shape), c.reshape(hc_shape)
 
 
 class DPCRN(DualPathStreaming, Unet):

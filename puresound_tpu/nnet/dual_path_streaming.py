@@ -70,7 +70,10 @@ class DualPathStreaming:
         if dp_kernel or mk_kernel:
             carry = lambda: jnp.zeros((Fb, batch, H), dtype)
         else:
-            carry = lambda: jnp.zeros((1, batch * Fb, H), dtype)
+            # [1, B, F, H] — slot axis explicit (size-based per-slot state
+            # resets, e.g. SessionServer, must be able to find B); the
+            # step reshapes to the LSTM's [1, B*F, H] rows for free
+            carry = lambda: jnp.zeros((1, batch, Fb, H), dtype)
         state.update(h1=carry(), c1=carry(), h2=carry(), c2=carry())
         return state
 

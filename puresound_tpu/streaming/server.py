@@ -297,6 +297,12 @@ class SessionServer(StreamingServer):
             out, self._state = self.step_fn(batch, self._state)
         else:
             out, self._state = self.step_fn(batch, dvec, self._state)
-        self.hub.scatter(np.asarray(out), mask)
+        out = np.asarray(out)
+        with self._lock:
+            # a slot detached (or detached + re-attached: pending reset)
+            # while the device step ran must not receive the old stream's
+            # output — re-check ownership before scattering
+            mask &= self._active & ~self._pending_reset
+            self.hub.scatter(out, mask)
         self.ticks += 1
         return int(mask.sum())

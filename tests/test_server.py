@@ -240,3 +240,69 @@ def test_session_server_lifecycle(rng):
         got = np.concatenate(outs)
         assert len(got) == len(audio)
         np.testing.assert_allclose(got, solo(audio, enroll), atol=1e-5)
+
+
+def test_session_server_ns_engine(rng):
+    """SessionServer with an STFT engine (DPCRN, no per-slot embedding):
+    the default masked reset handles the NS state layout (conv carries,
+    [D, B, H] LSTM carries, shared wsum constant); a session attached
+    mid-serving equals one attached from the start on the same audio."""
+    import jax
+
+    from puresound_tpu.nnet.dpcrn import DPCRN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.streaming.server import SessionServer
+
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = DPCRN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8, 16, 16, 32),
+                   transpose_t_size=2, transpose_delay=False,
+                   kernel_t=(2, 2, 2, 2, 2), stride_t=(1, 1, 1, 1, 1),
+                   dilation_t=(1, 1, 1, 1, 1), kernel_f=(5, 3, 3, 3, 3),
+                   stride_f=(2, 2, 1, 1, 1), dilation_f=(1, 1, 1, 1, 1),
+                   delay=(0, 0, 0, 0, 0), rnn_hidden=16)
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    # the NS state layout is slot-visible everywhere: engine FIFOs and conv
+    # carries lead with [B, ...], inter-LSTM carries are [1, B, F, H]
+    # (the B*F row fold happens inside step_chunk, not in the state)
+    chunk, n_slots = hop * 4, 3
+    x = rng.standard_normal(chunk * 12).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(x[None, :chunk]),
+                            method=StreamingNS.init_all)
+
+    @jax.jit
+    def step_fn(chunk_batch, st):
+        return engine.apply(variables, chunk_batch, st,
+                            method=StreamingNS.step)
+
+    fresh = engine.apply(variables, n_slots, method=StreamingNS.init_state)
+    server = SessionServer(step_fn, fresh, n_slots, chunk, lockstep=True)
+
+    a = server.attach()
+    outs, fed = {a: []}, {a: 0}
+
+    def tick_all():
+        for sid in list(outs):
+            if fed[sid] * chunk < len(x):
+                server.hub.push_input(
+                    sid, x[fed[sid] * chunk:(fed[sid] + 1) * chunk])
+                fed[sid] += 1
+        server.tick()
+        for sid in list(outs):
+            got = server.hub.pop_output(sid, chunk)
+            if len(got):
+                outs[sid].append(got)
+
+    for _ in range(4):
+        tick_all()
+    b = server.attach()       # joins 4 ticks in, same audio from its start
+    outs[b], fed[b] = [], 0
+    while min(f * chunk for f in fed.values()) < len(x):
+        tick_all()
+    ya, yb = np.concatenate(outs[a]), np.concatenate(outs[b])
+    n = min(len(ya), len(yb))
+    np.testing.assert_allclose(yb[:n], ya[:n], atol=1e-5)
