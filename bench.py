@@ -513,6 +513,62 @@ def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
     }
 
 
+def measure_session_server(engine, variables, B=1024, chunk_samples=240,
+                           iters=30, fused=True):
+    """End-to-end tick of the production serving loop (SessionServer): C++
+    ring gather -> host->device batch transfer -> jitted bf16 engine step
+    -> device->host fetch -> ring scatter, with B attached sessions and
+    per-slot d-vectors. The server's own telemetry is reported (the
+    synthetic feeder's ring pushes happen outside the timed tick). On the
+    tunneled TPU backend the per-tick host<->device transfers ride the
+    tunnel RTT, so tick >> bare device step here; a co-located host pays
+    only PCIe/DMA."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.streaming.engine import StreamingTSE
+    from puresound_tpu.streaming.halfprec import to_half
+    from puresound_tpu.streaming.server import ServeStats, SessionServer
+
+    params = to_half(variables)
+    b_tile = min(1024, B)
+
+    @jax.jit
+    def step_fn(chunk, dvec, st):
+        out, st = engine.apply(params, chunk.astype(jnp.bfloat16),
+                               dvec.astype(jnp.bfloat16), st, fused=fused,
+                               b_tile=b_tile, dot_dtype=jnp.bfloat16,
+                               method=StreamingTSE.step)
+        return out.astype(jnp.float32), st
+
+    fresh = engine.apply(params, B, jnp.bfloat16,
+                         method=StreamingTSE.init_state)
+    server = SessionServer(step_fn, fresh, B, chunk_samples, embed_dim=192,
+                           lockstep=True, ring_capacity=4 * chunk_samples)
+    z = np.zeros(192, np.float32)
+    for _ in range(B):
+        server.attach(dvec=z)
+    x = (np.random.default_rng(0)
+         .standard_normal((B, chunk_samples)).astype(np.float32) * 0.1)
+
+    def push_all():
+        for i in range(B):
+            server.hub.push_input(i, x[i])
+
+    push_all()
+    assert server.tick() == B  # compile + first-tick masked reset
+    server.stats = ServeStats()  # steady state only
+    for _ in range(iters):
+        push_all()
+        n = server.tick()
+        assert n == B, n
+    snap = {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in server.stats.snapshot().items()}
+    snap["slots"] = B
+    snap["chunk_ms"] = round(chunk_samples / 16.0, 1)
+    return snap
+
+
 def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
     """Single-stream NS (ns_dpcrn_v0_causal) offline real-time factor."""
     import jax
@@ -801,6 +857,15 @@ def main():
         detail["denoise_rtf_target"] = 20.0
     except Exception:
         pass
+
+    if not os.environ.get("BENCH_SKIP_SERVER"):
+        try:
+            detail["session_server_e2e"] = measure_session_server(
+                engine, variables, B=8 if smoke else 1024,
+                chunk_samples=chunk_samples, iters=5 if smoke else 30,
+                fused=fused)
+        except Exception as e:
+            detail["session_server_e2e"] = f"failed: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "concurrent_16khz_streaming_tse_streams_per_chip",

@@ -117,8 +117,12 @@ class DPARNblock2D(nn.Module):
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
-        hc_shape = h.shape  # [1, B, F, H]
-        h, c = h.reshape(1, N * F, -1), c.reshape(1, N * F, -1)
+        hc_shape, hc_dtype = h.shape, h.dtype  # [1, B, F, H]
+        # carries are STORED at the serving dtype (bf16 state) but the
+        # intra pass may upcast activations (f32 softmax/norms) — the scan
+        # carry must match the sequence dtype; cast back for storage
+        h = h.reshape(1, N * F, -1).astype(seq.dtype)
+        c = c.reshape(1, N * F, -1).astype(seq.dtype)
         if fused:
             import jax as _jax
 
@@ -134,7 +138,8 @@ class DPARNblock2D(nn.Module):
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
-        return res + y, h.reshape(hc_shape), c.reshape(hc_shape)
+        return (res + y, h.reshape(hc_shape).astype(hc_dtype),
+                c.reshape(hc_shape).astype(hc_dtype))
 
 
 class _DPARNBase(DualPathStreaming, Unet):

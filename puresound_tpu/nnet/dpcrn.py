@@ -93,8 +93,11 @@ class DPRNNblock2D(nn.Module):
 
         res = x
         seq = x.transpose(0, 2, 3, 1).reshape(N * F, K, CH)
-        hc_shape = h.shape  # [1, B, F, H]
-        h, c = h.reshape(1, N * F, -1), c.reshape(1, N * F, -1)
+        hc_shape, hc_dtype = h.shape, h.dtype  # [1, B, F, H]
+        # scan carry must match the sequence dtype (see dparn.step_chunk);
+        # cast back to the stored serving dtype on return (no-op when equal)
+        h = h.reshape(1, N * F, -1).astype(seq.dtype)
+        c = c.reshape(1, N * F, -1).astype(seq.dtype)
         if fused:
             cell = self.inter_rnn.rnn.fwd
             y, hT, cT = lstm_scan(cell.input_proj(seq), h[0], c[0],
@@ -106,7 +109,8 @@ class DPRNNblock2D(nn.Module):
         y = self.inter_rnn.proj(y)
         y = self.inter_norm(y)
         y = y.reshape(N, F, K, CH).transpose(0, 3, 1, 2)
-        return res + y, h.reshape(hc_shape), c.reshape(hc_shape)
+        return (res + y, h.reshape(hc_shape).astype(hc_dtype),
+                c.reshape(hc_shape).astype(hc_dtype))
 
 
 class DPCRN(DualPathStreaming, Unet):

@@ -109,8 +109,11 @@ class Conv2d(nn.Module):
         assert self.kernel[1] == 2 and self.stride[1] == 1 \
             and self.dilation[1] == 1
         y = self(h, pad=(pad_f, (1, 0)))
+        # the carry may be stored at serving dtype (bf16) while h was
+        # upcast mid-path (f32 norms/softmax) — compute the tap at h's dtype
         c = jax.lax.conv_general_dilated(
-            carry[..., None], self.w[:, :, :, 0:1].astype(h.dtype),
+            carry.astype(h.dtype)[..., None],
+            self.w[:, :, :, 0:1].astype(h.dtype),
             window_strides=self.stride, padding=(pad_f, (0, 0)),
             rhs_dilation=self.dilation,
             dimension_numbers=("NCHW", "OIHW", "NCHW"))
@@ -179,7 +182,7 @@ class ConvTranspose2d(nn.Module):
         wf = jnp.flip(self.w, axis=(-2, -1)).transpose(1, 0, 2, 3)
         lo = self.dilation[0] * (self.kernel[0] - 1) - self.padding[0]
         return jax.lax.conv_general_dilated(
-            carry[..., None], wf[:, :, :, 0:1].astype(dtype),
+            carry.astype(dtype)[..., None], wf[:, :, :, 0:1].astype(dtype),
             window_strides=(1, 1),
             padding=((lo, lo + self.output_padding[0]), (0, 0)),
             lhs_dilation=self.stride, rhs_dilation=self.dilation,

@@ -1,5 +1,5 @@
 from .mesh import (TrainState, make_mesh, make_train_step, shard_batch,
-                   shard_state_to_mesh, tp_spec)
+                   shard_by_slots, shard_state_to_mesh, tp_spec)
 
 __all__ = ["make_mesh", "make_train_step", "shard_batch", "TrainState",
-           "shard_state_to_mesh", "tp_spec"]
+           "shard_by_slots", "shard_state_to_mesh", "tp_spec"]

@@ -356,3 +356,28 @@ def replicate_to_mesh(mesh: Mesh, tree):
         return global_put(mesh, tree, lambda x: P())
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_by_slots(mesh: Mesh, tree, n_slots: int, axis: str = "dp"):
+    """Device-put a serving pytree with each leaf's stream/slot axis sharded.
+
+    Per leaf, the FIRST axis whose size equals `n_slots` shards over the
+    mesh axis (engine state leaves are [B, ...]; recurrent carries carry B
+    in a later position, e.g. [D, B, H] / [F, B, H] / [1, B, F, H]);
+    leaves with no such axis — shared clocks like SkiM's scalar
+    frame_count — replicate. Same slot-axis heuristic as the
+    SessionServer masked reset (streaming/server._masked_state_reset):
+    if a non-slot axis coincidentally equals `n_slots`, re-shape the
+    state or pick a different slot count. The streaming step is
+    embarrassingly parallel along slots, so GSPMD compiles a
+    collective-free per-device program from these placements alone."""
+    def put(x):
+        x = jnp.asarray(x)
+        spec = [None] * x.ndim
+        for ax, s in enumerate(x.shape):
+            if s == n_slots:
+                spec[ax] = axis
+                break
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)

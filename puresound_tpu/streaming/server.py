@@ -108,6 +108,39 @@ class StreamHub:
                               m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
 
 
+class ServeStats:
+    """Rolling serving telemetry: tick latency percentiles + underruns.
+
+    Written by the single serving thread; `snapshot()` may be read from any
+    thread (copies under the GIL). An "underrun slot-tick" is an ACTIVE
+    session that missed a tick's deadline (no full chunk buffered when the
+    batch stepped) — the real-time QoS quantity; idle slots don't count.
+    The plain StreamingServer can't tell idle from late (no session
+    registry), so it reports latency only."""
+
+    def __init__(self, window: int = 4096):
+        import collections
+
+        self._lat = collections.deque(maxlen=window)
+        self.ticks = 0
+        self.underrun_slot_ticks = 0
+
+    def record(self, seconds: float, n_late: int = 0):
+        self._lat.append(seconds)
+        self.ticks += 1
+        self.underrun_slot_ticks += int(n_late)
+
+    def snapshot(self) -> dict:
+        lat = np.sort(np.asarray(self._lat, np.float64))
+        q = (lambda p: float(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3)
+             ) if len(lat) else (lambda p: 0.0)
+        return {"ticks": self.ticks,
+                "underrun_slot_ticks": self.underrun_slot_ticks,
+                "tick_ms_p50": q(0.50), "tick_ms_p95": q(0.95),
+                "tick_ms_p99": q(0.99),
+                "tick_ms_max": float(lat[-1] * 1e3) if len(lat) else 0.0}
+
+
 class StreamingServer:
     """Fixed-slot streaming server around a jitted engine step.
 
@@ -130,20 +163,25 @@ class StreamingServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
+        self.stats = ServeStats()
 
     def tick(self) -> int:
         """One serving iteration: gather -> device step -> scatter.
         Returns the number of streams that produced output."""
+        import time
+
         if self.lockstep:
             if any(self.hub.input_available(i) < self.chunk
                    for i in range(self.n_streams)):
                 return 0
+        t0 = time.perf_counter()
         batch, mask, ready = self.hub.gather(self.chunk)
         if ready == 0:
             return 0
         out = np.asarray(self.step_fn(batch))
         self.hub.scatter(out, mask)
         self.ticks += 1
+        self.stats.record(time.perf_counter() - t0)
         return ready
 
     def run(self, poll_s: float = 0.001):
@@ -220,24 +258,53 @@ class SessionServer(StreamingServer):
     def __init__(self, step_fn, fresh_state, n_slots: int, chunk_samples: int,
                  embed_fn=None, embed_dim: Optional[int] = None,
                  reset_fn=None, ring_capacity: int = 1 << 16,
-                 lockstep: bool = False):
+                 lockstep: bool = False, mesh=None):
+        """mesh: a jax.sharding.Mesh with a "dp" axis to serve the slot
+        batch SPMD over multiple devices (n_slots divisible by the dp
+        size). State/dvec leaves shard on their slot axis
+        (parallel.shard_by_slots), each tick's gathered chunk batch is
+        device_put row-sharded, and GSPMD compiles the user's jitted step
+        into a collective-free per-device program — the hub and session
+        lifecycle stay host-side and unchanged. Single-process only."""
         super().__init__(step_fn, n_slots, chunk_samples,
                          ring_capacity=ring_capacity, lockstep=lockstep)
         import jax
         import jax.numpy as jnp
 
         self._jnp = jnp
+        self._mesh = mesh
+        self._row_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel import shard_by_slots
+
+            n_dp = mesh.shape["dp"]
+            if n_slots % n_dp:
+                raise ValueError(f"n_slots={n_slots} not divisible by the "
+                                 f"dp mesh axis ({n_dp})")
+            fresh_state = shard_by_slots(mesh, fresh_state, n_slots)
+            self._row_sharding = NamedSharding(mesh, PartitionSpec("dp"))
         self._fresh = fresh_state
         self._state = fresh_state
         self._embed_fn = embed_fn
         self._reset = jax.jit(reset_fn or _masked_state_reset)
         self._dvec = (np.zeros((n_slots, embed_dim), np.float32)
                       if embed_dim is not None else None)
-        self._dvec_dev = (jnp.asarray(self._dvec)
+        self._dvec_dev = (self._put_rows(self._dvec)
                           if self._dvec is not None else None)
+        self._dvec_dirty = False
         self._active = np.zeros(n_slots, bool)
         self._pending_reset = np.zeros(n_slots, bool)
         self._lock = threading.Lock()
+
+    def _put_rows(self, arr):
+        """Host array -> device, slot-axis sharded when serving on a mesh."""
+        import jax
+
+        if self._row_sharding is None:
+            return self._jnp.asarray(arr)
+        return jax.device_put(self._jnp.asarray(arr), self._row_sharding)
 
     # ------------------------------------------------------------- lifecycle
     def attach(self, enroll=None, dvec=None) -> int:
@@ -258,7 +325,8 @@ class SessionServer(StreamingServer):
                     dvec = np.asarray(self._embed_fn(
                         np.asarray(enroll, np.float32)[None]))[0]
                 self._dvec[sid] = np.asarray(dvec, np.float32)
-                self._dvec_dev = self._jnp.asarray(self._dvec)
+                # upload deferred to the next tick: bulk attach stays O(n)
+                self._dvec_dirty = True
             self.hub.reset_stream(sid)
             self._pending_reset[sid] = True
             self._active[sid] = True
@@ -277,22 +345,30 @@ class SessionServer(StreamingServer):
 
     # ------------------------------------------------------------------ tick
     def tick(self) -> int:
+        import time
+
         with self._lock:
             active = self._active.copy()
             if self.lockstep and any(
                     self.hub.input_available(i) < self.chunk
                     for i in np.flatnonzero(active)):
                 return 0
+            t0 = time.perf_counter()
             batch, mask, _ = self.hub.gather(self.chunk)
             mask &= active
             if not mask.any():
                 return 0
             reset_now = self._pending_reset & mask
             self._pending_reset &= ~mask
+            if self._dvec_dirty:
+                self._dvec_dev = self._put_rows(self._dvec)
+                self._dvec_dirty = False
             dvec = self._dvec_dev
+            n_late = int((active & ~mask).sum())  # active but missed the tick
         if reset_now.any():
             self._state = self._reset(self._state, self._fresh,
-                                      self._jnp.asarray(reset_now))
+                                      self._put_rows(reset_now))
+        batch = self._put_rows(batch) if self._mesh is not None else batch
         if dvec is None:
             out, self._state = self.step_fn(batch, self._state)
         else:
@@ -305,4 +381,5 @@ class SessionServer(StreamingServer):
             mask &= self._active & ~self._pending_reset
             self.hub.scatter(out, mask)
         self.ticks += 1
+        self.stats.record(time.perf_counter() - t0, n_late=n_late)
         return int(mask.sum())

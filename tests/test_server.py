@@ -306,3 +306,84 @@ def test_session_server_ns_engine(rng):
     ya, yb = np.concatenate(outs[a]), np.concatenate(outs[b])
     n = min(len(ya), len(yb))
     np.testing.assert_allclose(yb[:n], ya[:n], atol=1e-5)
+
+
+def test_session_server_mesh_sharded(rng):
+    """SessionServer(mesh=...) serves the slot batch SPMD over a dp mesh:
+    state leaves shard on their slot axis (parallel.shard_by_slots), each
+    tick's batch is row-sharded on device_put, and session lifecycle
+    (attach mid-serving, masked reset, detach) behaves exactly as on one
+    device — outputs match the solo batch-1 engine."""
+    from puresound_tpu.parallel import make_mesh
+    from puresound_tpu.streaming.engine import StreamingTSE
+    from puresound_tpu.streaming.server import SessionServer
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    engine = _build_tse_engine()
+    chunk, n_slots, e_len = 80, 4, 400
+    mk = lambda n: rng.standard_normal(n).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(mk(chunk))[None],
+                            jnp.asarray(mk(e_len))[None],
+                            method=StreamingTSE.init_all)
+
+    @jax.jit
+    def embed_fn(enroll):
+        return engine.apply(variables, enroll, method=StreamingTSE.embed)
+
+    @jax.jit
+    def step_fn(chunk_batch, dvec, st):
+        return engine.apply(variables, chunk_batch, dvec, st,
+                            method=StreamingTSE.step)
+
+    mesh = make_mesh(n_dp=2, devices=jax.devices()[:2])
+    fresh = engine.apply(variables, n_slots, method=StreamingTSE.init_state)
+    server = SessionServer(step_fn, fresh, n_slots, chunk,
+                           embed_fn=embed_fn, embed_dim=8, lockstep=True,
+                           mesh=mesh)
+    # the engine state really is spread over both devices
+    n_devs = {len(l.sharding.device_set)
+              for l in jax.tree_util.tree_leaves(server._state)
+              if hasattr(l, "sharding") and n_slots in l.shape}
+    assert 2 in n_devs, f"no state leaf sharded over the mesh ({n_devs})"
+
+    def solo(x, enroll):
+        dvec = embed_fn(jnp.asarray(enroll)[None])
+        st = engine.apply(variables, 1, method=StreamingTSE.init_state)
+        outs = []
+        for k in range(len(x) // chunk):
+            y, st = step_fn(x[None, k * chunk:(k + 1) * chunk], dvec, st)
+            outs.append(np.asarray(y)[0])
+        return np.concatenate(outs)
+
+    audio = {s: mk(6 * chunk) for s in ("a", "b")}
+    enr = {s: mk(e_len) for s in audio}
+    sid, outs, fed = {}, {"a": [], "b": []}, {"a": 0, "b": 0}
+
+    def tick_active():
+        for s in sid:
+            server.hub.push_input(
+                sid[s], audio[s][fed[s] * chunk:(fed[s] + 1) * chunk])
+            fed[s] += 1
+        assert server.tick() > 0
+        for s in list(sid):
+            got = server.hub.pop_output(sid[s], chunk)
+            assert len(got) == chunk
+            outs[s].append(got)
+            if fed[s] * chunk >= len(audio[s]):  # exhausted: retire
+                server.detach(sid.pop(s))
+
+    sid["a"] = server.attach(enroll=enr["a"])
+    tick_active()
+    tick_active()
+    sid["b"] = server.attach(enroll=enr["b"])  # joins two ticks in
+    while sid:
+        tick_active()
+    assert server.n_active == 0
+    snap = server.stats.snapshot()
+    assert snap["ticks"] == server.ticks > 0
+    assert snap["tick_ms_p50"] > 0.0 and snap["underrun_slot_ticks"] == 0
+    for s in ("a", "b"):
+        got = np.concatenate(outs[s])
+        assert len(got) == len(audio[s])
+        np.testing.assert_allclose(got, solo(audio[s], enr[s]), atol=1e-5)

@@ -452,3 +452,36 @@ def test_streaming_ns_engine_mk_kernel_equals_offline(rng):
     hi = y_stream.shape[-1]
     np.testing.assert_allclose(y_stream[:, lo:hi], y_off[:, lo:hi],
                                atol=3e-5, rtol=1e-3)
+
+
+def test_dparn_bf16_stream_frames_mixed_dtype(rng):
+    """bf16 serving through the STOCK DPARN streaming path: the intra
+    attention upcasts activations to f32 mid-path while the carried conv
+    contexts stay bf16 — the conv stream_apply carry taps must compute at
+    the activation dtype (regression: lax.conv dtype-mismatch TypeError)."""
+    from puresound_tpu.nnet.dparn import DPARN
+    from puresound_tpu.streaming.halfprec import to_half
+
+    m = DPARN(input_type="RI", input_dim=128, norm_type="bN2d", dropout=0.0,
+              channels=(1, 8, 8, 16, 16, 32), transpose_t_size=2,
+              transpose_delay=False, kernel_t=(2, 2, 2, 2, 2),
+              stride_t=(1, 1, 1, 1, 1), dilation_t=(1, 1, 1, 1, 1),
+              kernel_f=(5, 3, 3, 3, 3), stride_f=(2, 2, 1, 1, 1),
+              dilation_f=(1, 1, 1, 1, 1), delay=(0, 0, 0, 0, 0),
+              rnn_hidden=16, nhead=4)
+    B, C, T = 2, 128, 12
+    x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+    variables = m.init(KEY, x)
+    y32, _ = m.apply(variables, x,
+                     m.apply(variables, B, method=DPARN.init_stream_state),
+                     method=DPARN.stream_frames)
+
+    vh = to_half(variables)
+    state = m.apply(vh, B, jnp.bfloat16, method=DPARN.init_stream_state)
+    y16, state = m.apply(vh, x.astype(jnp.bfloat16), state,
+                         method=DPARN.stream_frames)
+    y16 = np.asarray(y16.astype(jnp.float32))
+    assert np.isfinite(y16).all()
+    err = ((y16 - np.asarray(y32)) ** 2).sum()
+    sig = (np.asarray(y32) ** 2).sum()
+    assert 10 * np.log10(sig / max(err, 1e-20)) > 25.0
