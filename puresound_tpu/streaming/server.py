@@ -258,14 +258,22 @@ class SessionServer(StreamingServer):
     def __init__(self, step_fn, fresh_state, n_slots: int, chunk_samples: int,
                  embed_fn=None, embed_dim: Optional[int] = None,
                  reset_fn=None, ring_capacity: int = 1 << 16,
-                 lockstep: bool = False, mesh=None):
+                 lockstep: bool = False, mesh=None, pipelined: bool = False):
         """mesh: a jax.sharding.Mesh with a "dp" axis to serve the slot
         batch SPMD over multiple devices (n_slots divisible by the dp
         size). State/dvec leaves shard on their slot axis
         (parallel.shard_by_slots), each tick's gathered chunk batch is
         device_put row-sharded, and GSPMD compiles the user's jitted step
         into a collective-free per-device program — the hub and session
-        lifecycle stay host-side and unchanged. Single-process only."""
+        lifecycle stay host-side and unchanged. Single-process only.
+
+        pipelined=True double-buffers the output: tick t dispatches the
+        (async) device step and then fetches/scatters tick t-1's output —
+        the host<->device transfers and ring I/O of one tick overlap the
+        device compute of the next, so sustained throughput approaches
+        max(host, device) instead of their sum. Clients see outputs one
+        tick later; call flush() after the final tick to drain the last
+        pending output. Output values are identical to unpipelined."""
         super().__init__(step_fn, n_slots, chunk_samples,
                          ring_capacity=ring_capacity, lockstep=lockstep)
         import jax
@@ -296,7 +304,14 @@ class SessionServer(StreamingServer):
         self._dvec_dirty = False
         self._active = np.zeros(n_slots, bool)
         self._pending_reset = np.zeros(n_slots, bool)
+        # per-slot session generation: attach bumps it, so an output
+        # computed for a previous occupant of the slot can never be
+        # scattered to the new session (pipelined outputs outlive their
+        # tick's ownership snapshot)
+        self._gen = np.zeros(n_slots, np.int64)
         self._lock = threading.Lock()
+        self.pipelined = pipelined
+        self._inflight = None  # (device out, pre-step mask, gen) of tick t-1
 
     def _put_rows(self, arr):
         """Host array -> device, slot-axis sharded when serving on a mesh."""
@@ -330,6 +345,7 @@ class SessionServer(StreamingServer):
             self.hub.reset_stream(sid)
             self._pending_reset[sid] = True
             self._active[sid] = True
+            self._gen[sid] += 1
             return sid
 
     def detach(self, sid: int):
@@ -347,24 +363,31 @@ class SessionServer(StreamingServer):
     def tick(self) -> int:
         import time
 
+        idle = False
         with self._lock:
             active = self._active.copy()
             if self.lockstep and any(
                     self.hub.input_available(i) < self.chunk
                     for i in np.flatnonzero(active)):
-                return 0
-            t0 = time.perf_counter()
-            batch, mask, _ = self.hub.gather(self.chunk)
-            mask &= active
-            if not mask.any():
-                return 0
-            reset_now = self._pending_reset & mask
-            self._pending_reset &= ~mask
-            if self._dvec_dirty:
-                self._dvec_dev = self._put_rows(self._dvec)
-                self._dvec_dirty = False
-            dvec = self._dvec_dev
-            n_late = int((active & ~mask).sum())  # active but missed the tick
+                idle = True
+            else:
+                t0 = time.perf_counter()
+                batch, mask, _ = self.hub.gather(self.chunk)
+                mask &= active
+                idle = not mask.any()
+            if not idle:
+                reset_now = self._pending_reset & mask
+                self._pending_reset &= ~mask
+                if self._dvec_dirty:
+                    self._dvec_dev = self._put_rows(self._dvec)
+                    self._dvec_dirty = False
+                dvec = self._dvec_dev
+                gen = self._gen.copy()
+                n_late = int((active & ~mask).sum())  # active, missed tick
+        if idle:
+            # nothing to step — still drain any pipelined in-flight output
+            # so a paused stream isn't starved of its final chunk
+            return self.flush() if self.pipelined else 0
         if reset_now.any():
             self._state = self._reset(self._state, self._fresh,
                                       self._put_rows(reset_now))
@@ -373,13 +396,28 @@ class SessionServer(StreamingServer):
             out, self._state = self.step_fn(batch, self._state)
         else:
             out, self._state = self.step_fn(batch, dvec, self._state)
-        out = np.asarray(out)
-        with self._lock:
-            # a slot detached (or detached + re-attached: pending reset)
-            # while the device step ran must not receive the old stream's
-            # output — re-check ownership before scattering
-            mask &= self._active & ~self._pending_reset
-            self.hub.scatter(out, mask)
+        if self.pipelined:
+            # fetch/scatter LAST tick's output while the device runs this
+            # tick's (asynchronously dispatched) step
+            prev, self._inflight = self._inflight, (out, mask, gen)
+            n = self._scatter_owned(*prev) if prev is not None else 0
+        else:
+            n = self._scatter_owned(out, mask, gen)
         self.ticks += 1
         self.stats.record(time.perf_counter() - t0, n_late=n_late)
+        return n
+
+    def _scatter_owned(self, out, mask, gen) -> int:
+        out = np.asarray(out)
+        with self._lock:
+            # a slot detached (or detached + re-attached: generation bump)
+            # while the device step ran must not receive the old stream's
+            # output — re-check ownership before scattering
+            mask = mask & self._active & (self._gen == gen)
+            self.hub.scatter(out, mask)
         return int(mask.sum())
+
+    def flush(self) -> int:
+        """Drain the pipelined in-flight output (call after the last tick)."""
+        prev, self._inflight = self._inflight, None
+        return self._scatter_owned(*prev) if prev is not None else 0

@@ -387,3 +387,76 @@ def test_session_server_mesh_sharded(rng):
         got = np.concatenate(outs[s])
         assert len(got) == len(audio[s])
         np.testing.assert_allclose(got, solo(audio[s], enr[s]), atol=1e-5)
+
+
+def test_session_server_pipelined(rng):
+    """pipelined=True double-buffers the output: values identical to the
+    unpipelined server, delivered one tick later (flush() drains the last);
+    and a slot recycled between a tick's dispatch and its scatter must NOT
+    receive the old session's output (per-slot generation guard)."""
+    from puresound_tpu.streaming.engine import StreamingTSE
+    from puresound_tpu.streaming.server import SessionServer
+
+    engine = _build_tse_engine()
+    chunk, n_slots, e_len = 80, 3, 400
+    mk = lambda n: rng.standard_normal(n).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(mk(chunk))[None],
+                            jnp.asarray(mk(e_len))[None],
+                            method=StreamingTSE.init_all)
+
+    @jax.jit
+    def embed_fn(enroll):
+        return engine.apply(variables, enroll, method=StreamingTSE.embed)
+
+    @jax.jit
+    def step_fn(chunk_batch, dvec, st):
+        return engine.apply(variables, chunk_batch, dvec, st,
+                            method=StreamingTSE.step)
+
+    fresh = engine.apply(variables, n_slots, method=StreamingTSE.init_state)
+    server = SessionServer(step_fn, fresh, n_slots, chunk,
+                           embed_fn=embed_fn, embed_dim=8, lockstep=True,
+                           pipelined=True)
+
+    def solo(x, enroll):
+        dvec = embed_fn(jnp.asarray(enroll)[None])
+        st = engine.apply(variables, 1, method=StreamingTSE.init_state)
+        outs = []
+        for k in range(len(x) // chunk):
+            y, st = step_fn(x[None, k * chunk:(k + 1) * chunk], dvec, st)
+            outs.append(np.asarray(y)[0])
+        return np.concatenate(outs)
+
+    audio, enroll = mk(4 * chunk), mk(e_len)
+    a = server.attach(enroll=enroll)
+    outs = []
+    for k in range(4):
+        server.hub.push_input(a, audio[k * chunk:(k + 1) * chunk])
+        n = server.tick()
+        assert n == (0 if k == 0 else 1)  # output lags one tick
+        got = server.hub.pop_output(a, chunk)
+        if len(got):
+            outs.append(got)
+    assert server.flush() == 1
+    outs.append(server.hub.pop_output(a, chunk))
+    got = np.concatenate(outs)
+    assert len(got) == len(audio)
+    np.testing.assert_allclose(got, solo(audio, enroll), atol=1e-5)
+    server.detach(a)
+
+    # --- slot recycle between dispatch and scatter --------------------------
+    b = server.attach(enroll=mk(e_len))
+    server.hub.push_input(b, mk(chunk))
+    assert server.tick() == 0        # b's output is now in flight
+    server.detach(b)
+    c = server.attach(enroll=enroll)  # reuses b's slot, generation bumped
+    assert c == b
+    c_audio = mk(chunk)
+    server.hub.push_input(c, c_audio)
+    n = server.tick()                # scatters b's in-flight: must suppress
+    assert n == 0
+    assert server.hub.output_available(c) == 0, "old session's output leaked"
+    assert server.flush() == 1       # c's own first chunk arrives
+    got_c = server.hub.pop_output(c, chunk)
+    np.testing.assert_allclose(got_c, solo(c_audio, enroll)[:chunk],
+                               atol=1e-5)
