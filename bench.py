@@ -564,6 +564,24 @@ def measure_session_server(engine, variables, B=1024, chunk_samples=240,
         assert n == B, n
     snap = {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in server.stats.snapshot().items()}
+
+    # pipelined mode: output fetch/scatter of tick t-1 overlaps device
+    # compute of tick t (same compiled step; values identical, 1 tick late)
+    srv2 = SessionServer(step_fn, fresh, B, chunk_samples, embed_dim=192,
+                         lockstep=True, ring_capacity=4 * chunk_samples,
+                         pipelined=True)
+    for _ in range(B):
+        srv2.attach(dvec=z)
+    push2 = lambda: [srv2.hub.push_input(i, x[i]) for i in range(B)]
+    push2()
+    srv2.tick()
+    srv2.stats = ServeStats()
+    for _ in range(iters):
+        push2()
+        srv2.tick()
+    srv2.flush()
+    snap["pipelined_tick_ms_p50"] = round(
+        srv2.stats.snapshot()["tick_ms_p50"], 3)
     snap["slots"] = B
     snap["chunk_ms"] = round(chunk_samples / 16.0, 1)
     return snap

@@ -234,3 +234,87 @@ def test_ns_dpcrn_grad_parity(torch_oracle):
     assert snrs[worst] > 60.0, (
         f"worst grad leaf {worst}: {snrs[worst]:.1f} dB "
         f"(median {np.median(list(snrs.values())):.1f})")
+
+
+def test_ns_dparn_grad_parity(torch_oracle):
+    """DPARN NS config (trainable ConvSTFT + attention dual-path + complex
+    mask, task 0, SI-SNR): loss and all gradients — through the MHA intra
+    blocks and the inter LSTM — agree with the reference at f64."""
+    torch = torch_oracle
+    import sys
+
+    sys.path.insert(0, "/root/reference/egs/ns")
+    try:
+        from model import init_model as torch_init
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("model", None)
+
+    from puresound.nnet.loss.sdr import SDRLoss as TorchSDRLoss
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    from puresound_tpu.nnet.loss.sdr import SDRLoss
+    from puresound_tpu.zoo import init_ns_model
+
+    mix2, clean2 = _load_audio(24000, 24000)
+    noisy = np.stack([mix2[0, :12000], mix2[0, 12000:]], 0)
+    ref = np.stack([clean2[0, :12000], clean2[0, 12000:]], 0)
+
+    torch.manual_seed(11)
+    torch.set_default_dtype(torch.float64)
+    try:
+        tm = torch_init("ns_dparn_v0_causal",
+                        TorchSDRLoss.init_mode("sisnr"), verbose=False).double()
+        tm.eval()
+        t_loss = tm(noisy=torch.from_numpy(noisy.astype(np.float64)),
+                    enroll=None,
+                    ref_clean=torch.from_numpy(ref.astype(np.float64)))
+        t_loss.backward()
+        t_loss_val = float(t_loss.detach())
+
+        def enc_tree(jm_init, m):
+            enc = dict(jm_init["params"]["encoder"]["encoder"])
+            enc["wsin"] = jnp.asarray(
+                m.encoder.encoder.wsin.detach().numpy().reshape(
+                    enc["wsin"].shape))
+            enc["wcos"] = jnp.asarray(
+                m.encoder.encoder.wcos.detach().numpy().reshape(
+                    enc["wcos"].shape))
+            return {"encoder": enc}
+
+        with jax.enable_x64(True):
+            jm = init_ns_model("ns_dparn_v0_causal",
+                               sig_loss=SDRLoss.init_mode("sisnr"))
+            init_v = jm.init(jax.random.PRNGKey(0),
+                             jnp.asarray(noisy.astype(np.float64)),
+                             method=SoTaskWrapModule.inference)
+
+            variables = tmap.variables(tmap.merge(
+                {"masker": tmap.dparn(tm.masker)}))
+            variables["params"]["encoder"] = enc_tree(init_v, tm)
+
+            _swap_grads_into_data(torch, tm)
+            t_grads = tmap.variables(tmap.merge(
+                {"masker": tmap.dparn(tm.masker)}))["params"]
+            t_grads["encoder"] = enc_tree(init_v, tm)
+
+            def loss_fn(params):
+                variables2 = {"params": params}
+                if variables.get("batch_stats"):
+                    variables2["batch_stats"] = variables["batch_stats"]
+                return jm.apply(
+                    variables2,
+                    jnp.asarray(noisy.astype(np.float64)), None,
+                    jnp.asarray(ref.astype(np.float64)),
+                    train=False, return_loss_detail=False)
+
+            j_loss, j_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    finally:
+        torch.set_default_dtype(torch.float32)
+
+    np.testing.assert_allclose(float(j_loss), t_loss_val, rtol=1e-6)
+    snrs = _leaf_snrs(t_grads, j_grads)
+    worst = min(snrs, key=snrs.get)
+    assert snrs[worst] > 60.0, (
+        f"worst grad leaf {worst}: {snrs[worst]:.1f} dB "
+        f"(median {np.median(list(snrs.values())):.1f})")
