@@ -358,7 +358,8 @@ def replicate_to_mesh(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def shard_by_slots(mesh: Mesh, tree, n_slots: int, axis: str = "dp"):
+def shard_by_slots(mesh: Mesh, tree, n_slots: int, axis: str = "dp",
+                   slot_axes=None):
     """Device-put a serving pytree with each leaf's stream/slot axis sharded.
 
     Per leaf, the FIRST axis whose size equals `n_slots` shards over the
@@ -367,17 +368,22 @@ def shard_by_slots(mesh: Mesh, tree, n_slots: int, axis: str = "dp"):
     leaves with no such axis — shared clocks like SkiM's scalar
     frame_count — replicate. Same slot-axis heuristic as the
     SessionServer masked reset (streaming/server._masked_state_reset):
-    if a non-slot axis coincidentally equals `n_slots`, re-shape the
-    state or pick a different slot count. The streaming step is
-    embarrassingly parallel along slots, so GSPMD compiles a
-    collective-free per-device program from these placements alone."""
-    def put(x):
+    if a non-slot axis coincidentally equals `n_slots`, pass
+    slot_axes=streaming.server.infer_slot_axes(init_state) for exact
+    per-leaf axes (-1 = replicate). The streaming step is embarrassingly
+    parallel along slots, so GSPMD compiles a collective-free per-device
+    program from these placements alone."""
+    def put(x, ax=None):
         x = jnp.asarray(x)
         spec = [None] * x.ndim
-        for ax, s in enumerate(x.shape):
-            if s == n_slots:
-                spec[ax] = axis
-                break
+        if ax is None:  # heuristic: first axis whose size == n_slots
+            ax = next((i for i, s in enumerate(x.shape) if s == n_slots),
+                      -1)
+        if ax >= 0:
+            spec[ax] = axis
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
+    if slot_axes is not None:
+        return jax.tree_util.tree_map(lambda a, x: put(x, a),
+                                      slot_axes, tree)
     return jax.tree_util.tree_map(put, tree)

@@ -211,8 +211,9 @@ def _masked_state_reset(state, fresh, mask):
     [D, B, H] / [F, B, H]). Leaves with no such axis — shared clocks like
     SkiM's scalar frame_count, which advances identically for every slot —
     are reset only when every slot resets at once. If some non-slot axis
-    of a leaf coincidentally equals the slot count, pass an explicit
-    reset_fn to SessionServer instead."""
+    of a leaf coincidentally equals the slot count (e.g. bidirectional
+    D=2 carries serving 2 slots), pass SessionServer
+    slot_axes=infer_slot_axes(init_state) — exact, no heuristic."""
     import jax
     import jax.numpy as jnp
 
@@ -226,6 +227,59 @@ def _masked_state_reset(state, fresh, mask):
         return jnp.where(mask.all(), f, s)
 
     return jax.tree.map(w, state, fresh)
+
+
+def infer_slot_axes(init_state, b1: int = 2, b2: int = 3):
+    """Exact per-leaf slot axes for a streaming state layout.
+
+    Initializes the state at two different slot counts and diffs leaf
+    shapes: the axis that scales with the count IS the slot axis; leaves
+    whose shape doesn't change (shared clocks, constants) map to -1.
+    Slot-major folded axes (e.g. [1, B*F, H]) are supported — the reset
+    repeats the mask by the fold factor. Pass the result as
+    SessionServer(slot_axes=...) to replace the size-equality heuristic
+    where it is ambiguous (e.g. a [D=2, B, H] bidirectional carry served
+    with 2 slots).
+
+    init_state: callable n_slots -> state pytree (the engine's
+    init_state bound to its variables)."""
+    import jax
+
+    s1, s2 = init_state(b1), init_state(b2)
+
+    def ax(a, b):
+        if not hasattr(a, "shape") or a.shape == getattr(b, "shape", None):
+            return -1
+        diffs = [i for i, (x, y) in enumerate(zip(a.shape, b.shape))
+                 if x != y]
+        ok = (len(a.shape) == len(b.shape) and len(diffs) == 1
+              and a.shape[diffs[0]] % b1 == 0
+              and a.shape[diffs[0]] // b1 == b.shape[diffs[0]] // b2)
+        if not ok:
+            raise ValueError(f"cannot infer slot axis: {a.shape} vs "
+                             f"{b.shape} at counts ({b1}, {b2})")
+        return diffs[0]
+
+    return jax.tree.map(ax, s1, s2)
+
+
+def _axes_state_reset(slot_axes):
+    """Masked reset with explicit per-leaf slot axes (see infer_slot_axes)."""
+    import jax
+    import jax.numpy as jnp
+
+    def reset(state, fresh, mask):
+        def w(ax, s, f):
+            if ax < 0:
+                return jnp.where(mask.all(), f, s)
+            rep = s.shape[ax] // mask.shape[0]  # slot-major folded axis
+            m = mask if rep == 1 else jnp.repeat(mask, rep)
+            m = m.reshape((1,) * ax + (-1,) + (1,) * (s.ndim - ax - 1))
+            return jnp.where(m, f, s)
+
+        return jax.tree.map(w, slot_axes, state, fresh)
+
+    return reset
 
 
 class SessionServer(StreamingServer):
@@ -258,7 +312,8 @@ class SessionServer(StreamingServer):
     def __init__(self, step_fn, fresh_state, n_slots: int, chunk_samples: int,
                  embed_fn=None, embed_dim: Optional[int] = None,
                  reset_fn=None, ring_capacity: int = 1 << 16,
-                 lockstep: bool = False, mesh=None, pipelined: bool = False):
+                 lockstep: bool = False, mesh=None, pipelined: bool = False,
+                 slot_axes=None):
         """mesh: a jax.sharding.Mesh with a "dp" axis to serve the slot
         batch SPMD over multiple devices (n_slots divisible by the dp
         size). State/dvec leaves shard on their slot axis
@@ -291,11 +346,14 @@ class SessionServer(StreamingServer):
             if n_slots % n_dp:
                 raise ValueError(f"n_slots={n_slots} not divisible by the "
                                  f"dp mesh axis ({n_dp})")
-            fresh_state = shard_by_slots(mesh, fresh_state, n_slots)
+            fresh_state = shard_by_slots(mesh, fresh_state, n_slots,
+                                         slot_axes=slot_axes)
             self._row_sharding = NamedSharding(mesh, PartitionSpec("dp"))
         self._fresh = fresh_state
         self._state = fresh_state
         self._embed_fn = embed_fn
+        if reset_fn is None and slot_axes is not None:
+            reset_fn = _axes_state_reset(slot_axes)
         self._reset = jax.jit(reset_fn or _masked_state_reset)
         self._dvec = (np.zeros((n_slots, embed_dim), np.float32)
                       if embed_dim is not None else None)

@@ -460,3 +460,110 @@ def test_session_server_pipelined(rng):
     got_c = server.hub.pop_output(c, chunk)
     np.testing.assert_allclose(got_c, solo(c_audio, enroll)[:chunk],
                                atol=1e-5)
+
+
+def test_infer_slot_axes_and_axes_reset():
+    """infer_slot_axes diffs init_state at two slot counts to find each
+    leaf's exact slot axis (folded B*F axes and shared clocks included);
+    _axes_state_reset applies the mask on exactly that axis — immune to
+    the size-coincidence that can fool the default heuristic."""
+    from puresound_tpu.streaming.server import (_axes_state_reset,
+                                                _masked_state_reset,
+                                                infer_slot_axes)
+
+    init = lambda b: {
+        "x": jnp.zeros((b, 4)),
+        "carry": jnp.zeros((2, b, 3)),      # leading D=2 (ambiguous at B=2)
+        "folded": jnp.zeros((1, b * 5, 3)),  # slot-major B*F fold
+        "clock": jnp.zeros(()),              # shared scalar
+    }
+    axes = infer_slot_axes(init)
+    assert axes == {"x": 0, "carry": 1, "folded": 1, "clock": -1}
+
+    B = 2  # collides with the D=2 axis of "carry"
+    state = init(B)
+    fresh = jax.tree.map(jnp.ones_like, state)
+    mask = jnp.asarray(np.array([True, False]))
+    got = _axes_state_reset(axes)(state, fresh, mask)
+    np.testing.assert_array_equal(np.asarray(got["x"]),
+                                  np.stack([np.ones(4), np.zeros(4)]))
+    # slot axis is axis 1: slot 0 rows reset across BOTH directions
+    np.testing.assert_array_equal(np.asarray(got["carry"][:, 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(got["carry"][:, 1]), 0.0)
+    # folded axis: the first 5 rows belong to slot 0
+    np.testing.assert_array_equal(np.asarray(got["folded"][0, :5]), 1.0)
+    np.testing.assert_array_equal(np.asarray(got["folded"][0, 5:]), 0.0)
+    # shared clock resets only when all slots reset
+    assert float(got["clock"]) == 0.0
+    got_all = _axes_state_reset(axes)(state, fresh,
+                                      jnp.asarray(np.array([True, True])))
+    assert float(got_all["clock"]) == 1.0
+
+    # the default heuristic picks carry's D axis (first size match) — the
+    # very ambiguity infer_slot_axes exists to remove
+    bad = _masked_state_reset(state, fresh, mask)
+    assert np.asarray(bad["carry"])[0].all() == 1.0  # reset along D: wrong
+
+
+def test_session_server_ns_engine_two_slots_explicit_axes(rng):
+    """n_slots=2 NS serving with slot_axes=infer_slot_axes(...): a session
+    attached mid-serving matches a fresh engine exactly even when slot
+    count collides with a state dimension (the default size heuristic is
+    known to mis-reset at n_slots=2 on this layout)."""
+    from puresound_tpu.nnet.dpcrn import DPCRN
+    from puresound_tpu.nnet.encoder import ConvEncDec
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.streaming.server import SessionServer, infer_slot_axes
+
+    n_fft, hop = 128, 32
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = DPCRN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8, 16, 16, 32),
+                   transpose_t_size=2, transpose_delay=False,
+                   kernel_t=(2, 2, 2, 2, 2), stride_t=(1, 1, 1, 1, 1),
+                   dilation_t=(1, 1, 1, 1, 1), kernel_f=(5, 3, 3, 3, 3),
+                   stride_f=(2, 2, 1, 1, 1), dilation_f=(1, 1, 1, 1, 1),
+                   delay=(0, 0, 0, 0, 0), rnn_hidden=16)
+    engine = StreamingNS(encoder=encoder, masker=masker,
+                         mask_constraint="linear", drop_first_bin=True)
+    chunk, n_slots = hop * 4, 2
+    x = rng.standard_normal(chunk * 10).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(x[None, :chunk]),
+                            method=StreamingNS.init_all)
+
+    @jax.jit
+    def step_fn(chunk_batch, st):
+        return engine.apply(variables, chunk_batch, st,
+                            method=StreamingNS.step)
+
+    init_state = lambda b: engine.apply(variables, b,
+                                        method=StreamingNS.init_state)
+    server = SessionServer(step_fn, init_state(n_slots), n_slots, chunk,
+                           lockstep=True,
+                           slot_axes=infer_slot_axes(init_state))
+
+    a = server.attach()
+    outs, fed = {a: []}, {a: 0}
+
+    def tick_all():
+        for sid in list(outs):
+            if fed[sid] * chunk < len(x):
+                server.hub.push_input(
+                    sid, x[fed[sid] * chunk:(fed[sid] + 1) * chunk])
+                fed[sid] += 1
+        server.tick()
+        for sid in list(outs):
+            got = server.hub.pop_output(sid, chunk)
+            if len(got):
+                outs[sid].append(got)
+
+    for _ in range(3):
+        tick_all()
+    b = server.attach()  # joins 3 ticks in, same audio from its start
+    outs[b], fed[b] = [], 0
+    while min(f * chunk for f in fed.values()) < len(x):
+        tick_all()
+    ya, yb = np.concatenate(outs[a]), np.concatenate(outs[b])
+    n = min(len(ya), len(yb))
+    np.testing.assert_allclose(yb[:n], ya[:n], atol=1e-6, rtol=1e-6)
