@@ -104,7 +104,8 @@ def action_train(hparam, backend):
     trainer.train()
 
 
-def action_dev(hparam, backend, ckpt, metrics):
+def action_dev(hparam, backend, ckpt, metrics, batch_eval=0,
+               eval_quantum=1.0):
     import jax.numpy as jnp
 
     from puresound_tpu.nnet.base_nn import SoTaskWrapModule
@@ -119,12 +120,35 @@ def action_dev(hparam, backend, ckpt, metrics):
                         collate_fn=NsCollateFunc())
     model, variables = load_eval_model(hparam, ckpt)
 
+    def scored_pairs():
+        """Yield (batch, enh[1, L]) in manifest order; with --batch_eval N,
+        inference runs bucketed+padded+jitted at batch N (one XLA compile
+        per length bucket instead of per utterance)."""
+        if batch_eval > 0:
+            from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+            batches = list(loader)
+            runner = BucketedBatchRunner(
+                lambda n: model.apply(variables, n,
+                                      method=SoTaskWrapModule.inference),
+                batch_size=batch_eval,
+                quantum=int(hparam["DATASET"]["sample_rate"] * eval_quantum),
+                pad_modes=("zero",))
+            outs = runner.run([(b["process_wav"],) for b in batches])
+            print(f"batch_eval: {len(runner.bucket_keys)} bucket shapes "
+                  f"for {len(batches)} utterances")
+            for b, o in zip(batches, outs):
+                yield b, np.asarray(o)[None]
+        else:
+            for b in loader:
+                yield b, np.asarray(model.apply(
+                    variables, jnp.asarray(b["process_wav"]),
+                    method=SoTaskWrapModule.inference))
+
     S_pesq, S_stoi, S_sdr, S_sisnr, S_sisnri = [], [], [], [], []
     print("uttid, PESQ, STOI, SDR, SISNR, SISNRi")
-    for batch in loader:
+    for batch, enh in scored_pairs():
         clean, noisy = batch["clean_wav"], batch["process_wav"]
-        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
-                                     method=SoTaskWrapModule.inference))
         S_sisnr.append(Metrics.sisnr(clean, enh))
         S_sisnri.append(Metrics.sisnr_imp(clean, enh, noisy))
         if metrics == "detail":
@@ -223,7 +247,8 @@ def main(config):
     if config.action == "train":
         action_train(hparam, config.backend)
     elif config.action == "dev":
-        action_dev(hparam, config.backend, config.ckpt, config.metrics)
+        action_dev(hparam, config.backend, config.ckpt, config.metrics,
+                   config.batch_eval, config.eval_quantum)
     elif config.action == "eval":
         action_eval(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
@@ -258,6 +283,16 @@ if __name__ == "__main__":
                              "+ u0 in one Pallas call)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
+    parser.add_argument("--batch_eval", type=int, default=0,
+                        help="dev: bucketed+jitted batched inference at "
+                             "this batch size (0 = per-utterance, the "
+                             "reference behavior); recommended on TPU. "
+                             "Scores can shift slightly: the final "
+                             "analysis window of each utterance sees "
+                             "padded framing (batch_eval.py docstring)")
+    parser.add_argument("--eval_quantum", type=float, default=1.0,
+                        help="dev --batch_eval: length-bucket grid in "
+                             "seconds (fewer compiles when larger)")
     parser.add_argument("--metrics", type=str, default="simple",
                         choices=["simple", "detail"])
     parser.add_argument("--ckpt", type=str, default=None)

@@ -142,7 +142,8 @@ def action_train(hparam, backend):
     trainer.train()
 
 
-def action_dev(hparam, backend, ckpt, metrics):
+def action_dev(hparam, backend, ckpt, metrics, batch_eval=0,
+               eval_quantum=1.0):
     import jax.numpy as jnp
 
     from local.binarize import Binarize
@@ -166,14 +167,43 @@ def action_dev(hparam, backend, ckpt, metrics):
         return model.apply(variables, jnp.asarray(noisy), jnp.asarray(enroll),
                            method=SoTaskWrapModule.inference)
 
+    def scored_pairs():
+        """Yield (batch, enh[1, ...]) in manifest order. With
+        --batch_eval N, inference runs bucketed+padded+jitted at batch N
+        (one XLA compile per length bucket instead of per utterance)."""
+        if batch_eval > 0:
+            from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+            batches = list(loader)
+            sr = hparam["DATASET"]["sample_rate"]
+            # enrollments get a 4x coarser grid: bucket keys are the
+            # (mix, enroll) cross product, and enroll lengths vary
+            # continuously — a fine grid would compile per utterance
+            runner = BucketedBatchRunner(
+                lambda n, e: model.apply(variables, n, e,
+                                         method=SoTaskWrapModule.inference),
+                batch_size=batch_eval,
+                quantum=(int(sr * eval_quantum),
+                         int(sr * eval_quantum * 4)),
+                pad_modes=("zero", "tile"))
+            outs = runner.run([(b["process_wav"], b["enroll_wav"])
+                               for b in batches])
+            print(f"batch_eval: {len(runner.bucket_keys)} bucket shapes "
+                  f"for {len(batches)} utterances")
+            for b, o in zip(batches, outs):
+                yield b, np.asarray(o)[None]
+        else:
+            for b in loader:
+                yield b, np.asarray(infer(b["process_wav"],
+                                          b["enroll_wav"]))
+
     if is_vad:
         binarizer = Binarize(threshold=0.5, stability=0.05,
                              sample_rate=hparam["DATASET"]["sample_rate"],
                              mode="moving_average")
         acc, prec, rec, f1 = [], [], [], []
         print("accuracy, precision, recall, f1_score")
-        for batch in loader:
-            enh = np.asarray(infer(batch["process_wav"], batch["enroll_wav"]))
+        for batch, enh in scored_pairs():
             binarized = binarizer(enh)
             score = Metrics.f1_score(batch["clean_wav"], binarized.astype(np.float32))
             acc.append(score["accuracy"])
@@ -189,9 +219,8 @@ def action_dev(hparam, backend, ckpt, metrics):
 
     S_pesq, S_stoi, S_sdr, S_sisnr, S_sisnri, S_nsr, S_nsr_neg = ([] for _ in range(7))
     print("uttid, PESQ, STOI, SDR, SISNR, SISNRi, NSR")
-    for batch in loader:
+    for batch, enh in scored_pairs():
         clean, noisy = batch["clean_wav"], batch["process_wav"]
-        enh = np.asarray(infer(noisy, batch["enroll_wav"]))
         _sisnr = Metrics.sisnr(clean, enh)
         _sisnri = Metrics.sisnr_imp(clean, enh, noisy)
         _nsr = 1 if (_sisnri < 0 and _sisnr < 30) else 0
@@ -467,7 +496,8 @@ def main(config):
     if config.action == "train":
         action_train(hparam, config.backend)
     elif config.action == "dev":
-        action_dev(hparam, config.backend, config.ckpt, config.metrics)
+        action_dev(hparam, config.backend, config.ckpt, config.metrics,
+                   config.batch_eval, config.eval_quantum)
     elif config.action == "tSNE":
         action_tsne(hparam, config.backend, config.ckpt)
     elif config.action == "eval":
@@ -495,6 +525,16 @@ if __name__ == "__main__":
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",
                         choices=["simple", "detail"])
+    parser.add_argument("--batch_eval", type=int, default=0,
+                        help="dev: bucketed+jitted batched inference at "
+                             "this batch size (0 = per-utterance, the "
+                             "reference behavior); recommended on TPU. "
+                             "Scores can shift slightly: the final "
+                             "analysis window of each utterance sees "
+                             "padded framing (batch_eval.py docstring)")
+    parser.add_argument("--eval_quantum", type=float, default=1.0,
+                        help="dev --batch_eval: length-bucket grid in "
+                             "seconds (fewer compiles when larger)")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--coordinator", type=str, default="localhost:12345",
                         help="multi-host: process-0 address host:port")
