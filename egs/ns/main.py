@@ -171,7 +171,7 @@ def action_dev(hparam, backend, ckpt, metrics, batch_eval=0,
     print(f"SiSNRi: {np.mean(S_sisnri)}")
 
 
-def action_eval(hparam, backend, ckpt):
+def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     import jax.numpy as jnp
 
     from puresound_tpu.nnet.base_nn import SoTaskWrapModule
@@ -183,11 +183,36 @@ def action_eval(hparam, backend, ckpt):
     model, variables = load_eval_model(hparam, ckpt)
     test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
     sr = hparam["DATASET"]["sample_rate"]
-    for key in test_audio.keys():
-        print(f"Running inference: {key}")
+
+    def load_noisy(key):
         noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
         if wav_sr != sr:
             noisy = AudioIO.resample(noisy, wav_sr, sr)
+        return np.asarray(noisy)
+
+    keys = list(test_audio.keys())
+    if batch_eval > 0:
+        from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+        runner = BucketedBatchRunner(
+            lambda n: model.apply(variables, n,
+                                  method=SoTaskWrapModule.inference),
+            batch_size=batch_eval,
+            quantum=int(sr * eval_quantum), pad_modes=("zero",))
+        # macro-chunks bound peak host memory on large test sets; bucket
+        # executables persist across run() calls via the jit cache
+        group = max(batch_eval * 8, 64)
+        for start in range(0, len(keys), group):
+            chunk = keys[start:start + group]
+            outs = runner.run([(load_noisy(k),) for k in chunk])
+            for k, o in zip(chunk, outs):
+                print(f"Running inference: {k}")
+                AudioIO.save(np.asarray(o).reshape(1, -1),
+                             f"{out_dir}/{k}.wav", sr)
+        return
+    for key in keys:
+        print(f"Running inference: {key}")
+        noisy = load_noisy(key)
         enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
                                      method=SoTaskWrapModule.inference))
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
@@ -250,7 +275,8 @@ def main(config):
         action_dev(hparam, config.backend, config.ckpt, config.metrics,
                    config.batch_eval, config.eval_quantum)
     elif config.action == "eval":
-        action_eval(hparam, config.backend, config.ckpt)
+        action_eval(hparam, config.backend, config.ckpt,
+                    config.batch_eval, config.eval_quantum)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half, config.fused,
@@ -284,14 +310,14 @@ if __name__ == "__main__":
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--batch_eval", type=int, default=0,
-                        help="dev: bucketed+jitted batched inference at "
+                        help="dev/eval: bucketed+jitted batched inference at "
                              "this batch size (0 = per-utterance, the "
                              "reference behavior); recommended on TPU. "
                              "Scores can shift slightly: the final "
                              "analysis window of each utterance sees "
                              "padded framing (batch_eval.py docstring)")
     parser.add_argument("--eval_quantum", type=float, default=1.0,
-                        help="dev --batch_eval: length-bucket grid in "
+                        help="batch_eval: length-bucket grid in "
                              "seconds (fewer compiles when larger)")
     parser.add_argument("--metrics", type=str, default="simple",
                         choices=["simple", "detail"])

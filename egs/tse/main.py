@@ -306,7 +306,7 @@ def action_tsne(hparam, backend, ckpt):
     print(f"saved {html}")
 
 
-def action_eval(hparam, backend, ckpt):
+def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     import jax.numpy as jnp
 
     from local.binarize import Binarize
@@ -324,8 +324,8 @@ def action_eval(hparam, backend, ckpt):
     is_vad = hparam["DATASET"]["type"].lower() == "pvad"
     post = Binarize(threshold=0.5, stability=0.05, sample_rate=sr,
                     mode="moving_average") if is_vad else None
-    for key in test_audio.keys():
-        print(f"Running inference: {key}")
+
+    def load_pair(key):
         noisy, wav_sr = AudioIO.open(f_path=test_audio[key][0])
         if wav_sr != sr:
             noisy = AudioIO.resample(noisy, wav_sr, sr)
@@ -335,13 +335,42 @@ def action_eval(hparam, backend, ckpt):
             if wav_sr != sr:
                 e = AudioIO.resample(e, wav_sr, sr)
             enrolls.append(e)
-        enroll = np.concatenate(enrolls, axis=-1)
-        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
-                                     jnp.asarray(enroll),
-                                     method=SoTaskWrapModule.inference))
+        return np.asarray(noisy), np.concatenate(enrolls, axis=-1)
+
+    def finish(key, enh):
+        enh = np.asarray(enh).reshape(1, -1)
         if post is not None:
             enh = post(enh).astype(np.float32)
         AudioIO.save(enh.reshape(1, -1), f"{out_dir}/{key}.wav", sr)
+
+    keys = list(test_audio.keys())
+    if batch_eval > 0:
+        from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+        runner = BucketedBatchRunner(
+            lambda n, e: model.apply(variables, n, e,
+                                     method=SoTaskWrapModule.inference),
+            batch_size=batch_eval,
+            quantum=(int(sr * eval_quantum), int(sr * eval_quantum * 4)),
+            pad_modes=("zero", "tile"))
+        # macro-chunks keep peak host memory bounded on large test sets;
+        # bucket executables persist across run() calls via the jit cache
+        group = max(batch_eval * 8, 64)
+        for start in range(0, len(keys), group):
+            chunk = keys[start:start + group]
+            items = [load_pair(k) for k in chunk]
+            outs = runner.run(items)
+            for k, o in zip(chunk, outs):
+                print(f"Running inference: {k}")
+                finish(k, o)
+        return
+    for key in keys:
+        print(f"Running inference: {key}")
+        noisy, enroll = load_pair(key)
+        enh = np.asarray(model.apply(variables, jnp.asarray(noisy),
+                                     jnp.asarray(enroll),
+                                     method=SoTaskWrapModule.inference))
+        finish(key, enh)
 
 
 def action_export(hparam, backend, ckpt):
@@ -501,7 +530,8 @@ def main(config):
     elif config.action == "tSNE":
         action_tsne(hparam, config.backend, config.ckpt)
     elif config.action == "eval":
-        action_eval(hparam, config.backend, config.ckpt)
+        action_eval(hparam, config.backend, config.ckpt,
+                    config.batch_eval, config.eval_quantum)
     elif config.action == "export_model":
         action_export(hparam, config.backend, config.ckpt)
     elif config.action == "stream_eval":
@@ -526,14 +556,14 @@ if __name__ == "__main__":
     parser.add_argument("--metrics", type=str, default="simple",
                         choices=["simple", "detail"])
     parser.add_argument("--batch_eval", type=int, default=0,
-                        help="dev: bucketed+jitted batched inference at "
+                        help="dev/eval: bucketed+jitted batched inference at "
                              "this batch size (0 = per-utterance, the "
                              "reference behavior); recommended on TPU. "
                              "Scores can shift slightly: the final "
                              "analysis window of each utterance sees "
                              "padded framing (batch_eval.py docstring)")
     parser.add_argument("--eval_quantum", type=float, default=1.0,
-                        help="dev --batch_eval: length-bucket grid in "
+                        help="batch_eval: length-bucket grid in "
                              "seconds (fewer compiles when larger)")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--coordinator", type=str, default="localhost:12345",
