@@ -78,7 +78,7 @@ def action_train(hparam, backend):
     trainer.train()
 
 
-def action_dev(hparam, backend, ckpt):
+def action_dev(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -97,12 +97,34 @@ def action_dev(hparam, backend, ckpt):
                     max_length=None)
     loader = DataLoader(ds, batch_size=1, shuffle=False,
                         collate_fn=DssCollateFunc())
+
+    def scored_pairs():
+        """Yield (batch, out[1, M, L]) in manifest order; --batch_eval N
+        runs bucketed+padded+jitted separation at batch N (one compile
+        per length bucket instead of per utterance)."""
+        if batch_eval > 0:
+            from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+            batches = list(loader)
+            runner = BucketedBatchRunner(
+                lambda n: model.apply(variables, n,
+                                      method=SiMoTaskWrapModule.inference),
+                batch_size=batch_eval, quantum=int(sr * eval_quantum),
+                pad_modes=("zero",))
+            outs = runner.run([(b["process_wav"],) for b in batches])
+            print(f"batch_eval: {len(runner.bucket_keys)} bucket shapes "
+                  f"for {len(batches)} utterances")
+            for b, o in zip(batches, outs):
+                yield b, np.asarray(o)[None]
+        else:
+            for b in loader:
+                yield b, np.asarray(model.apply(
+                    variables, jnp.asarray(b["process_wav"]),
+                    method=SiMoTaskWrapModule.inference))
+
     near_scores, far_scores = [], []
     print("uttid, SISNR(near), SISNR(far)")
-    for batch in loader:
-        out = np.asarray(model.apply(variables,
-                                     jnp.asarray(batch["process_wav"]),
-                                     method=SiMoTaskWrapModule.inference))
+    for batch, out in scored_pairs():
         s_near = Metrics.sisnr(batch["near_wav"], out[:, 0])
         s_far = Metrics.sisnr(batch["far_wav"], out[:, 1])
         near_scores.append(s_near)
@@ -175,7 +197,8 @@ def main(config):
     if config.action == "train":
         action_train(hparam, config.backend)
     elif config.action == "dev":
-        action_dev(hparam, config.backend, config.ckpt)
+        action_dev(hparam, config.backend, config.ckpt,
+                   config.batch_eval, config.eval_quantum)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half, config.fused,
@@ -200,6 +223,13 @@ if __name__ == "__main__":
                         help="stream_eval with Pallas fused recurrences")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
+    parser.add_argument("--batch_eval", type=int, default=0,
+                        help="dev: bucketed+jitted batched inference at "
+                             "this batch size (0 = per-utterance); "
+                             "recommended on TPU (batch_eval.py)")
+    parser.add_argument("--eval_quantum", type=float, default=1.0,
+                        help="batch_eval: length-bucket grid in "
+                             "seconds (fewer compiles when larger)")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--coordinator", type=str, default="localhost:12345",
                         help="multi-host: process-0 address host:port")
