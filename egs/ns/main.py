@@ -1,7 +1,8 @@
-"""NS recipe CLI: train / dev / eval / stream_eval.
+"""NS recipe CLI: train / dev / eval / stream_eval / serve.
 
 Parity: reference egs/ns/main.py:184-198 (same actions, manifests, metrics);
-stream_eval (chunked real-time streaming inference + RTF) is beyond the
+stream_eval (chunked real-time streaming inference + RTF) and serve (TCP
+socket serving front-end over the batched SessionServer) are beyond the
 reference.
 """
 import argparse
@@ -250,6 +251,20 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms,
               f"({chunk_ms} ms chunks)")
 
 
+def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
+                 half=False, fused=False, dp_kernel=False,
+                 attn_kernel=False, mk_kernel=False):
+    """Production serving: load the checkpoint, open the TCP front-end
+    (streaming/socket_server.py protocol), serve until Ctrl-C."""
+    from puresound_tpu.streaming.deploy import run_serve
+
+    model, variables = load_eval_model(hparam, ckpt)
+    run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
+              sr=hparam["DATASET"]["sample_rate"], half=half, fused=fused,
+              dp_kernel=dp_kernel, attn_kernel=attn_kernel,
+              mk_kernel=mk_kernel)
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -282,6 +297,11 @@ def main(config):
                            config.chunk_ms, config.half, config.fused,
                            config.dp_kernel, config.attn_kernel,
                            config.mk_kernel)
+    elif config.action == "serve":
+        action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
+                     config.serve_slots, config.port, config.half,
+                     config.fused, config.dp_kernel, config.attn_kernel,
+                     config.mk_kernel)
     else:
         raise NameError("Unrecognize action.")
 
@@ -290,7 +310,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev", "eval", "stream_eval"])
+                        choices=["train", "dev", "eval", "stream_eval",
+                                 "serve"])
+    parser.add_argument("--serve_slots", type=int, default=64,
+                        help="serve: fixed concurrent-session capacity")
+    parser.add_argument("--port", type=int, default=7654,
+                        help="serve: TCP port for the socket front-end")
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",

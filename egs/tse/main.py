@@ -1,9 +1,11 @@
-"""TSE recipe CLI: train / dev / eval / tSNE / export_model / stream_eval.
+"""TSE recipe CLI: train / dev / eval / tSNE / export_model / stream_eval
+/ serve.
 
 Parity: reference egs/tse/main.py:449-466 (same actions, same manifests,
 same scoring); `export_model` serializes jax.export StableHLO artifacts of
 the four sub-nets instead of torch.jit traces; `stream_eval` (chunked
-real-time streaming inference + RTF) is beyond the reference.
+real-time streaming inference + RTF) and `serve` (TCP socket serving
+front-end with per-connection enrollment) are beyond the reference.
 """
 import argparse
 import os
@@ -457,6 +459,18 @@ def action_export(hparam, backend, ckpt):
         print(f"exported {name}: {path} ({len(data)} bytes)")
 
 
+def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
+                 half=False, fused=False):
+    """Production TSE serving: TCP front-end where each connection enrolls
+    its own target speaker (HELLO payload = d-vector or enrollment
+    waveform) and streams mixture audio for enhanced audio back."""
+    from puresound_tpu.streaming.deploy import run_serve
+
+    model, variables = load_eval_model(hparam, ckpt)
+    run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
+              sr=hparam["DATASET"]["sample_rate"], half=half, fused=fused)
+
+
 def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False):
     """Chunked real-time streaming TSE over the eval set: embed the
     enrollment once, stream the mixture, write aligned enhanced wavs and
@@ -537,6 +551,10 @@ def main(config):
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half)
+    elif config.action == "serve":
+        action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
+                     config.serve_slots, config.port, config.half,
+                     config.fused)
     else:
         raise NameError("Unrecognize action.")
 
@@ -546,7 +564,14 @@ if __name__ == "__main__":
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
                         choices=["train", "dev", "eval", "tSNE",
-                                 "export_model", "stream_eval"])
+                                 "export_model", "stream_eval", "serve"])
+    parser.add_argument("--serve_slots", type=int, default=64,
+                        help="serve: fixed concurrent-session capacity")
+    parser.add_argument("--port", type=int, default=7654,
+                        help="serve: TCP port for the socket front-end")
+    parser.add_argument("--fused", action="store_true",
+                        help="serve: fused Pallas SkiM serving kernel "
+                             "(bf16 with --half)")
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",

@@ -28,6 +28,44 @@ def engine_delay_samples(engine) -> int:
     return 0
 
 
+def engine_step_options(engine, fused: bool = False, dp_kernel: bool = False,
+                        attn_kernel: bool = False, mk_kernel: bool = False):
+    """Validate kernel flags against the engine family and translate them
+    into (step_kwargs, init_state_kwargs). Shared by the file-streaming
+    evaluator and the serving deployment builder."""
+    if sum(map(bool, (fused, dp_kernel, mk_kernel))) > 1:
+        raise ValueError("--fused / --dp_kernel / --mk_kernel are mutually "
+                         "exclusive (each already fuses the bottleneck)")
+    if (fused or dp_kernel or mk_kernel) and not isinstance(
+            engine, (StreamingNS, StreamingDSS)):
+        raise ValueError("fused/dp_kernel/mk_kernel apply to STFT-domain engines "
+                         f"(StreamingNS/StreamingDSS), not {type(engine).__name__}")
+    if dp_kernel and not hasattr(engine.masker, "bottleneck_kernel_chunk"):
+        raise ValueError("dp_kernel requires a DPCRN masker "
+                         f"(got {type(engine.masker).__name__})")
+    if mk_kernel and not hasattr(engine.masker, "center_kernel_chunk"):
+        raise ValueError("mk_kernel requires a DPCRN or DPARN masker "
+                         f"(got {type(engine.masker).__name__})")
+    kw = {"fused": True} if fused else {}
+    if attn_kernel:
+        from ..nnet.dparn import _DPARNBase
+
+        if not isinstance(engine.masker, _DPARNBase):
+            raise ValueError("attn_kernel requires a DPARN masker "
+                             f"(got {type(engine.masker).__name__})")
+        kw["attn_kernel"] = True
+    if dp_kernel:
+        kw = {"dp_kernel": True}
+    if mk_kernel:
+        kw = {"mk_kernel": True}
+    init_kw = {}
+    if dp_kernel:
+        init_kw["dp_kernel"] = True
+    if mk_kernel:
+        init_kw["mk_kernel"] = True
+    return kw, init_kw
+
+
 def stream_signal(engine, variables, wav: np.ndarray, sr: int,
                   chunk_ms: float = 16.0,
                   dvec: Optional[np.ndarray] = None,
@@ -67,31 +105,10 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     x = np.zeros((1, n_chunks * chunk), np.float32)
     x[0, :L] = wav
 
-    if sum(map(bool, (fused, dp_kernel, mk_kernel))) > 1:
-        raise ValueError("--fused / --dp_kernel / --mk_kernel are mutually "
-                         "exclusive (each already fuses the bottleneck)")
-    if (fused or dp_kernel or mk_kernel) and not isinstance(
-            engine, (StreamingNS, StreamingDSS)):
-        raise ValueError("fused/dp_kernel/mk_kernel apply to STFT-domain engines "
-                         f"(StreamingNS/StreamingDSS), not {type(engine).__name__}")
-    if dp_kernel and not hasattr(engine.masker, "bottleneck_kernel_chunk"):
-        raise ValueError("dp_kernel requires a DPCRN masker "
-                         f"(got {type(engine.masker).__name__})")
-    if mk_kernel and not hasattr(engine.masker, "center_kernel_chunk"):
-        raise ValueError("mk_kernel requires a DPCRN or DPARN masker "
-                         f"(got {type(engine.masker).__name__})")
-    kw = {"fused": True} if fused else {}
-    if attn_kernel:
-        from ..nnet.dparn import _DPARNBase
-
-        if not isinstance(engine.masker, _DPARNBase):
-            raise ValueError("attn_kernel requires a DPARN masker "
-                             f"(got {type(engine.masker).__name__})")
-        kw["attn_kernel"] = True
-    if dp_kernel:
-        kw = {"dp_kernel": True}
-    if mk_kernel:
-        kw = {"mk_kernel": True}
+    kw, init_kw = engine_step_options(engine, fused=fused,
+                                      dp_kernel=dp_kernel,
+                                      attn_kernel=attn_kernel,
+                                      mk_kernel=mk_kernel)
     if isinstance(engine, StreamingNS):
         if dvec is not None:
             step = jax.jit(lambda v, c, s, d: engine.apply(
@@ -112,11 +129,6 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
     else:
         raise TypeError(f"unknown streaming engine {type(engine)}")
 
-    init_kw = {}
-    if dp_kernel:
-        init_kw["dp_kernel"] = True
-    if mk_kernel:
-        init_kw["mk_kernel"] = True
     init_state = lambda: engine.apply(variables, 1, dt,
                                       method=type(engine).init_state,
                                       **init_kw)

@@ -1,0 +1,167 @@
+"""Serving deployment builder (streaming/deploy.py): model -> SessionServer
+-> TCP front-end, with output equivalence against the bare engine."""
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+from puresound_tpu.nnet.conv_tasnet import TCN
+from puresound_tpu.nnet.dpcrn import DPCRN
+from puresound_tpu.nnet.encoder import ConvEncDec, FreeEncDec
+from puresound_tpu.nnet.lobe.cnn import Conv1d
+from puresound_tpu.nnet.lobe.pooling import AttentiveStatisticsPooling
+from puresound_tpu.nnet.skim import SkiM
+from puresound_tpu.src import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _tse_model():
+    encoder = FreeEncDec(win_length=32, hop_length=16, laten_length=24,
+                         output_active=True)
+    masker = SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+                  seg_size=10, seg_overlap=False, causal=True, embed_dim=8,
+                  embed_norm=True, embed_fusion="FiLM",
+                  block_with_embed=(1, 1))
+    speaker_net = tuple(
+        [TCN(24, 16, 3, dilation=1, causal=False, tcn_norm="gLN",
+             dconv_norm="gGN")]
+        + [AttentiveStatisticsPooling(24, 16),
+           Conv1d(48, 8, 1, use_bias=False)])
+    model = SoTaskWrapModule(encoder=encoder, masker=masker,
+                             speaker_net=speaker_net, mask_constraint="ReLU")
+    return model
+
+
+def _ns_model(n_fft=128, hop=32):
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = DPCRN(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                   dropout=0.0, channels=(1, 8, 8, 16, 16, 32),
+                   transpose_t_size=2, transpose_delay=False,
+                   kernel_t=(2, 2, 2, 2, 2), stride_t=(1, 1, 1, 1, 1),
+                   dilation_t=(1, 1, 1, 1, 1), kernel_f=(5, 3, 3, 3, 3),
+                   stride_f=(2, 2, 1, 1, 1), dilation_f=(1, 1, 1, 1, 1),
+                   delay=(0, 0, 0, 0, 0), rnn_hidden=16)
+    return SoTaskWrapModule(encoder=encoder, masker=masker,
+                            drop_first_bin=True, mask_constraint="linear",
+                            f_type="Complex", mask_type="Complex")
+
+
+def test_make_session_server_tse_matches_engine(rng):
+    """Deploy-built server output == the bare engine stepped solo."""
+    from puresound_tpu.streaming.deploy import make_session_server
+    from puresound_tpu.streaming.engine import StreamingTSE
+
+    model = _tse_model()
+    sr = 16000
+    x0 = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32) * 0.1)
+    e0 = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, e0, method=SoTaskWrapModule.inference)
+
+    # hop=16, seg_size=10 -> 160-sample chunks cover whole segments
+    bundle = make_session_server(model, variables, n_slots=2, chunk_ms=10.0,
+                                 sr=sr, enroll_len=800)
+    assert bundle.chunk_samples == 160 and bundle.embed_dim == 8
+    server = bundle.server
+
+    audio = rng.standard_normal(3 * 160).astype(np.float32) * 0.1
+    enroll = rng.standard_normal(800).astype(np.float32) * 0.1
+    sid = server.attach(enroll=enroll)
+    outs = []
+    for k in range(3):
+        server.hub.push_input(sid, audio[k * 160:(k + 1) * 160])
+        assert server.tick() == 1
+        outs.append(server.hub.pop_output(sid, 160))
+    got = np.concatenate(outs)
+
+    engine = bundle.engine
+    dvec = bundle.embed_fn(jnp.asarray(enroll)[None])
+    st = engine.apply(variables, 1, method=StreamingTSE.init_state)
+    ref = []
+    for k in range(3):
+        y, st = engine.apply(variables,
+                             jnp.asarray(audio[None, k * 160:(k + 1) * 160]),
+                             dvec, st, method=StreamingTSE.step)
+        ref.append(np.asarray(y)[0])
+    np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
+
+
+def test_make_session_server_ns_and_socket_serve(rng):
+    """NS deploy path end-to-end over the TCP front-end (run_serve)."""
+    from puresound_tpu.streaming.deploy import run_serve
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.streaming.socket_server import StreamingClient
+
+    model = _ns_model()
+    sr = 16000
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+
+    started = {}
+    ready = threading.Event()
+    stop = threading.Event()
+
+    def on_started(front, bundle):
+        started["addr"] = front.address
+        started["bundle"] = bundle
+        ready.set()
+
+    th = threading.Thread(
+        target=run_serve,
+        args=(model, variables, 2),
+        kwargs=dict(host="127.0.0.1", port=0, stop_event=stop,
+                    on_started=on_started, chunk_ms=8.0, sr=sr),
+        daemon=True)
+    th.start()
+    assert ready.wait(timeout=60.0)
+    try:
+        bundle = started["bundle"]
+        chunk = bundle.chunk_samples
+        assert chunk == 128  # 8 ms @ 16 kHz, hop 32
+        audio = rng.standard_normal(4 * chunk).astype(np.float32) * 0.1
+
+        c = StreamingClient(*started["addr"]).hello()  # NS: empty HELLO
+        assert c.chunk == chunk
+        c.send(audio)
+        got = c.finish()
+        assert got.shape == (4 * chunk,)
+
+        engine = bundle.engine
+        st = engine.apply(variables, 1, method=StreamingNS.init_state)
+        ref = []
+        for k in range(4):
+            y, st = engine.apply(
+                variables, jnp.asarray(audio[None, k * chunk:(k + 1) * chunk]),
+                st, method=StreamingNS.step)
+            ref.append(np.asarray(y)[0])
+        np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-5)
+    finally:
+        stop.set()
+        th.join(timeout=30.0)
+        assert not th.is_alive()
+
+
+def test_make_session_server_validation(rng):
+    """Flag/engine mismatches fail fast with clear errors."""
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = _tse_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32) * 0.1)
+    e0 = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, e0, method=SoTaskWrapModule.inference)
+
+    with pytest.raises(ValueError, match="STFT-domain"):
+        make_session_server(model, variables, n_slots=2, dp_kernel=True)
+    with pytest.raises(ValueError, match="multiple of b_tile"):
+        make_session_server(model, variables, n_slots=3, fused=True,
+                            b_tile=2)
+    with pytest.warns(UserWarning, match="segment"):
+        # 4-frame chunks don't cover the 10-frame SkiM segments
+        make_session_server(model, variables, n_slots=2, chunk_ms=4.0)

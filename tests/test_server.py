@@ -567,3 +567,85 @@ def test_session_server_ns_engine_two_slots_explicit_axes(rng):
     ya, yb = np.concatenate(outs[a]), np.concatenate(outs[b])
     n = min(len(ya), len(yb))
     np.testing.assert_allclose(yb[:n], ya[:n], atol=1e-6, rtol=1e-6)
+
+
+def test_socket_serving_front(rng):
+    """TCP front-end: concurrent remote sessions produce output identical
+    to a fresh solo engine; slot exhaustion and bad HELLOs surface as
+    client-side errors; partial trailing chunks are dropped per contract."""
+    from puresound_tpu.streaming.engine import StreamingTSE
+    from puresound_tpu.streaming.server import SessionServer
+    from puresound_tpu.streaming.socket_server import (SocketServingFront,
+                                                       StreamingClient)
+
+    engine = _build_tse_engine()
+    chunk, n_slots, e_len = 80, 2, 400
+    mk = lambda n: rng.standard_normal(n).astype(np.float32) * 0.1
+    variables = engine.init(KEY, jnp.asarray(mk(chunk))[None],
+                            jnp.asarray(mk(e_len))[None],
+                            method=StreamingTSE.init_all)
+
+    @jax.jit
+    def embed_fn(enroll):
+        return engine.apply(variables, enroll, method=StreamingTSE.embed)
+
+    @jax.jit
+    def step_fn(chunk_batch, dvec, st):
+        return engine.apply(variables, chunk_batch, dvec, st,
+                            method=StreamingTSE.step)
+
+    fresh = engine.apply(variables, n_slots, method=StreamingTSE.init_state)
+    server = SessionServer(step_fn, fresh, n_slots, chunk,
+                           embed_fn=embed_fn, embed_dim=8)
+    front = SocketServingFront(server).start()
+    host, port = front.address
+    try:
+        def solo(x, enroll):
+            dvec = embed_fn(jnp.asarray(enroll)[None])
+            st = engine.apply(variables, 1, method=StreamingTSE.init_state)
+            outs = []
+            for k in range(len(x) // chunk):
+                y, st = step_fn(x[None, k * chunk:(k + 1) * chunk], dvec, st)
+                outs.append(np.asarray(y)[0])
+            return np.concatenate(outs)
+
+        def run_client(audio, enroll, got):
+            c = StreamingClient(host, port).hello(enroll)
+            assert c.chunk == chunk
+            for k in range(0, len(audio), 130):  # chunk-misaligned sends
+                c.send(audio[k:k + 130])
+            got.append(c.recv_available(wait_s=0.05))
+            got.append(c.finish())
+
+        # two concurrent sessions, one with a partial trailing chunk
+        cases = [(mk(5 * chunk + 17), mk(e_len)), (mk(4 * chunk), mk(e_len))]
+        got = [[], []]
+        threads = [threading.Thread(target=run_client,
+                                    args=(a, e, got[i]))
+                   for i, (a, e) in enumerate(cases)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60.0)
+            assert not t.is_alive()
+        for (audio, enroll), g in zip(cases, got):
+            out = np.concatenate(g)
+            n = (len(audio) // chunk) * chunk  # partial tail never ticks
+            assert len(out) == n
+            np.testing.assert_allclose(out, solo(audio[:n], enroll),
+                                       atol=1e-5)
+        assert server.n_active == 0  # every session detached after BYE
+
+        # TSE HELLO without an enrollment payload is refused
+        with pytest.raises(RuntimeError, match="HELLO payload"):
+            StreamingClient(host, port).hello()
+
+        # slot exhaustion surfaces as a client-side error
+        dv = np.asarray(embed_fn(jnp.asarray(mk(e_len))[None]))[0]
+        c1 = StreamingClient(host, port).hello(dv)
+        c2 = StreamingClient(host, port).hello(dv)
+        with pytest.raises(RuntimeError, match="free stream slots"):
+            StreamingClient(host, port).hello(dv)
+        assert c1.finish().size == 0 and c2.finish().size == 0
+    finally:
+        front.stop()
