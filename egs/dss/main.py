@@ -134,6 +134,28 @@ def action_dev(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     print(f"SiSNR far: {np.mean(far_scores)}")
 
 
+def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
+                 half=False, fused=False, mk_kernel=False):
+    """Production SIMO serving: each connection streams a mixture and gets
+    the M separated sources back sample-interleaved (ACK carries
+    n_sources; StreamingClient de-interleaves to [M, T])."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.streaming.deploy import run_serve
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.load_params_from_ckpt(
+        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
+    run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
+              sr=sr, half=half, fused=fused, mk_kernel=mk_kernel)
+
+
 def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
                        fused=False, mk_kernel=False):
     """Chunked real-time streaming separation over the dev set: writes
@@ -203,6 +225,10 @@ def main(config):
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half, config.fused,
                            config.mk_kernel)
+    elif config.action == "serve":
+        action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
+                     config.serve_slots, config.port, config.half,
+                     config.fused, config.mk_kernel)
     else:
         raise NameError("Unrecognize action.")
 
@@ -211,7 +237,11 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev", "stream_eval"])
+                        choices=["train", "dev", "stream_eval", "serve"])
+    parser.add_argument("--serve_slots", type=int, default=64,
+                        help="serve: fixed concurrent-session capacity")
+    parser.add_argument("--port", type=int, default=7654,
+                        help="serve: TCP port for the socket front-end")
     parser.add_argument("--chunk_ms", type=float, default=16.0,
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",

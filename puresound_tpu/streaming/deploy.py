@@ -34,6 +34,7 @@ class ServingBundle:
     chunk_samples: int
     embed_fn: Optional[Callable]  # None for unconditioned NS engines
     embed_dim: Optional[int]
+    n_sources: int = 1  # >1: SIMO separation, sources sample-interleaved
 
 
 def make_session_server(model, variables, n_slots: int,
@@ -71,17 +72,19 @@ def make_session_server(model, variables, n_slots: int,
     from .halfprec import to_half
 
     engine = build_engine(model)
-    if isinstance(engine, StreamingDSS):
-        raise ValueError(
-            "SessionServer serves single-output streams; the SIMO "
-            "separation engine emits [M, S] per stream and needs one ring "
-            "per source (drive StreamingDSS.step directly instead)")
 
     hop = engine.encoder.hop_length
     chunk = max(1, int(round(sr * chunk_ms / 1000.0)) // hop) * hop
     dt = jnp.bfloat16 if half else jnp.float32
     if half:
         variables = to_half(variables)
+    if mesh is not None and (fused or dp_kernel or attn_kernel or mk_kernel):
+        # GSPMD cannot partition the Pallas serving kernels over the dp
+        # mesh (only the stock step is tested sharded); fail fast instead
+        # of an opaque first-tick compile error
+        raise ValueError("mesh serving supports the stock step only — "
+                         "drop the fused/dp_kernel/attn_kernel/mk_kernel "
+                         "flags (or serve single-device with them)")
 
     # TSE fused-kernel serving options (time-domain engine); STFT engines
     # take theirs through engine_step_options below
@@ -136,6 +139,7 @@ def make_session_server(model, variables, n_slots: int,
         embed_dim = int(out.shape[-1])
 
     # ----------------------------------------------------------------- step
+    n_sources = 1
     if isinstance(engine, StreamingTSE):
 
         @jax.jit
@@ -143,6 +147,18 @@ def make_session_server(model, variables, n_slots: int,
             out, st = engine.apply(variables, chunk_b.astype(dt),
                                    dvec.astype(dt), st,
                                    method=StreamingTSE.step, **tse_kw)
+            return out.astype(jnp.float32), st
+
+    elif isinstance(engine, StreamingDSS):
+
+        @jax.jit
+        def step_fn(chunk_b, st):
+            out, st = engine.apply(variables, chunk_b.astype(dt), st,
+                                   method=StreamingDSS.step, **step_kw)
+            # [B, M, S] -> sample-interleaved [B, S*M] so the M separated
+            # sources ride the per-stream single-channel output ring
+            B, M, S = out.shape
+            out = jnp.swapaxes(out, 1, 2).reshape(B, S * M)
             return out.astype(jnp.float32), st
 
     elif isinstance(engine, StreamingNS) and has_spk:
@@ -165,6 +181,12 @@ def make_session_server(model, variables, n_slots: int,
     init_state = lambda n: engine.apply(variables, n, dt,
                                         method=type(engine).init_state,
                                         **init_kw)
+    if isinstance(engine, StreamingDSS):
+        # output width per tick = chunk * n_sources (read without compiling)
+        st1 = jax.eval_shape(lambda: init_state(1))
+        out_sd = jax.eval_shape(
+            step_fn, jax.ShapeDtypeStruct((1, chunk), jnp.float32), st1)[0]
+        n_sources = int(out_sd.shape[1]) // chunk
     slot_axes = infer_slot_axes(init_state)
     server = SessionServer(step_fn, init_state(n_slots), n_slots, chunk,
                            embed_fn=embed_fn, embed_dim=embed_dim,
@@ -172,7 +194,8 @@ def make_session_server(model, variables, n_slots: int,
                            pipelined=pipelined, lockstep=lockstep,
                            ring_capacity=ring_capacity)
     return ServingBundle(server=server, engine=engine, chunk_samples=chunk,
-                         embed_fn=embed_fn, embed_dim=embed_dim)
+                         embed_fn=embed_fn, embed_dim=embed_dim,
+                         n_sources=n_sources)
 
 
 def run_serve(model, variables, n_slots: int, host: str = "0.0.0.0",
@@ -190,11 +213,13 @@ def run_serve(model, variables, n_slots: int, host: str = "0.0.0.0",
     from .socket_server import SocketServingFront
 
     bundle = make_session_server(model, variables, n_slots, **kw)
-    front = SocketServingFront(bundle.server, host=host, port=port).start()
+    front = SocketServingFront(bundle.server, host=host, port=port,
+                               n_sources=bundle.n_sources).start()
     addr = front.address
     if on_started is not None:
         on_started(front, bundle)
-    mode = "TSE (per-session enrollment)" if bundle.embed_fn else "NS"
+    mode = ("TSE (per-session enrollment)" if bundle.embed_fn else
+            f"SIMO x{bundle.n_sources}" if bundle.n_sources > 1 else "NS")
     print(f"[serve] {mode} on {addr[0]}:{addr[1]} — {n_slots} slots, "
           f"{bundle.chunk_samples} samples/tick "
           f"({bundle.chunk_samples / (kw.get('sr', 16000) / 1000.0):.1f} ms)",

@@ -112,7 +112,7 @@ class ServeStats:
     """Rolling serving telemetry: tick latency percentiles + underruns.
 
     Written by the single serving thread; `snapshot()` may be read from any
-    thread (copies under the GIL). An "underrun slot-tick" is an ACTIVE
+    thread (copies under a lock). An "underrun slot-tick" is an ACTIVE
     session that missed a tick's deadline (no full chunk buffered when the
     batch stepped) — the real-time QoS quantity; idle slots don't count.
     The plain StreamingServer can't tell idle from late (no session
@@ -122,16 +122,22 @@ class ServeStats:
         import collections
 
         self._lat = collections.deque(maxlen=window)
+        self._lock = threading.Lock()
         self.ticks = 0
         self.underrun_slot_ticks = 0
 
     def record(self, seconds: float, n_late: int = 0):
-        self._lat.append(seconds)
-        self.ticks += 1
-        self.underrun_slot_ticks += int(n_late)
+        with self._lock:
+            self._lat.append(seconds)
+            self.ticks += 1
+            self.underrun_slot_ticks += int(n_late)
 
     def snapshot(self) -> dict:
-        lat = np.sort(np.asarray(self._lat, np.float64))
+        # deque iteration is NOT atomic against concurrent appends (it
+        # raises "deque mutated during iteration") — copy under the lock
+        with self._lock:
+            lat = list(self._lat)
+        lat = np.sort(np.asarray(lat, np.float64))
         q = (lambda p: float(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3)
              ) if len(lat) else (lambda p: 0.0)
         return {"ticks": self.ticks,
@@ -385,18 +391,21 @@ class SessionServer(StreamingServer):
         must use for push_input/pop_output. For TSE engines pass either a
         precomputed d-vector row or an enrollment waveform (requires
         embed_fn; keep enrollment lengths fixed to avoid re-tracing)."""
+        # embed OUTSIDE the lock: a jitted embed_fn can trace+compile for
+        # minutes on first call, and tick() needs this lock every tick —
+        # an enrolling client must never stall the serving loop
+        if self._dvec is not None and dvec is None:
+            if enroll is None or self._embed_fn is None:
+                raise ValueError("TSE session needs dvec= or "
+                                 "enroll= (with embed_fn)")
+            dvec = np.asarray(self._embed_fn(
+                np.asarray(enroll, np.float32)[None]))[0]
         with self._lock:
             free = np.flatnonzero(~self._active)
             if len(free) == 0:
                 raise RuntimeError("no free stream slots")
             sid = int(free[0])
             if self._dvec is not None:
-                if dvec is None:
-                    if enroll is None or self._embed_fn is None:
-                        raise ValueError("TSE session needs dvec= or "
-                                         "enroll= (with embed_fn)")
-                    dvec = np.asarray(self._embed_fn(
-                        np.asarray(enroll, np.float32)[None]))[0]
                 self._dvec[sid] = np.asarray(dvec, np.float32)
                 # upload deferred to the next tick: bulk attach stays O(n)
                 self._dvec_dirty = True

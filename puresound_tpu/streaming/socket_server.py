@@ -21,10 +21,13 @@ message      type  payload
 HELLO        1     float32 array. Empty for NS sessions; ``embed_dim``
                    values = a precomputed d-vector; any other length = an
                    enrollment waveform (requires the server's ``embed_fn``).
-ACK          2     ``struct('<II')`` = (slot_id, chunk_samples).
+ACK          2     ``struct('<III')`` = (slot_id, chunk_samples, n_sources).
 AUDIO        3     float32 PCM samples, client -> server. Any length; the
                    hub buffers to chunk boundaries.
-AUDIO_OUT    4     float32 enhanced PCM, server -> client.
+AUDIO_OUT    4     float32 enhanced PCM, server -> client. For SIMO
+                   separation (n_sources > 1) the M separated sources are
+                   sample-interleaved: sample s of source m sits at flat
+                   index ``s * M + m``.
 BYE          5     empty. Client -> server ends the session; the server
                    drains every completed chunk's output, replies BYE, and
                    frees the slot. Dropping the connection without BYE
@@ -98,10 +101,12 @@ class SocketServingFront:
     """
 
     def __init__(self, server, host: str = "127.0.0.1", port: int = 0,
-                 poll_s: float = 0.001, drain_timeout_s: float = 30.0):
+                 poll_s: float = 0.001, drain_timeout_s: float = 30.0,
+                 n_sources: int = 1):
         self.server = server
         self.poll_s = poll_s
         self.drain_timeout_s = drain_timeout_s
+        self.n_sources = n_sources
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -166,6 +171,8 @@ class SocketServingFront:
             t = threading.Thread(target=self._handle, args=(conn,),
                                  daemon=True)
             t.start()
+            self._conn_threads = [x for x in self._conn_threads
+                                  if x.is_alive()]  # prune finished
             self._conn_threads.append(t)
 
     # ----------------------------------------------------------- connection
@@ -216,7 +223,8 @@ class SocketServingFront:
                 _send_msg(conn, MSG_ERROR, str(e).encode())
                 return
             with send_lock:
-                _send_msg(conn, MSG_ACK, struct.pack("<II", sid, chunk))
+                _send_msg(conn, MSG_ACK,
+                          struct.pack("<III", sid, chunk, self.n_sources))
             pump_thread = threading.Thread(target=pump, daemon=True)
             pump_thread.start()
 
@@ -240,7 +248,7 @@ class SocketServingFront:
                         time.sleep(self.poll_s)
 
             # BYE drain: every completed chunk's output must reach the client
-            expected = (pushed // chunk) * chunk
+            expected = (pushed // chunk) * chunk * self.n_sources
             deadline = time.monotonic() + self.drain_timeout_s
             while out_sent[0] < expected and time.monotonic() < deadline:
                 time.sleep(self.poll_s)
@@ -280,9 +288,10 @@ class StreamingClient:
     def __init__(self, host: str, port: int, timeout: float = 30.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._timeout = timeout
         self.slot: Optional[int] = None
         self.chunk: Optional[int] = None
-        self._pending = []  # AUDIO_OUT chunks read but not yet returned
+        self.n_sources: int = 1
 
     def hello(self, payload: Optional[np.ndarray] = None) -> "StreamingClient":
         buf = (np.ascontiguousarray(payload, np.float32).tobytes()
@@ -293,8 +302,15 @@ class StreamingClient:
             raise RuntimeError(f"server refused session: {body.decode()}")
         if t != MSG_ACK:
             raise RuntimeError(f"unexpected reply type {t}")
-        self.slot, self.chunk = struct.unpack("<II", body)
+        self.slot, self.chunk, self.n_sources = struct.unpack("<III", body)
         return self
+
+    def _deinterleave(self, flat: np.ndarray) -> np.ndarray:
+        """[T*M] sample-interleaved -> [T] (M == 1) or [M, T]."""
+        if self.n_sources <= 1:
+            return flat
+        return np.ascontiguousarray(
+            flat.reshape(-1, self.n_sources).T)
 
     def send(self, samples: np.ndarray) -> None:
         _send_msg(self._sock, MSG_AUDIO,
@@ -316,7 +332,7 @@ class StreamingClient:
         except (BlockingIOError, socket.timeout, TimeoutError):
             return None
         finally:
-            self._sock.settimeout(None)
+            self._sock.settimeout(self._timeout)
         if not first:
             raise ConnectionError("peer closed")
         hdr = first + _recv_exact(self._sock, _HDR.size - 1)
@@ -329,8 +345,7 @@ class StreamingClient:
     def recv_available(self, wait_s: float = 0.0) -> np.ndarray:
         """Return whatever enhanced audio has arrived (waits at most wait_s
         for the first message, then drains without blocking)."""
-        chunks = [np.frombuffer(b, np.float32) for b in self._pending]
-        self._pending.clear()
+        chunks = []
         timeout = wait_s
         while True:
             msg = self._try_read_msg(timeout)
@@ -339,15 +354,14 @@ class StreamingClient:
             timeout = 0.0
             if msg[0] == MSG_AUDIO_OUT:
                 chunks.append(np.frombuffer(msg[1], np.float32))
-        return (np.concatenate(chunks) if chunks
-                else np.empty(0, np.float32))
+        return self._deinterleave(np.concatenate(chunks) if chunks
+                                  else np.empty(0, np.float32))
 
     def finish(self) -> np.ndarray:
         """Send BYE, collect AUDIO_OUT until the server's BYE, close, and
         return the drained tail (concatenate with earlier reads)."""
         _send_msg(self._sock, MSG_BYE)
-        chunks = [np.frombuffer(b, np.float32) for b in self._pending]
-        self._pending.clear()
+        chunks = []
         while True:
             t, body = self._read_msg()
             if t == MSG_BYE:
@@ -355,5 +369,5 @@ class StreamingClient:
             if t == MSG_AUDIO_OUT:
                 chunks.append(np.frombuffer(body, np.float32))
         self._sock.close()
-        return (np.concatenate(chunks) if chunks
-                else np.empty(0, np.float32))
+        return self._deinterleave(np.concatenate(chunks) if chunks
+                                  else np.empty(0, np.float32))

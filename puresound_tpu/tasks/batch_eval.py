@@ -145,7 +145,9 @@ class BucketedBatchRunner:
                         sl[self.out_slice_axis] = \
                             slice(0, norm[idx][0].shape[-1])
                         o = o[tuple(sl)]
-                    results[idx] = o
+                    # copy: a view would pin the whole padded [B, L_bucket]
+                    # batch buffer alive for each result's lifetime
+                    results[idx] = np.ascontiguousarray(o)
                 done += len(chunk)
                 if progress is not None:
                     progress(done, len(norm))

@@ -165,3 +165,56 @@ def test_make_session_server_validation(rng):
     with pytest.warns(UserWarning, match="segment"):
         # 4-frame chunks don't cover the 10-frame SkiM segments
         make_session_server(model, variables, n_slots=2, chunk_ms=4.0)
+
+
+def test_make_session_server_simo_socket(rng):
+    """SIMO (DSS) serving: M sources ride the single ring sample-interleaved
+    and the client de-interleaves to [M, T] matching the bare engine."""
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.nnet.dparn import DPARN_Mout
+    from puresound_tpu.streaming.deploy import make_session_server
+    from puresound_tpu.streaming.simo_engine import StreamingDSS
+    from puresound_tpu.streaming.socket_server import (SocketServingFront,
+                                                       StreamingClient)
+
+    n_fft, hop, sr = 128, 32, 16000
+    encoder = ConvEncDec(fft_length=n_fft, win_length=n_fft, hop_length=hop,
+                         trainable=True, output_format="Complex")
+    masker = DPARN_Mout(input_type="RI", input_dim=n_fft, norm_type="bN2d",
+                        dropout=0.0, channels=(1, 8, 8), transpose_t_size=2,
+                        transpose_delay=False, kernel_t=(2, 2),
+                        stride_t=(1, 1), dilation_t=(1, 1), kernel_f=(5, 3),
+                        stride_f=(2, 2), dilation_f=(1, 1), delay=(0, 0),
+                        multi_output=2, rnn_hidden=8, nhead=2)
+    model = SiMoTaskWrapModule(encoder=encoder, masker=masker,
+                               f_type="Complex", mask_type="Complex",
+                               drop_first_bin=True, mask_constraint="linear")
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SiMoTaskWrapModule.inference)
+
+    bundle = make_session_server(model, variables, n_slots=2, chunk_ms=8.0,
+                                 sr=sr)
+    assert bundle.n_sources == 2 and bundle.embed_fn is None
+    chunk = bundle.chunk_samples
+    front = SocketServingFront(bundle.server,
+                               n_sources=bundle.n_sources).start()
+    try:
+        audio = rng.standard_normal(3 * chunk).astype(np.float32) * 0.1
+        c = StreamingClient(*front.address).hello()
+        assert c.n_sources == 2
+        c.send(audio)
+        got = c.finish()
+        assert got.shape == (2, 3 * chunk)
+
+        engine = bundle.engine
+        st = engine.apply(variables, 1, method=StreamingDSS.init_state)
+        ref = []
+        for k in range(3):
+            y, st = engine.apply(
+                variables, jnp.asarray(audio[None, k * chunk:(k + 1) * chunk]),
+                st, method=StreamingDSS.step)
+            ref.append(np.asarray(y)[0])  # [M, S]
+        np.testing.assert_allclose(got, np.concatenate(ref, axis=-1),
+                                   atol=1e-5)
+    finally:
+        front.stop()
