@@ -204,8 +204,11 @@ class SocketServingFront:
                 n = hub.output_available(sid)
                 if n:
                     out = hub.pop_output(sid, n)
-                    with send_lock:
-                        _send_msg(conn, MSG_AUDIO_OUT, out.tobytes())
+                    try:
+                        with send_lock:
+                            _send_msg(conn, MSG_AUDIO_OUT, out.tobytes())
+                    except OSError:
+                        return  # client vanished; reader thread cleans up
                     out_sent[0] += len(out)
                 else:
                     time.sleep(self.poll_s)

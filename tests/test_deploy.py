@@ -218,3 +218,92 @@ def test_make_session_server_simo_socket(rng):
                                    atol=1e-5)
     finally:
         front.stop()
+
+
+def test_socket_serving_churn(rng):
+    """Stress: many short sessions churning over 2 slots, some disconnecting
+    abruptly (no BYE) — outputs stay correct, slots recycle, server stays
+    healthy."""
+    import socket as socket_mod
+    import time
+
+    from puresound_tpu.streaming.deploy import make_session_server
+    from puresound_tpu.streaming.ns_engine import StreamingNS
+    from puresound_tpu.streaming.socket_server import (SocketServingFront,
+                                                       StreamingClient)
+
+    model = _ns_model()
+    sr = 16000
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+    bundle = make_session_server(model, variables, n_slots=2, chunk_ms=8.0,
+                                 sr=sr)
+    chunk = bundle.chunk_samples
+    front = SocketServingFront(bundle.server).start()
+    host, port = front.address
+
+    # solo reference for value checks
+    engine = bundle.engine
+
+    def solo(audio):
+        st = engine.apply(variables, 1, method=StreamingNS.init_state)
+        outs = []
+        for k in range(len(audio) // chunk):
+            y, st = engine.apply(
+                variables, jnp.asarray(audio[None, k * chunk:(k + 1) * chunk]),
+                st, method=StreamingNS.step)
+            outs.append(np.asarray(y)[0])
+        return np.concatenate(outs)
+
+    errors = []
+
+    def worker(widx):
+        wrng = np.random.default_rng(1000 + widx)
+        for r in range(4):
+            audio = (wrng.standard_normal(chunk * int(wrng.integers(1, 4)))
+                     .astype(np.float32) * 0.1)
+            # retry attach: only 2 slots for 4 workers
+            for _ in range(400):
+                try:
+                    c = StreamingClient(host, port).hello()
+                    break
+                except RuntimeError:
+                    time.sleep(0.02)
+            else:
+                errors.append((widx, r, "never got a slot"))
+                return
+            try:
+                c.send(audio)
+                if (widx + r) % 3 == 0:
+                    # abrupt disconnect mid-session: no BYE, no drain
+                    c._sock.close()
+                    continue
+                got = c.finish()
+                ref = solo(audio)
+                if got.shape != ref.shape:
+                    errors.append((widx, r, f"shape {got.shape}"))
+                elif not np.allclose(got, ref, atol=1e-5):
+                    errors.append((widx, r, "value mismatch"))
+            except Exception as e:  # noqa: BLE001 — collect, don't die
+                errors.append((widx, r, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120.0)
+        assert not t.is_alive()
+    assert not errors, errors
+
+    # abrupt disconnects must have freed their slots
+    deadline = time.monotonic() + 10.0
+    while bundle.server.n_active and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert bundle.server.n_active == 0
+
+    # the server still serves a fresh, correct session after the churn
+    audio = rng.standard_normal(2 * chunk).astype(np.float32) * 0.1
+    c = StreamingClient(host, port).hello()
+    c.send(audio)
+    np.testing.assert_allclose(c.finish(), solo(audio), atol=1e-5)
+    front.stop()
