@@ -63,6 +63,11 @@ MSG_ERROR = 6
 
 _HDR = struct.Struct("<II")
 
+# hard cap on a single message payload (64 MiB ≈ 17 min of f32 16 kHz
+# audio): a corrupt/malicious length header must not make the server
+# allocate gigabytes. Clients chunk larger sends.
+MAX_PAYLOAD = 64 << 20
+
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     """Read exactly n bytes or raise ConnectionError on EOF."""
@@ -79,6 +84,8 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 def _recv_msg(sock: socket.socket) -> Tuple[int, bytes]:
     t, n = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    if n > MAX_PAYLOAD:
+        raise ConnectionError(f"oversized payload ({n} bytes)")
     return t, (_recv_exact(sock, n) if n else b"")
 
 
@@ -254,6 +261,10 @@ class SocketServingFront:
             expected = (pushed // chunk) * chunk * self.n_sources
             deadline = time.monotonic() + self.drain_timeout_s
             while out_sent[0] < expected and time.monotonic() < deadline:
+                if pump_thread is not None and not pump_thread.is_alive():
+                    break  # client's receive side died: nothing more can
+                    # be delivered — free the slot now, don't sit out the
+                    # whole drain timeout
                 time.sleep(self.poll_s)
         except (ConnectionError, OSError):
             pass  # client vanished: fall through to cleanup
@@ -340,6 +351,8 @@ class StreamingClient:
             raise ConnectionError("peer closed")
         hdr = first + _recv_exact(self._sock, _HDR.size - 1)
         t, n = _HDR.unpack(hdr)
+        if n > MAX_PAYLOAD:
+            raise ConnectionError(f"oversized payload ({n} bytes)")
         body = _recv_exact(self._sock, n) if n else b""
         if t == MSG_ERROR:
             raise RuntimeError(f"server error: {body.decode()}")

@@ -509,6 +509,48 @@ def pad_stack(seqs: List[np.ndarray]) -> np.ndarray:
 # Trainer
 # ---------------------------------------------------------------------------
 
+class DeferredMetricSink:
+    """Fetch per-step device metrics one step behind dispatch.
+
+    Calling ``float(metrics["loss"])`` right after a train-step dispatch
+    blocks the host on the step still running on the chip: the host can
+    neither prepare batch k+1 while the device runs step k, nor (on a
+    remote/tunneled device) avoid paying a full readback round-trip per
+    step. Holding the device arrays for one step and fetching them only
+    after the NEXT step has been dispatched keeps the logged values,
+    their order, and the epoch averages bit-identical while letting
+    dispatch stay fully asynchronous — the device pipeline never drains.
+
+    The reference trainer prints a loss line per iteration
+    (/root/reference/puresound/task/base.py:300-316); this keeps that
+    logging surface, one step later in wall time.
+
+    Usage::
+
+        sink = DeferredMetricSink(consume)   # consume(ctx, metrics)
+        for ...:
+            state, metrics = train_step(...)
+            sink.push(ctx, metrics)          # fetches the PREVIOUS step
+        sink.flush()                         # fetches the last one
+    """
+
+    def __init__(self, consume):
+        self._consume = consume
+        self._pending = None
+
+    def push(self, ctx, metrics):
+        prev = self._pending
+        self._pending = (ctx, metrics)
+        if prev is not None:
+            self._consume(*prev)
+
+    def flush(self):
+        if self._pending is not None:
+            prev = self._pending
+            self._pending = None
+            self._consume(*prev)
+
+
 class BaseTrainer:
     """Epoch-driven trainer around one jitted (optionally mesh-sharded)
     train step.

@@ -308,8 +308,22 @@ class NsTask(BaseTrainer):
     def train_one_epoch(self, current_epoch):
         import jax
 
+        from .base import DeferredMetricSink
+
         step = 0
-        total_loss = 0.0
+        total_loss = [0.0]
+
+        def consume(ctx, metrics):
+            batch_idx, overall = ctx
+            loss = float(metrics["loss"])  # blocks on an already-done step
+            print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, "
+                  f"batch_loss: {loss:.4f}")
+            total_loss[0] += loss
+            if self.tf_writer:
+                self.tf_writer.update_step_loss("train/batch_loss", loss,
+                                                overall)
+
+        sink = DeferredMetricSink(consume)
         for batch_idx, batch in enumerate(self.train_dataloader):
             self.overall_step += 1
             step += 1
@@ -317,19 +331,16 @@ class NsTask(BaseTrainer):
             self.state, metrics = self._train_step(
                 self.state, self._shard_train_batch(self._batch_kwargs(batch)),
                 self._place_rng(sub))
-            loss = float(metrics["loss"])
-            print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, batch_loss: {loss:.4f}")
-            total_loss += loss
-            if self.tf_writer:
-                self.tf_writer.update_step_loss("train/batch_loss", loss, self.overall_step)
-        return {"total_loss": total_loss / max(step, 1)}
+            sink.push((batch_idx, self.overall_step), metrics)
+        sink.flush()
+        return {"total_loss": total_loss[0] / max(step, 1)}
 
     def compute_dev_loss(self, current_epoch):
         import jax
 
         multi = jax.process_count() > 1
         step = 0
-        total = 0.0
+        total = None
         for batch in self.dev_dataloader:
             step += 1
             kwargs = self._batch_kwargs(batch)
@@ -338,10 +349,12 @@ class NsTask(BaseTrainer):
                 # process computes the identical global dev loss, so the
                 # Plateau scheduler stays in sync across processes
                 kwargs = self._shard_train_batch(kwargs)
-            total += float(self._eval_step(self.state.params,
-                                           self.state.batch_stats,
-                                           kwargs))
-        avg = total / max(step, 1)
+            # accumulate ON DEVICE: one host readback per epoch instead of
+            # one blocking round-trip per dev batch
+            loss = self._eval_step(self.state.params, self.state.batch_stats,
+                                   kwargs)
+            total = loss if total is None else total + loss
+        avg = float(total) / max(step, 1) if step else 0.0
         print(f"dev average loss: {avg}")
         return {"total_loss": avg}
 

@@ -512,3 +512,47 @@ def test_tse_training_loop_device_augment(tmp_path, rng):
         "noise_folder": str(noise_dir)}})
     with pytest.raises(ValueError, match="PVAD"):
         TseTask(hp_vad, model, init_fn, "cpu", loader, loader)
+
+
+def test_deferred_metric_sink_order_and_flush():
+    """The pipelined metric fetch (tasks/base.DeferredMetricSink) consumes
+    every pushed step exactly once, in push order, one step late."""
+    from puresound_tpu.tasks.base import DeferredMetricSink
+
+    seen = []
+    sink = DeferredMetricSink(lambda ctx, m: seen.append((ctx, m)))
+    for k in range(5):
+        sink.push(k, {"loss": float(k)})
+        # consumption trails dispatch by exactly one step
+        assert len(seen) == k
+    sink.flush()
+    assert seen == [(k, {"loss": float(k)}) for k in range(5)]
+    sink.flush()  # idempotent
+    assert len(seen) == 5
+
+
+def test_training_loop_logs_every_iteration(tmp_path, capsys):
+    """Deferred fetch must not drop or reorder the per-iteration loss lines
+    (reference prints one line per iter: puresound/task/base.py)."""
+    man = _make_ns_data(tmp_path)
+    ds = NsDataset(man, resample_to=SR, max_length=1)
+    loader = DataLoader(ds, batch_size=2, shuffle=False,
+                        collate_fn=NsCollateFunc())
+    model = _small_ns_model()
+
+    def init_fn():
+        x = jnp.zeros((1, SR))
+        return model.init(jax.random.PRNGKey(0), noisy=x, enroll=None,
+                          ref_clean=x, train=False)
+
+    task = NsTask(_hparam(tmp_path), model, init_fn, "cpu", loader, loader)
+    out = task.train_one_epoch(0)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("epoch: 0, iter:")]
+    n_batches = len(list(loader))
+    assert len(lines) == n_batches
+    iters = [int(ln.split("iter: ")[1].split(",")[0]) for ln in lines]
+    assert iters == list(range(1, n_batches + 1))
+    # the epoch average equals the mean of the logged per-step losses
+    logged = [float(ln.split("batch_loss: ")[1]) for ln in lines]
+    assert abs(out["total_loss"] - sum(logged) / len(logged)) < 1e-3
