@@ -134,6 +134,64 @@ def action_dev(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     print(f"SiSNR far: {np.mean(far_scores)}")
 
 
+def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
+    """Offline separation over DATASET.eval: one mixture in, the M
+    separated sources out as {key}_near.wav / {key}_far.wav (mirrors the
+    NS/TSE eval actions; the reference ships no DSS recipe at all)."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.src.audio import AudioIO
+    from puresound_tpu.src.utils import create_folder, load_text_as_dict
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    out_dir = f"{hparam['TRAIN']['model_save_dir']}/eval_audio"
+    create_folder(out_dir)
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.load_params_from_ckpt(
+        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
+    test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
+
+    def load_mix(key):
+        mix, wav_sr = AudioIO.open(f_path=test_audio[key][0])
+        if wav_sr != sr:
+            mix = AudioIO.resample(mix, wav_sr, sr)
+        return np.asarray(mix)
+
+    def save_sources(key, out):
+        # out [M, L]
+        for m, tag in enumerate(["near", "far"][:out.shape[0]]):
+            AudioIO.save(out[m].reshape(1, -1),
+                         f"{out_dir}/{key}_{tag}.wav", sr)
+
+    keys = list(test_audio.keys())
+    if batch_eval > 0:
+        from puresound_tpu.tasks.batch_eval import BucketedBatchRunner
+
+        runner = BucketedBatchRunner(
+            lambda n: model.apply(variables, n,
+                                  method=SiMoTaskWrapModule.inference),
+            batch_size=batch_eval, quantum=int(sr * eval_quantum),
+            pad_modes=("zero",))
+        group = max(batch_eval * 8, 64)
+        for start in range(0, len(keys), group):
+            chunk = keys[start:start + group]
+            outs = runner.run([(load_mix(k),) for k in chunk])
+            for k, o in zip(chunk, outs):
+                print(f"Running inference: {k}")
+                save_sources(k, np.asarray(o))
+        return
+    for key in keys:
+        print(f"Running inference: {key}")
+        out = np.asarray(model.apply(variables, jnp.asarray(load_mix(key)),
+                                     method=SiMoTaskWrapModule.inference))
+        save_sources(key, out[0])
+
+
 def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
                  half=False, fused=False, mk_kernel=False):
     """Production SIMO serving: each connection streams a mixture and gets
@@ -221,6 +279,9 @@ def main(config):
     elif config.action == "dev":
         action_dev(hparam, config.backend, config.ckpt,
                    config.batch_eval, config.eval_quantum)
+    elif config.action == "eval":
+        action_eval(hparam, config.backend, config.ckpt,
+                    config.batch_eval, config.eval_quantum)
     elif config.action == "stream_eval":
         action_stream_eval(hparam, config.backend, config.ckpt,
                            config.chunk_ms, config.half, config.fused,
@@ -237,7 +298,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
-                        choices=["train", "dev", "stream_eval", "serve"])
+                        choices=["train", "dev", "eval", "stream_eval",
+                                 "serve"])
     parser.add_argument("--serve_slots", type=int, default=64,
                         help="serve: fixed concurrent-session capacity")
     parser.add_argument("--port", type=int, default=7654,
