@@ -407,8 +407,11 @@ def measure_train_sustained(B=8, seconds=2.0, n_steps=30, num_workers=4,
     shared-memory handoff) running the full augmentation chain (speed
     perturb resample + RIR fftconvolve + SNR noise + biquad response) into
     the flagship jitted train step. Reports sustained audio-seconds/s and
-    the fraction of wall time the chip sat idle waiting on host data —
-    SURVEY.md s7 hard-part 6, unmeasured until round 3.
+    host_idle_pct = the fraction of wall time the HOST spent blocked on
+    the DataLoader (under the pipelined fetch below, the device may still
+    be executing the previous step during that wait, so this bounds — not
+    equals — chip idleness) — SURVEY.md s7 hard-part 6, unmeasured until
+    round 3.
 
     on_device_augment=True moves RIR/noise/volume into the jitted step
     (src/augment_jax.DeviceAugmentor); workers keep decode/crop/speed/

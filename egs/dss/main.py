@@ -160,7 +160,13 @@ def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
         mix, wav_sr = AudioIO.open(f_path=test_audio[key][0])
         if wav_sr != sr:
             mix = AudioIO.resample(mix, wav_sr, sr)
-        return np.asarray(mix)
+        mix = np.asarray(mix)
+        if mix.ndim == 2 and mix.shape[0] > 1:
+            # downmix multi-channel to mono: the batched runner assumes one
+            # row per item (a stereo file would silently shift every later
+            # item's output in the batch)
+            mix = mix.mean(axis=0, keepdims=True)
+        return mix
 
     def save_sources(key, out):
         # out [M, L]

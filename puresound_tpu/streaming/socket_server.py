@@ -327,8 +327,12 @@ class StreamingClient:
             flat.reshape(-1, self.n_sources).T)
 
     def send(self, samples: np.ndarray) -> None:
-        _send_msg(self._sock, MSG_AUDIO,
-                  np.ascontiguousarray(samples, np.float32).tobytes())
+        buf = np.ascontiguousarray(samples, np.float32).tobytes()
+        # honor the server's MAX_PAYLOAD cap: split long audio into
+        # multiple AUDIO messages (the server concatenates; sample-stream
+        # semantics are identical)
+        for off in range(0, len(buf) or 1, MAX_PAYLOAD):
+            _send_msg(self._sock, MSG_AUDIO, buf[off:off + MAX_PAYLOAD])
 
     def _read_msg(self) -> Tuple[int, bytes]:
         t, body = _recv_msg(self._sock)

@@ -305,6 +305,24 @@ class NsTask(BaseTrainer):
                 "enroll": None,
                 "ref_clean": jnp.asarray(batch["clean_wav"])}
 
+    def _consume_metrics(self, current_epoch, ctx, metrics) -> float:
+        """Log one (already-finished) step's metrics; returns the loss.
+        TseTask overrides this to add the per-loss detail — the dispatch
+        loop in train_one_epoch is shared."""
+        import jax
+
+        batch_idx, overall = ctx
+        # one transfer for the whole metrics pytree (per-leaf float() would
+        # pay the tunneled backend's readback RTT once per leaf)
+        metrics = jax.device_get(metrics)
+        loss = float(metrics["loss"])
+        print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, "
+              f"batch_loss: {loss:.4f}")
+        if self.tf_writer:
+            self.tf_writer.update_step_loss("train/batch_loss", loss,
+                                            overall)
+        return loss
+
     def train_one_epoch(self, current_epoch):
         import jax
 
@@ -314,14 +332,8 @@ class NsTask(BaseTrainer):
         total_loss = [0.0]
 
         def consume(ctx, metrics):
-            batch_idx, overall = ctx
-            loss = float(metrics["loss"])  # blocks on an already-done step
-            print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, "
-                  f"batch_loss: {loss:.4f}")
-            total_loss[0] += loss
-            if self.tf_writer:
-                self.tf_writer.update_step_loss("train/batch_loss", loss,
-                                                overall)
+            total_loss[0] += self._consume_metrics(current_epoch, ctx,
+                                                   metrics)
 
         sink = DeferredMetricSink(consume)
         for batch_idx, batch in enumerate(self.train_dataloader):

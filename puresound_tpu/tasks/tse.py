@@ -313,44 +313,32 @@ class TseTask(NsTask):
         self._eval_step = jax.jit(eval_step)
         self._rng = jax.random.PRNGKey(self.hparam["TRAIN"].get("seed", 0))
 
-    def train_one_epoch(self, current_epoch):
+    def _consume_metrics(self, current_epoch, ctx, metrics) -> float:
+        """NsTask's logging plus the TSE per-loss detail (signal/class);
+        the dispatch loop itself is inherited from NsTask."""
         import jax
 
-        from .base import DeferredMetricSink
+        batch_idx, overall = ctx
+        metrics = jax.device_get(metrics)  # one transfer for all leaves
+        loss = float(metrics["loss"])
+        detail = {k: float(v) for k, v in metrics.items()
+                  if k.startswith("loss_")}
+        msg = ", ".join(f"{k}: {v:.4f}" for k, v in detail.items())
+        print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, "
+              f"batch_loss: {loss:.4f}{', ' + msg if msg else ''}")
+        if self.tf_writer:
+            self.tf_writer.update_step_loss("train/batch_loss", loss,
+                                            overall)
+            if "loss_0" in detail:
+                self.tf_writer.update_step_loss(
+                    "train/batch_signal_loss", detail["loss_0"], overall)
+            if "loss_1" in detail:
+                self.tf_writer.update_step_loss(
+                    "train/batch_class_loss", detail["loss_1"], overall)
+        return loss
 
-        step = 0
-        total_loss = [0.0]
-
-        def consume(ctx, metrics):
-            batch_idx, overall = ctx
-            loss = float(metrics["loss"])  # blocks on an already-done step
-            detail = {k: float(v) for k, v in metrics.items()
-                      if k.startswith("loss_")}
-            msg = ", ".join(f"{k}: {v:.4f}" for k, v in detail.items())
-            print(f"epoch: {current_epoch}, iter: {batch_idx + 1}, "
-                  f"batch_loss: {loss:.4f}{', ' + msg if msg else ''}")
-            total_loss[0] += loss
-            if self.tf_writer:
-                self.tf_writer.update_step_loss("train/batch_loss", loss,
-                                                overall)
-                if "loss_0" in detail:
-                    self.tf_writer.update_step_loss(
-                        "train/batch_signal_loss", detail["loss_0"], overall)
-                if "loss_1" in detail:
-                    self.tf_writer.update_step_loss(
-                        "train/batch_class_loss", detail["loss_1"], overall)
-
-        sink = DeferredMetricSink(consume)
-        for batch_idx, batch in enumerate(self.train_dataloader):
-            self.overall_step += 1
-            step += 1
-            self._rng, sub = jax.random.split(self._rng)
-            self.state, metrics = self._train_step(
-                self.state, self._shard_train_batch(self._batch_kwargs(batch)),
-                self._place_rng(sub))
-            sink.push((batch_idx, self.overall_step), metrics)
-        sink.flush()
-        return {"total_loss": total_loss[0] / max(step, 1)}
+    # train_one_epoch: inherited from NsTask (shared dispatch loop +
+    # DeferredMetricSink; only the metric logging above differs)
 
     # compute_dev_loss: inherited from NsTask (incl. multi-process lockstep)
 

@@ -10,7 +10,12 @@ data loading — bench.measure_train_sustained covers the combined effect).
 
 Run: python scripts/exp_pipelined_fetch.py  (TPU; ~2 min incl. compile)
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
 import jax.numpy as jnp
