@@ -284,6 +284,9 @@ def main(config):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if config.action != "train" and not config.ckpt:
+        raise ValueError(f"--ckpt is required for --action {config.action} "
+                         "(a filename under TRAIN.model_save_dir)")
     if config.action == "train":
         action_train(hparam, config.backend)
     elif config.action == "dev":
