@@ -105,14 +105,18 @@ class SocketServingFront:
         poll_s: output-pump poll interval per connection.
         drain_timeout_s: max wait after BYE for the serving loop to finish
             the session's completed chunks before giving up and closing.
+        hello_timeout_s: a fresh connection must send HELLO within this
+            window or it is dropped (it holds no serving slot, but idle
+            reader threads aren't free either).
     """
 
     def __init__(self, server, host: str = "127.0.0.1", port: int = 0,
                  poll_s: float = 0.001, drain_timeout_s: float = 30.0,
-                 n_sources: int = 1):
+                 n_sources: int = 1, hello_timeout_s: float = 30.0):
         self.server = server
         self.poll_s = poll_s
         self.drain_timeout_s = drain_timeout_s
+        self.hello_timeout_s = hello_timeout_s
         self.n_sources = n_sources
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -223,7 +227,11 @@ class SocketServingFront:
         pump_thread = None
         clean_bye = False
         try:
+            # a connection that never sends HELLO must not pin this reader
+            # thread forever (it holds no slot yet, but threads aren't free)
+            conn.settimeout(self.hello_timeout_s)
             t, payload = _recv_msg(conn)
+            conn.settimeout(None)
             if t != MSG_HELLO:
                 _send_msg(conn, MSG_ERROR, b"expected HELLO")
                 return

@@ -307,3 +307,92 @@ def test_socket_serving_churn(rng):
     c.send(audio)
     np.testing.assert_allclose(c.finish(), solo(audio), atol=1e-5)
     front.stop()
+
+
+def test_socket_client_send_chunks_at_max_payload(rng, monkeypatch):
+    """StreamingClient.send splits one big buffer into MAX_PAYLOAD-sized
+    AUDIO messages (the server caps per-message allocations; a long eval
+    recording pushed in one call must still round-trip, not kill the
+    session)."""
+    from puresound_tpu.streaming import socket_server as ss
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = _ns_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+    bundle = make_session_server(model, variables, n_slots=1, chunk_ms=8.0,
+                                 sr=16000)
+    chunk = bundle.chunk_samples
+    front = ss.SocketServingFront(bundle.server).start()
+    try:
+        audio = rng.standard_normal(6 * chunk).astype(np.float32) * 0.1
+
+        # reference: normal-sized sends
+        c = ss.StreamingClient(*front.address).hello()
+        c.send(audio)
+        ref = c.finish()
+
+        # one send() of the whole buffer under a tiny cap -> many messages
+        monkeypatch.setattr(ss, "MAX_PAYLOAD", chunk * 4)  # bytes; < buffer
+        c2 = ss.StreamingClient(*front.address).hello()
+        c2.send(audio)  # 6*chunk*4 bytes >> cap: must split, not die
+        got = c2.finish()
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        front.stop()
+
+
+def test_socket_front_survives_protocol_garbage(rng):
+    """Malformed clients (wrong first message, oversized length header,
+    never-HELLO, truncated header then disconnect) must never wedge the
+    front-end — a well-behaved session afterwards still works."""
+    import socket as pysocket
+    import struct as pystruct
+
+    from puresound_tpu.streaming import socket_server as ss
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = _ns_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+    bundle = make_session_server(model, variables, n_slots=1, chunk_ms=8.0,
+                                 sr=16000)
+    front = ss.SocketServingFront(bundle.server,
+                                  hello_timeout_s=0.5).start()
+    host, port = front.address
+    try:
+        # (a) wrong first message type -> MSG_ERROR reply, clean close
+        s = pysocket.create_connection((host, port), timeout=5.0)
+        s.sendall(pystruct.pack("<II", ss.MSG_AUDIO, 4) + b"\x00" * 4)
+        hdr = s.recv(8)
+        t, n = pystruct.unpack("<II", hdr)
+        assert t == ss.MSG_ERROR
+        s.close()
+
+        # (b) oversized length header -> connection dropped, no huge alloc
+        s = pysocket.create_connection((host, port), timeout=5.0)
+        s.sendall(pystruct.pack("<II", ss.MSG_HELLO, 0xFFFFFFFF))
+        assert s.recv(8) == b""  # server closed on us
+        s.close()
+
+        # (c) connect and say nothing -> dropped after hello_timeout_s
+        s = pysocket.create_connection((host, port), timeout=5.0)
+        s.settimeout(5.0)
+        assert s.recv(8) == b""  # server gave up waiting for HELLO
+        s.close()
+
+        # (d) truncated header then abrupt close
+        s = pysocket.create_connection((host, port), timeout=5.0)
+        s.sendall(b"\x01\x00")
+        s.close()
+
+        # no slot was ever consumed, and a real session still works
+        assert bundle.server.n_active == 0
+        audio = rng.standard_normal(2 * bundle.chunk_samples).astype(
+            np.float32) * 0.1
+        c = ss.StreamingClient(host, port).hello()
+        c.send(audio)
+        out = c.finish()
+        assert out.shape == audio.shape and np.isfinite(out).all()
+    finally:
+        front.stop()
