@@ -261,6 +261,28 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
               f"({chunk_ms} ms chunks)")
 
 
+def action_export(hparam, backend, ckpt):
+    """Serialize jax.export StableHLO artifacts of the SIMO separator
+    (EncoderNet, MaskNet, decoderNet, FullModel, StreamStep). The
+    reference has no DSS export at all (TSE only,
+    /root/reference/egs/tse/main.py:406-443)."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.tasks.base import BaseTrainer
+    from puresound_tpu.utils.export import export_stablehlo
+
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.load_params_from_ckpt(
+        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
+    export_stablehlo(model, variables, sr,
+                     hparam["TRAIN"]["model_save_dir"], ckpt)
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -299,6 +321,8 @@ def main(config):
         action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
                      config.serve_slots, config.port, config.half,
                      config.fused, config.mk_kernel)
+    elif config.action == "export_model":
+        action_export(hparam, config.backend, config.ckpt)
     else:
         raise NameError("Unrecognize action.")
 
@@ -308,7 +332,7 @@ if __name__ == "__main__":
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
                         choices=["train", "dev", "eval", "stream_eval",
-                                 "serve"])
+                                 "serve", "export_model"])
     parser.add_argument("--serve_slots", type=int, default=64,
                         help="serve: fixed concurrent-session capacity")
     parser.add_argument("--port", type=int, default=7654,

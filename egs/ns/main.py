@@ -265,6 +265,18 @@ def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
               mk_kernel=mk_kernel)
 
 
+def action_export(hparam, backend, ckpt):
+    """Serialize jax.export StableHLO artifacts (EncoderNet, MaskNet,
+    decoderNet, FullModel, StreamStep). The reference exports TSE models
+    only (/root/reference/egs/tse/main.py:406-443); NS gets the same
+    deployment story here."""
+    from puresound_tpu.utils.export import export_stablehlo
+
+    model, variables = load_eval_model(hparam, ckpt)
+    export_stablehlo(model, variables, hparam["DATASET"]["sample_rate"],
+                     hparam["TRAIN"]["model_save_dir"], ckpt)
+
+
 def main(config):
     from puresound_tpu.src.utils import create_folder, load_hparam
 
@@ -305,6 +317,8 @@ def main(config):
                      config.serve_slots, config.port, config.half,
                      config.fused, config.dp_kernel, config.attn_kernel,
                      config.mk_kernel)
+    elif config.action == "export_model":
+        action_export(hparam, config.backend, config.ckpt)
     else:
         raise NameError("Unrecognize action.")
 
@@ -314,7 +328,7 @@ if __name__ == "__main__":
     parser.add_argument("config_path", type=str)
     parser.add_argument("--action", type=str, default="train",
                         choices=["train", "dev", "eval", "stream_eval",
-                                 "serve"])
+                                 "serve", "export_model"])
     parser.add_argument("--serve_slots", type=int, default=64,
                         help="serve: fixed concurrent-session capacity")
     parser.add_argument("--port", type=int, default=7654,

@@ -376,87 +376,14 @@ def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
 
 
 def action_export(hparam, backend, ckpt):
-    """Serialize jax.export artifacts of the four sub-nets (SpeakerNet,
-    Encoder, decoder, MaskNet) — the TPU equivalent of the reference's
-    torch.jit traces (egs/tse/main.py:406-443)."""
-    import jax
-    import jax.numpy as jnp
-    from jax import export as jexport
-
-    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+    """Serialize jax.export StableHLO artifacts (SpeakerNet, Encoder,
+    decoder, MaskNet, FullModel, StreamStep) — the TPU equivalent of the
+    reference's torch.jit traces (egs/tse/main.py:406-443)."""
+    from puresound_tpu.utils.export import export_stablehlo
 
     model, variables = load_eval_model(hparam, ckpt)
-    sr = hparam["DATASET"]["sample_rate"]
-    dummy_wav = jnp.zeros((1, sr * 5))
-    save_dir = hparam["TRAIN"]["model_save_dir"]
-
-    def spk_fn(wav):
-        return model.apply(variables, wav,
-                           method=SoTaskWrapModule.inference_tse_embedding)
-
-    def enc_fn(wav):
-        return model.apply(variables, wav, method=SoTaskWrapModule._encode_mix)
-
-    def dec_fn(feats):
-        return model.apply(variables, feats, method=SoTaskWrapModule._decode)
-
-    dummy_feats = enc_fn(dummy_wav)
-    dummy_dvec = spk_fn(dummy_wav)
-
-    def mask_fn(feats, dvec):
-        def run(mdl, feats, dvec):
-            return mdl.masker(feats, dvec)
-
-        import flax.linen as nn
-
-        return nn.apply(run, model)(variables, feats, dvec)
-
-    exports = {
-        "SpeakerNet": (spk_fn, (dummy_wav,)),
-        "EncoderNet": (enc_fn, (dummy_wav,)),
-        "decoderNet": (dec_fn, (dummy_feats,)),
-        "MaskNet": (mask_fn, (dummy_feats, dummy_dvec.squeeze(-1)
-                              if dummy_dvec.ndim == 3 else dummy_dvec)),
-    }
-    # streaming serving artifact: the whole chunked step (state pytree in/
-    # out) as one StableHLO — beyond the reference, whose traces are
-    # offline-only
-    try:
-        from puresound_tpu.streaming.file_eval import build_engine
-
-        engine = build_engine(model)
-        hop = model.encoder.hop_length
-        eng_cls = type(engine)
-        chunk = jnp.zeros((1, 4 * hop))
-        state0 = engine.apply(variables, 1, method=eng_cls.init_state)
-        dvec = engine.apply(variables, jnp.zeros((1, sr)),
-                            method=eng_cls.embed)
-        if dvec.ndim == 3:  # embedding-free: conditioning is in the state
-            def stream_fn(chunk, state):
-                return engine.apply(variables, chunk, None, state,
-                                    method=eng_cls.step)
-            stream_args = (chunk, state0)
-        elif eng_cls.__name__ == "StreamingNS":
-            def stream_fn(chunk, state, dvec):
-                return engine.apply(variables, chunk, state, dvec,
-                                    method=eng_cls.step)
-            stream_args = (chunk, state0, dvec)
-        else:
-            def stream_fn(chunk, dvec, state):
-                return engine.apply(variables, chunk, dvec, state,
-                                    method=eng_cls.step)
-            stream_args = (chunk, dvec, state0)
-        exports["StreamStep"] = (stream_fn, stream_args)
-    except TypeError as e:
-        print(f"streaming step not exportable for this model: {e}")
-
-    for name, (fn, args) in exports.items():
-        exp = jexport.export(jax.jit(fn))(*args)
-        data = exp.serialize()
-        path = f"{save_dir}/{ckpt}.{name}.stablehlo"
-        with open(path, "wb") as f:
-            f.write(data)
-        print(f"exported {name}: {path} ({len(data)} bytes)")
+    export_stablehlo(model, variables, hparam["DATASET"]["sample_rate"],
+                     hparam["TRAIN"]["model_save_dir"], ckpt)
 
 
 def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
