@@ -34,6 +34,24 @@ def build_model(hparam, sig_loss=None):
         drop_first_bin=True)
 
 
+def load_eval_model(hparam, ckpt_name):
+    """build_model + init + checkpoint params, shared by every non-train
+    action (mirrors egs/ns/main.py:load_eval_model; TRAIN.model_average: N
+    averages the last N epoch ckpts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
+    from puresound_tpu.tasks.base import BaseTrainer
+
+    model = build_model(hparam)
+    sr = hparam["DATASET"]["sample_rate"]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
+                           method=SiMoTaskWrapModule.inference)
+    variables = BaseTrainer.resolve_eval_params(hparam, ckpt_name, variables)
+    return model, variables
+
+
 def action_train(hparam, backend):
     import jax
     import jax.numpy as jnp
@@ -84,15 +102,11 @@ def action_dev(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
 
     from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
     from puresound_tpu.src.metrics import Metrics
-    from puresound_tpu.tasks.base import BaseTrainer, DataLoader
+    from puresound_tpu.tasks.base import DataLoader
     from puresound_tpu.tasks.dss import DssCollateFunc, DssDataset
 
-    model = build_model(hparam)
+    model, variables = load_eval_model(hparam, ckpt)
     sr = hparam["DATASET"]["sample_rate"]
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
-                           method=SiMoTaskWrapModule.inference)
-    variables = BaseTrainer.load_params_from_ckpt(
-        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
     ds = DssDataset(folder=hparam["DATASET"]["dev"], resample_to=sr,
                     max_length=None)
     loader = DataLoader(ds, batch_size=1, shuffle=False,
@@ -144,16 +158,11 @@ def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
     from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
     from puresound_tpu.src.audio import AudioIO
     from puresound_tpu.src.utils import create_folder, load_text_as_dict
-    from puresound_tpu.tasks.base import BaseTrainer
 
     out_dir = f"{hparam['TRAIN']['model_save_dir']}/eval_audio"
     create_folder(out_dir)
-    model = build_model(hparam)
+    model, variables = load_eval_model(hparam, ckpt)
     sr = hparam["DATASET"]["sample_rate"]
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
-                           method=SiMoTaskWrapModule.inference)
-    variables = BaseTrainer.load_params_from_ckpt(
-        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
     test_audio = load_text_as_dict(f"{hparam['DATASET']['eval']}/wav2scp.txt")
 
     def load_mix(key):
@@ -203,19 +212,10 @@ def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
     """Production SIMO serving: each connection streams a mixture and gets
     the M separated sources back sample-interleaved (ACK carries
     n_sources; StreamingClient de-interleaves to [M, T])."""
-    import jax
-    import jax.numpy as jnp
-
-    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
     from puresound_tpu.streaming.deploy import run_serve
-    from puresound_tpu.tasks.base import BaseTrainer
 
-    model = build_model(hparam)
+    model, variables = load_eval_model(hparam, ckpt)
     sr = hparam["DATASET"]["sample_rate"]
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
-                           method=SiMoTaskWrapModule.inference)
-    variables = BaseTrainer.load_params_from_ckpt(
-        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
     run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
               sr=sr, half=half, fused=fused, mk_kernel=mk_kernel)
 
@@ -224,23 +224,14 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
                        fused=False, mk_kernel=False):
     """Chunked real-time streaming separation over the dev set: writes
     per-source (near/far) aligned wavs and reports RTF."""
-    import jax
-    import jax.numpy as jnp
-
-    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
     from puresound_tpu.src.audio import AudioIO
     from puresound_tpu.src.utils import create_folder, load_text_as_dict
     from puresound_tpu.streaming.file_eval import build_engine, stream_signal
-    from puresound_tpu.tasks.base import BaseTrainer
 
     out_dir = f"{hparam['TRAIN']['model_save_dir']}/stream_eval_audio"
     create_folder(out_dir)
-    model = build_model(hparam)
+    model, variables = load_eval_model(hparam, ckpt)
     sr = hparam["DATASET"]["sample_rate"]
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
-                           method=SiMoTaskWrapModule.inference)
-    variables = BaseTrainer.load_params_from_ckpt(
-        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
     engine = build_engine(model)
     test_audio = load_text_as_dict(f"{hparam['DATASET']['dev']}/wav2scp.txt")
     rtfs = []
@@ -266,20 +257,10 @@ def action_export(hparam, backend, ckpt):
     (EncoderNet, MaskNet, decoderNet, FullModel, StreamStep). The
     reference has no DSS export at all (TSE only,
     /root/reference/egs/tse/main.py:406-443)."""
-    import jax
-    import jax.numpy as jnp
-
-    from puresound_tpu.nnet.base_nn import SiMoTaskWrapModule
-    from puresound_tpu.tasks.base import BaseTrainer
     from puresound_tpu.utils.export import export_stablehlo
 
-    model = build_model(hparam)
-    sr = hparam["DATASET"]["sample_rate"]
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, sr)),
-                           method=SiMoTaskWrapModule.inference)
-    variables = BaseTrainer.load_params_from_ckpt(
-        os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt), variables)
-    export_stablehlo(model, variables, sr,
+    model, variables = load_eval_model(hparam, ckpt)
+    export_stablehlo(model, variables, hparam["DATASET"]["sample_rate"],
                      hparam["TRAIN"]["model_save_dir"], ckpt)
 
 

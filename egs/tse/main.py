@@ -31,15 +31,15 @@ def get_model_variables(model, hparam):
 
 
 def load_eval_model(hparam, ckpt_name):
-    """Build the zoo model (no losses) and load checkpoint params."""
+    """Build the zoo model (no losses) and load checkpoint params
+    (TRAIN.model_average: N averages the last N epoch ckpts)."""
     from model import init_model
 
     from puresound_tpu.tasks.base import BaseTrainer
 
     model = init_model(hparam["MODEL"]["type"])
     variables = get_model_variables(model, hparam)
-    path = os.path.join(hparam["TRAIN"]["model_save_dir"], ckpt_name)
-    variables = BaseTrainer.load_params_from_ckpt(path, variables)
+    variables = BaseTrainer.resolve_eval_params(hparam, ckpt_name, variables)
     return model, variables
 
 

@@ -206,7 +206,10 @@ class Metrics:
     @staticmethod
     def sisnr(clean, enhanced) -> float:
         clean, enhanced = Metrics.check_shape(clean, enhanced)
-        return float(_si_snr_np(enhanced.reshape(1, -1), clean.reshape(1, -1)))
+        # _si_snr_np returns shape [1]; index it (float(arr) with ndim>0
+        # errors on numpy >= 2)
+        return float(
+            _si_snr_np(enhanced.reshape(1, -1), clean.reshape(1, -1))[0])
 
     @staticmethod
     def sisnr_imp(clean, enhanced, noisy) -> float:

@@ -69,12 +69,23 @@ _HDR = struct.Struct("<II")
 MAX_PAYLOAD = 64 << 20
 
 
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    """Read exactly n bytes or raise ConnectionError on EOF."""
+def _recv_exact(sock: socket.socket, n: int,
+                deadline: Optional[float] = None) -> bytes:
+    """Read exactly n bytes or raise ConnectionError on EOF.
+
+    ``deadline`` (a ``time.monotonic()`` instant) bounds the WHOLE read, not
+    each recv: a per-recv timeout alone lets a byte-trickling client hold
+    the reader thread forever (one byte per timeout window never expires).
+    """
     buf = bytearray(n)
     view = memoryview(buf)
     got = 0
     while got < n:
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise socket.timeout("recv deadline exceeded")
+            sock.settimeout(remaining)
         k = sock.recv_into(view[got:], n - got)
         if k == 0:
             raise ConnectionError("peer closed")
@@ -82,11 +93,12 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
-def _recv_msg(sock: socket.socket) -> Tuple[int, bytes]:
-    t, n = _HDR.unpack(_recv_exact(sock, _HDR.size))
+def _recv_msg(sock: socket.socket,
+              deadline: Optional[float] = None) -> Tuple[int, bytes]:
+    t, n = _HDR.unpack(_recv_exact(sock, _HDR.size, deadline))
     if n > MAX_PAYLOAD:
         raise ConnectionError(f"oversized payload ({n} bytes)")
-    return t, (_recv_exact(sock, n) if n else b"")
+    return t, (_recv_exact(sock, n, deadline) if n else b"")
 
 
 def _send_msg(sock: socket.socket, t: int, payload: bytes = b"") -> None:
@@ -227,10 +239,12 @@ class SocketServingFront:
         pump_thread = None
         clean_bye = False
         try:
-            # a connection that never sends HELLO must not pin this reader
-            # thread forever (it holds no slot yet, but threads aren't free)
-            conn.settimeout(self.hello_timeout_s)
-            t, payload = _recv_msg(conn)
+            # a connection that never sends a COMPLETE HELLO must not pin
+            # this reader thread (it holds no slot yet, but threads aren't
+            # free) — a hard deadline on the whole message, so trickled
+            # bytes can't keep resetting the clock
+            t, payload = _recv_msg(
+                conn, deadline=time.monotonic() + self.hello_timeout_s)
             conn.settimeout(None)
             if t != MSG_HELLO:
                 _send_msg(conn, MSG_ERROR, b"expected HELLO")

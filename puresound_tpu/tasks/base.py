@@ -747,6 +747,36 @@ class BaseTrainer:
         return out
 
     @staticmethod
+    def resolve_eval_params(hparam: Dict, ckpt_name: str,
+                            variables: Dict) -> Dict:
+        """Load eval-time params honoring ``TRAIN.model_average``.
+
+        The reference declares ``model_average`` in every config schema
+        (reference: egs/tse/TSE.yaml:56, egs/ns/NS.yaml:40) but never reads
+        it; here ``model_average: N`` (N > 1) averages the N epoch
+        checkpoints ending at ``--ckpt epoch_k.ckpt`` (epochs k-N+1 .. k,
+        silently skipping epochs whose file is missing). Any other value —
+        or a checkpoint not named ``epoch_<n>.ckpt`` — falls back to a
+        plain single-checkpoint load.
+        """
+        import re
+
+        save_dir = hparam["TRAIN"]["model_save_dir"]
+        path = os.path.join(save_dir, ckpt_name)
+        n_avg = hparam.get("TRAIN", {}).get("model_average") or 0
+        m = re.fullmatch(r"epoch_(\d+)\.ckpt", ckpt_name)
+        if int(n_avg) > 1 and m:
+            k = int(m.group(1))
+            paths = [os.path.join(save_dir, f"epoch_{e}.ckpt")
+                     for e in range(max(0, k - int(n_avg) + 1), k + 1)]
+            paths = [p for p in paths if os.path.isfile(p)]
+            if len(paths) > 1:
+                print(f"model_average: averaging {len(paths)} checkpoints "
+                      f"ending at {ckpt_name}")
+                return BaseTrainer.average_checkpoints(paths, variables)
+        return BaseTrainer.load_params_from_ckpt(path, variables)
+
+    @staticmethod
     def average_checkpoints(filenames, variables: Dict) -> Dict:
         """Average the params (and batch_stats) of several checkpoints into
         a fresh variable tree — the TRAIN.model_average option the reference

@@ -364,7 +364,7 @@ def test_socket_front_survives_protocol_garbage(rng):
         # (a) wrong first message type -> MSG_ERROR reply, clean close
         s = pysocket.create_connection((host, port), timeout=5.0)
         s.sendall(pystruct.pack("<II", ss.MSG_AUDIO, 4) + b"\x00" * 4)
-        hdr = s.recv(8)
+        hdr = ss._recv_exact(s, 8)  # bare recv may legally short-read
         t, n = pystruct.unpack("<II", hdr)
         assert t == ss.MSG_ERROR
         s.close()
@@ -384,6 +384,28 @@ def test_socket_front_survives_protocol_garbage(rng):
         # (d) truncated header then abrupt close
         s = pysocket.create_connection((host, port), timeout=5.0)
         s.sendall(b"\x01\x00")
+        s.close()
+
+        # (e) byte-trickling HELLO: each recv succeeds inside the timeout
+        # window but the message never completes — the DEADLINE (not a
+        # per-recv timeout) must still drop the connection
+        import time as pytime
+
+        s = pysocket.create_connection((host, port), timeout=5.0)
+        s.settimeout(5.0)
+        s.sendall(pystruct.pack("<II", ss.MSG_HELLO, 64))
+        t0 = pytime.monotonic()
+        try:
+            for _ in range(20):  # 0.2 s apart < hello_timeout_s=0.5
+                pytime.sleep(0.2)
+                s.sendall(b"\x00")
+        except OSError:
+            pass  # server dropped us mid-trickle
+        try:
+            assert s.recv(8) == b""  # dropped (EOF or RST)
+        except OSError:
+            pass
+        assert pytime.monotonic() - t0 < 4.0  # well before 20*0.2 s
         s.close()
 
         # no slot was ever consumed, and a real session still works

@@ -253,6 +253,21 @@ def test_checkpoint_averaging(tmp_path):
     last = jax.tree_util.tree_leaves(task.state.params)[0]
     assert not np.allclose(np.asarray(leaf), np.asarray(last))
 
+    # TRAIN.model_average wiring: the knob routes the eval-time load through
+    # the same averaging (and falls back to a plain load when unset/1)
+    hp = task.hparam
+    hp["TRAIN"]["model_average"] = 2
+    via_knob = BaseTrainer.resolve_eval_params(hp, "epoch_1.ckpt", variables)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(via_knob["params"])[0]),
+        np.asarray(leaf))
+    hp["TRAIN"]["model_average"] = None
+    plain = BaseTrainer.resolve_eval_params(hp, "epoch_1.ckpt", variables)
+    direct = BaseTrainer.load_params_from_ckpt(paths[1], variables)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(plain["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(direct["params"])[0]))
+
 
 def test_ns_training_loop_mixed_precision(tmp_path):
     """TRAIN.mixed_precision: bf16 compute trains (loss decreases) and
