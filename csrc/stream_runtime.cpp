@@ -64,6 +64,10 @@ struct Hub {
   int n_streams;
   Ring* in_rings;
   Ring* out_rings;
+  // samples hub_scatter had to drop because a slot's output ring was full
+  // (client not draining): surfaced so the server can report a violated
+  // delivery contract instead of silently returning short output
+  std::atomic<uint64_t>* out_drops;
 };
 
 }  // namespace
@@ -75,9 +79,11 @@ void* hub_create(int n_streams, size_t ring_capacity) {
   hub->n_streams = n_streams;
   hub->in_rings = new Ring[n_streams];
   hub->out_rings = new Ring[n_streams];
+  hub->out_drops = new std::atomic<uint64_t>[n_streams];
   for (int i = 0; i < n_streams; i++) {
     hub->in_rings[i].init(ring_capacity);
     hub->out_rings[i].init(ring_capacity);
+    hub->out_drops[i].store(0, std::memory_order_relaxed);
   }
   return hub;
 }
@@ -86,6 +92,7 @@ void hub_destroy(void* h) {
   Hub* hub = static_cast<Hub*>(h);
   delete[] hub->in_rings;
   delete[] hub->out_rings;
+  delete[] hub->out_drops;
   delete hub;
 }
 
@@ -126,6 +133,14 @@ void hub_reset_stream(void* h, int sid) {
                 std::memory_order_release);
   out.tail.store(out.head.load(std::memory_order_acquire),
                  std::memory_order_release);
+  hub->out_drops[sid].store(0, std::memory_order_release);
+}
+
+// Samples dropped by hub_scatter on stream `sid` since attach/reset.
+int64_t hub_output_dropped(void* h, int sid) {
+  Hub* hub = static_cast<Hub*>(h);
+  return static_cast<int64_t>(
+      hub->out_drops[sid].load(std::memory_order_acquire));
 }
 
 // Serving loop: gather one `chunk`-sample frame from every stream into the
@@ -156,8 +171,13 @@ void hub_scatter(void* h, int64_t chunk, const float* batch,
                  const int8_t* ready_mask) {
   Hub* hub = static_cast<Hub*>(h);
   for (int i = 0; i < hub->n_streams; i++) {
-    if (ready_mask[i])
-      hub->out_rings[i].push(batch + (size_t)i * (size_t)chunk, (size_t)chunk);
+    if (ready_mask[i]) {
+      size_t pushed = hub->out_rings[i].push(
+          batch + (size_t)i * (size_t)chunk, (size_t)chunk);
+      if (pushed < (size_t)chunk)
+        hub->out_drops[i].fetch_add((size_t)chunk - pushed,
+                                    std::memory_order_acq_rel);
+    }
   }
 }
 

@@ -208,3 +208,15 @@ def window_sumsquare(window: jnp.ndarray, n_frames: int, hop: int, n_fft: int, p
     w = jnp.asarray(window).reshape(-1) ** power  # [n_fft]
     frames = jnp.broadcast_to(w[None, :], (n_frames, n_fft))
     return overlap_add(frames, hop)
+
+
+def periodic_hann_sumsquare(n_fft: int, hop: int) -> np.ndarray:
+    """Steady-state periodic window-sum-square normalizer for streaming
+    iSTFT: one hop period of sum_k hann(n_fft)[k*hop : (k+1)*hop]**2
+    (requires hop | n_fft). float32 [hop] — shared by the NS and SIMO
+    streaming engines so their OLA normalizers can never diverge."""
+    win = hann_window(n_fft).astype(np.float64) ** 2
+    wsum = np.zeros(hop)
+    for k in range(n_fft // hop):
+        wsum += win[k * hop:(k + 1) * hop]
+    return wsum.astype(np.float32)

@@ -140,6 +140,17 @@ def make_session_server(model, variables, n_slots: int,
 
     # ----------------------------------------------------------------- step
     n_sources = 1
+    if isinstance(engine, StreamingTSE) and not has_spk:
+        # embedding-free TSE (zoo veve_dprnn_v0_causal): the enrollment
+        # conditions the masker's INITIAL recurrent state, so a per-slot
+        # session would need per-slot state injection at attach — which the
+        # masked fresh-state reset cannot express. Without this guard the
+        # 3-arg step_fn dies with a TypeError on the serving thread's first
+        # tick (embed_dim is None, so tick calls step_fn(batch, state)).
+        raise ValueError(
+            "embedding-free TSE conditioning lives in the initial recurrent "
+            "state; SessionServer cannot attach per-slot sessions for it — "
+            "serve a fixed cohort with StreamingServer instead")
     if isinstance(engine, StreamingTSE):
 
         @jax.jit
@@ -187,7 +198,11 @@ def make_session_server(model, variables, n_slots: int,
         out_sd = jax.eval_shape(
             step_fn, jax.ShapeDtypeStruct((1, chunk), jnp.float32), st1)[0]
         n_sources = int(out_sd.shape[1]) // chunk
-    slot_axes = infer_slot_axes(init_state)
+    # shapes only — eval_shape keeps the two probe inits off the device
+    # (an eager init materializes dozens of leaves at ~30 ms RTT each on
+    # the tunneled backend)
+    slot_axes = infer_slot_axes(
+        lambda n: jax.eval_shape(lambda: init_state(n)))
     server = SessionServer(step_fn, init_state(n_slots), n_slots, chunk,
                            embed_fn=embed_fn, embed_dim=embed_dim,
                            slot_axes=slot_axes, mesh=mesh,

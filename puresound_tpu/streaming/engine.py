@@ -138,8 +138,12 @@ class StreamingTSE(nn.Module):
         frame_wavs = jnp.einsum("bck,cw->bkw", enh,
                                 self.encoder.dec_w[:, 0, :])  # [B, K, win]
         full = overlap_add(frame_wavs, hop)  # [B, S + win - hop]
+        # add the carried tail into the FULL buffer before slicing (not into
+        # the emit slice): with >50% overlap (win - hop > S) part of the
+        # carry lands beyond the emitted samples and must survive into the
+        # new tail — the slice-then-add form drops it (ns_engine.py pattern)
+        full = full.at[:, : win - hop].add(state["dec_tail"])
         emit = full[:, :S]
-        emit = emit.at[:, : win - hop].add(state["dec_tail"])
         new_dec_tail = full[:, S:]
 
         out = wav_output_constrain(emit, self.output_constraint)

@@ -143,7 +143,10 @@ def stream_signal(engine, variables, wav: np.ndarray, sr: int,
         y, state = run(jnp.asarray(x[:, i * chunk:(i + 1) * chunk]).astype(dt),
                        state)
         outs.append(y)
-    outs[-1].block_until_ready()
+    # sync on a VALUE fetch (plain device->host copy, no new executable):
+    # on the tunneled backend block_until_ready can return before execution
+    # completes (CLAUDE.md timing gotcha), which would overstate the RTF
+    np.asarray(outs[-1])
     elapsed = time.perf_counter() - t0
 
     # [total] for SISO engines, [M, total] for SIMO (StreamingDSS)

@@ -104,14 +104,10 @@ class StreamingNS(nn.Module):
                    dp_kernel: bool = False,
                    mk_kernel: bool = False) -> dict:
         tail = self._n_fft - self._hop
-        # steady-state periodic window-sum-square normalizer (one hop period)
-        from ..dsp.stft import hann_window
+        from ..dsp.stft import periodic_hann_sumsquare
 
-        win = hann_window(self._n_fft).astype(np.float64) ** 2
-        wsum = np.zeros(self._hop)
-        for k in range(self._n_fft // self._hop):
-            wsum += win[k * self._hop : (k + 1) * self._hop]
-        self_norm = jnp.asarray(wsum.astype(np.float32))
+        self_norm = jnp.asarray(periodic_hann_sumsquare(self._n_fft,
+                                                        self._hop))
         masker_kw = {}
         if dp_kernel:
             masker_kw["dp_kernel"] = True

@@ -61,6 +61,8 @@ class StreamHub:
         lib.hub_scatter.argtypes = [c.c_void_p, c.c_int64,
                                     c.POINTER(c.c_float), c.POINTER(c.c_int8)]
         lib.hub_reset_stream.argtypes = [c.c_void_p, c.c_int]
+        lib.hub_output_dropped.argtypes = [c.c_void_p, c.c_int]
+        lib.hub_output_dropped.restype = c.c_int64
         lib._hub_bound = True
 
     def __del__(self):
@@ -92,6 +94,11 @@ class StreamHub:
         """Drop everything buffered in one stream's rings (slot reuse).
         Call only while that slot's client threads are quiescent."""
         self._lib.hub_reset_stream(self._hub, stream_id)
+
+    def output_dropped(self, stream_id: int) -> int:
+        """Samples hub_scatter dropped on this slot because its output ring
+        was full (client not draining) since attach/reset."""
+        return int(self._lib.hub_output_dropped(self._hub, stream_id))
 
     def gather(self, chunk: int):
         batch = np.empty((self.n_streams, chunk), np.float32)
@@ -170,6 +177,10 @@ class StreamingServer:
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
         self.stats = ServeStats()
+        # first exception that killed the serve loop (None while healthy):
+        # attach() raises it to new sessions instead of silently ACKing
+        # slots on a server that will never tick again
+        self.failure: Optional[BaseException] = None
 
     def tick(self) -> int:
         """One serving iteration: gather -> device step -> scatter.
@@ -194,9 +205,16 @@ class StreamingServer:
         """Blocking serve loop (call stop() from another thread)."""
         import time
 
-        while not self._stop.is_set():
-            if self.tick() == 0:
-                time.sleep(poll_s)
+        try:
+            while not self._stop.is_set():
+                if self.tick() == 0:
+                    time.sleep(poll_s)
+        except BaseException as e:
+            # a tick failure (compile error, kernel fault, ...) must not
+            # leave a zombie server that ACKs sessions and never ticks
+            self.failure = e
+            self._stop.set()
+            raise  # surface the traceback via the thread excepthook
 
     def start(self):
         self._thread = threading.Thread(target=self.run, daemon=True)
@@ -391,6 +409,9 @@ class SessionServer(StreamingServer):
         must use for push_input/pop_output. For TSE engines pass either a
         precomputed d-vector row or an enrollment waveform (requires
         embed_fn; keep enrollment lengths fixed to avoid re-tracing)."""
+        if self.failure is not None:
+            raise RuntimeError(
+                f"serving loop died: {self.failure!r}") from self.failure
         # embed OUTSIDE the lock: a jitted embed_fn can trace+compile for
         # minutes on first call, and tick() needs this lock every tick —
         # an enrolling client must never stall the serving loop

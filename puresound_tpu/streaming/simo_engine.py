@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.stft import hann_window, overlap_add
+from ..dsp.stft import overlap_add
 from ..nnet.base_nn import apply_tf_masks, get_mask, wav_output_constrain
 from ..nnet.encoder import ConvEncDec
 
@@ -64,15 +64,14 @@ class StreamingDSS(nn.Module):
     def init_state(self, batch: int, dtype=jnp.float32,
                    mk_kernel: bool = False) -> dict:
         tail = self._n_fft - self._hop
-        win = hann_window(self._n_fft).astype(np.float64) ** 2
-        wsum = np.zeros(self._hop)
-        for k in range(self._n_fft // self._hop):
-            wsum += win[k * self._hop : (k + 1) * self._hop]
+        from ..dsp.stft import periodic_hann_sumsquare
+
         masker_kw = {"mk_kernel": True} if mk_kernel else {}
         return {
             "enc_tail": jnp.zeros((batch, tail), dtype),
             "ola_tail": jnp.zeros((batch, self._n_src, tail), dtype),
-            "wsum": jnp.asarray(wsum.astype(np.float32)),
+            "wsum": jnp.asarray(periodic_hann_sumsquare(self._n_fft,
+                                                        self._hop)),
             "masker": self.masker.init_stream_state(batch, dtype,
                                                     **masker_kw),
         }

@@ -38,7 +38,11 @@ ERROR        6     utf-8 message; the server closes after sending.
 Sample-count contract: after BYE the client has received exactly
 ``(samples_sent // chunk_samples) * chunk_samples`` samples — the trailing
 partial chunk stays unprocessed, mirroring real-time semantics where a
-stream that stops mid-chunk never completes its last tick.
+stream that stops mid-chunk never completes its last tick. If the client
+lets its output ring overflow (sending a long stream without ever reading
+AUDIO_OUT), the dropped samples can never be delivered: the server then
+replies ERROR (with the dropped count) instead of BYE, so the shortfall is
+loud rather than silent.
 """
 from __future__ import annotations
 
@@ -271,29 +275,60 @@ class SocketServingFront:
                         _send_msg(conn, MSG_ERROR,
                                   f"unexpected message type {t}".encode())
                     return
+                if len(payload) % 4:
+                    with send_lock:
+                        _send_msg(conn, MSG_ERROR,
+                                  b"AUDIO payload is not float32-aligned")
+                    return
                 arr = np.frombuffer(payload, np.float32)
                 while arr.size:  # ring backpressure: push truncates on full
                     n = hub.push_input(sid, arr)
                     pushed += n
                     arr = arr[n:]
                     if arr.size:
+                        if (self._stop.is_set()
+                                or self.server.failure is not None):
+                            return  # nothing will ever drain this ring
                         time.sleep(self.poll_s)
 
-            # BYE drain: every completed chunk's output must reach the client
+            # BYE drain: every completed chunk's output must reach the
+            # client — minus samples hub_scatter had to DROP because the
+            # client let its output ring overflow (those can never arrive)
             expected = (pushed // chunk) * chunk * self.n_sources
             deadline = time.monotonic() + self.drain_timeout_s
-            while out_sent[0] < expected and time.monotonic() < deadline:
+            while time.monotonic() < deadline:
+                dropped = hub.output_dropped(sid)
+                if out_sent[0] >= expected - dropped:
+                    break
                 if pump_thread is not None and not pump_thread.is_alive():
                     break  # client's receive side died: nothing more can
                     # be delivered — free the slot now, don't sit out the
                     # whole drain timeout
+                if self.server.failure is not None:
+                    break  # serving loop died; no more output is coming
                 time.sleep(self.poll_s)
+            dropped = hub.output_dropped(sid)
+            if dropped:
+                clean_bye = False  # the sample-count contract was violated
+                with send_lock:
+                    _send_msg(conn, MSG_ERROR,
+                              (f"output overflow: {dropped} samples dropped "
+                               "(client did not drain AUDIO_OUT)").encode())
         except (ConnectionError, OSError):
             pass  # client vanished: fall through to cleanup
         finally:
             pump_stop.set()
             if pump_thread is not None:
-                pump_thread.join()
+                pump_thread.join(timeout=1.0)
+                if pump_thread.is_alive():
+                    # pump stuck in sendall to a peer that stopped reading:
+                    # sever the socket so the slot is freed regardless
+                    clean_bye = False
+                    try:
+                        conn.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    pump_thread.join(timeout=5.0)
             if sid is not None:
                 self.server.detach(sid)
             if clean_bye:

@@ -83,7 +83,9 @@ def _run_skim_tse(rng, half):
     from puresound_tpu.streaming.engine import StreamingTSE
 
     win = int(rng.choice([8, 16, 32]))
-    hop = win // 2
+    # 50% or 75% encoder overlap: the 75% case makes win - hop exceed small
+    # chunks, exercising the multi-chunk decode-tail carry (round-3i fix)
+    hop = win // int(rng.choice([2, 4]))
     lat = int(rng.choice([16, 24, 32]))
     seg = int(rng.integers(4, 12))
     nb = int(rng.integers(1, 4))

@@ -418,3 +418,26 @@ def test_socket_front_survives_protocol_garbage(rng):
         assert out.shape == audio.shape and np.isfinite(out).all()
     finally:
         front.stop()
+
+
+def test_make_session_server_rejects_embedding_free_tse(rng):
+    """Embedding-free TSE conditions the masker's INITIAL recurrent state
+    (zoo veve_dprnn_v0_causal) — per-slot sessions can't express that, and
+    without the guard the serving thread would die with a TypeError on its
+    first tick (review finding)."""
+    from puresound_tpu.nnet.dprnn import DPRNN
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = SoTaskWrapModule(
+        encoder=FreeEncDec(win_length=32, hop_length=16, laten_length=16,
+                           output_active=True),
+        masker=DPRNN(input_size=16, hidden_size=8, output_size=16,
+                     n_blocks=2, seg_size=10, seg_overlap=False, causal=True,
+                     embed_dim=0, embed_norm=False, block_with_embed=(0, 0),
+                     embedding_free_tse=True),
+        speaker_net=None, mask_constraint="ReLU", embedding_free_tse=True)
+    x = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x, x, method=SoTaskWrapModule.inference)
+    with pytest.raises(ValueError, match="embedding-free"):
+        make_session_server(model, variables, n_slots=2, chunk_ms=10.0,
+                            sr=16000)

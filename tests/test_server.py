@@ -649,3 +649,68 @@ def test_socket_serving_front(rng):
         assert c1.finish().size == 0 and c2.finish().size == 0
     finally:
         front.stop()
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_session_server_tick_failure_surfaces(rng):
+    """A step_fn that dies must not leave a zombie server: the serve loop
+    records the failure, stops, and attach() raises instead of ACKing
+    slots that will never tick (review: silent daemon-thread death)."""
+    import time
+
+    from puresound_tpu.streaming.server import SessionServer
+
+    chunk, n_slots = 64, 2
+
+    def step_fn(batch, st):
+        raise ValueError("kernel exploded")
+
+    fresh = {"carry": jnp.zeros((n_slots, 4))}
+    server = SessionServer(step_fn, fresh, n_slots, chunk)
+    server.start()
+    try:
+        sid = server.attach()
+        server.hub.push_input(sid, rng.standard_normal(chunk).astype(np.float32))
+        deadline = time.monotonic() + 10.0
+        while server.failure is None and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert isinstance(server.failure, ValueError)
+        with pytest.raises(RuntimeError, match="serving loop died"):
+            server.attach()
+    finally:
+        server.stop()
+
+
+def test_session_server_output_overflow_counted(rng):
+    """A client that never drains its output ring loses samples in
+    hub_scatter; the hub counts them (the socket front turns a nonzero
+    count into an ERROR instead of silently-short output)."""
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    from puresound_tpu.nnet.base_nn import SoTaskWrapModule
+
+    from tests.test_deploy import _ns_model
+
+    model = _ns_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+    # hop=32 -> chunk_ms=8 @ 16 kHz = 128 samples; ring holds 256
+    bundle = make_session_server(model, variables, n_slots=1, chunk_ms=8.0,
+                                 sr=16000, ring_capacity=256)
+    server, chunk = bundle.server, bundle.chunk_samples
+    sid = server.attach()
+    try:
+        for _ in range(6):  # 6 chunks in, 0 drained: ring fits only 2
+            server.hub.push_input(
+                sid, rng.standard_normal(chunk).astype(np.float32))
+            server.tick()
+        dropped = server.hub.output_dropped(sid)
+        assert dropped >= chunk, dropped
+        assert server.hub.output_available(sid) <= 256
+        # slot reuse clears the counter
+        server.detach(sid)
+        sid2 = server.attach()
+        assert server.hub.output_dropped(sid2) == 0
+    finally:
+        server.stop() if server._thread is not None else None

@@ -154,6 +154,48 @@ def test_streaming_tse_equals_offline(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_streaming_tse_high_overlap_small_chunk(rng):
+    """>50% encoder overlap (win - hop > chunk): the decode carry spans
+    multiple future chunks, so the tail must be folded into the full OLA
+    buffer before slicing (regression: the slice-then-add form shape-errors
+    at win=32, hop=8, chunk=8)."""
+    win, hop = 32, 8
+    encoder = FreeEncDec(win_length=win, hop_length=hop, laten_length=24,
+                         output_active=True)
+    masker = SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+                  seg_size=10, seg_overlap=False, causal=True, embed_dim=8,
+                  embed_norm=True, embed_fusion="FiLM", block_with_embed=(1, 1))
+    speaker_net = tuple(
+        [TCN(24, 16, 3, dilation=1, causal=False, tcn_norm="gLN",
+             dconv_norm="gGN")]
+        + [AttentiveStatisticsPooling(24, 16), Conv1d(48, 8, 1, use_bias=False)])
+    offline = SoTaskWrapModule(encoder=encoder, masker=masker,
+                               speaker_net=speaker_net,
+                               mask_constraint="ReLU")
+    engine = StreamingTSE(encoder=encoder, masker=masker,
+                          speaker_net=speaker_net, mask_constraint="ReLU")
+
+    L = hop * 40
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32) * 0.1)
+    enroll = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32) * 0.1)
+    params = offline.init(KEY, x, enroll, method=SoTaskWrapModule.inference)
+    y_off = offline.apply(
+        params, offline_equivalent_input(x, win, hop), enroll,
+        method=SoTaskWrapModule.inference)
+
+    dvec = engine.apply(params, enroll, method=StreamingTSE.embed)
+    state = engine.apply(params, 2, method=StreamingTSE.init_state)
+    outs = []
+    for i in range(0, L, hop):  # one-hop chunks: S=8 < win-hop=24
+        y, state = engine.apply(params, x[:, i:i + hop], dvec, state,
+                                method=StreamingTSE.step)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_stream),
+                               np.asarray(y_off[:, :y_stream.shape[-1]]),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_streaming_batch_independence(rng):
     """Streams in a batch must not leak state into each other."""
     encoder, masker, speaker_net = _small_tse()
