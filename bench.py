@@ -36,6 +36,47 @@ def _enable_compile_cache():
         pass
 
 
+def _tpu_compile_healthy(timeout_s: float = 900.0, platform: str = None):
+    """Probe the remote compile path in a subprocess with a hard timeout.
+
+    The tunneled TPU has two observed failure modes beyond plain
+    backend-init errors: DEGRADED (compiles succeed but a trivial
+    fresh-shape compile takes ~200 s) and DEAD (the first uncached compile
+    hangs forever while cached executables still run). jax.devices()
+    succeeds in both, so the init-time fallback never fires — probe with a
+    genuinely fresh shape (random odd dim) so a warm cache can't mask a
+    dead compiler, and time it.
+
+    Returns (ok, seconds, note). ok=False means fall back to CPU.
+    """
+    import subprocess
+
+    n = 501 + 2 * int.from_bytes(os.urandom(2), "little") % 400
+    force = (f"jax.config.update('jax_platforms', {platform!r})\n"
+             if platform else "")
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp\n" + force +
+        f"x = jnp.asarray(np.random.randn({n},{n}).astype(np.float32))\n"
+        "print(float((x@x).sum()))\n")
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, time.time() - t0, (
+            f"fresh-shape compile unresponsive after {timeout_s:.0f}s "
+            "(remote compile path down; cached executables may still run)")
+    dt = time.time() - t0
+    if r.returncode != 0:
+        return False, dt, ("health-probe compile failed: "
+                           + (r.stderr or "").strip()[-200:])
+    note = None
+    if dt > 120.0:
+        note = (f"compile service DEGRADED: trivial fresh-shape compile "
+                f"took {dt:.0f}s — full bench may need hours")
+    return True, dt, note
+
+
 def build_engine():
     import jax
     import jax.numpy as jnp
@@ -628,8 +669,21 @@ def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
 def main():
     import jax
 
+    detail_note = None
+    health = None
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    elif not os.environ.get("BENCH_SKIP_HEALTH"):
+        # probe BEFORE the parent initializes its backend: once jax.devices()
+        # has run, jax_platforms can no longer be switched reliably
+        ok, dt, note = _tpu_compile_healthy(
+            float(os.environ.get("BENCH_HEALTH_TIMEOUT", "900")))
+        health = {"probe_compile_s": round(dt, 1)}
+        if note:
+            health["note"] = note
+        if not ok:
+            jax.config.update("jax_platforms", "cpu")
+            detail_note = note
     _enable_compile_cache()
     import jax.numpy as jnp
 
@@ -644,12 +698,36 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         dev0 = jax.devices()[0]
         detail_note = f"tpu backend unavailable: {str(e)[:160]}"
-    else:
-        detail_note = None
     on_tpu = dev0.platform == "tpu"
     detail = {"platform": dev0.platform, "device": str(dev0)}
+    if health:
+        detail["compile_health"] = health
     if detail_note:
         detail["backend_fallback"] = detail_note
+
+    # partial-result checkpointing + global deadline: if the remote compile
+    # service dies MID-run (each new batch size is a fresh compile) the
+    # process can hang and get killed — whatever was already measured must
+    # survive on disk for the driver/judge
+    t_bench0 = time.time()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "0") or 0)
+    partial_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench_partial.json")
+
+    def _checkpoint(section):
+        detail["last_completed_section"] = section
+        detail["elapsed_s"] = round(time.time() - t_bench0, 1)
+        try:
+            with open(partial_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except (OSError, TypeError):
+            pass
+
+    def _past_deadline(section):
+        if deadline_s and time.time() - t_bench0 > deadline_s:
+            detail.setdefault("deadline_skipped", []).append(section)
+            return True
+        return False
 
     # ---------------- TSE streaming capacity (headline) --------------------
     engine = build_engine()
@@ -733,8 +811,11 @@ def main():
         except Exception as e:
             detail["int8_full_probe"] = f"failed: {type(e).__name__}"
 
+    _checkpoint("tse")
+
     # ---------------- NS streaming capacity --------------------------------
-    if (on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS"):
+    if ((on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS")
+            and not _past_deadline("ns")):
         try:
             ns_engine, ns_vars = build_ns_engine()
             ns_last = {}
@@ -791,9 +872,12 @@ def main():
                     detail["ns_roofline"] = f"unavailable: {type(e).__name__}"
         except Exception as e:
             detail["ns_streams_per_chip"] = f"failed: {type(e).__name__}"
+        _checkpoint("ns")
         # DPARN capacity (attention intra runs stock XLA; inter LSTM on the
         # fused Pallas scan) — first measured in round 3
         try:
+            if _past_deadline("dparn"):
+                raise TimeoutError("bench deadline")
             dp_engine, dp_vars = build_dparn_engine()
 
             # pick the faster fused path: center-fused masker kernel
@@ -840,8 +924,10 @@ def main():
         except Exception as e:
             detail["dparn_streams_per_chip"] = f"failed: {type(e).__name__}"
 
+    _checkpoint("dparn")
+
     # ---------------- training throughput ----------------------------------
-    if not os.environ.get("BENCH_SKIP_TRAIN"):
+    if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("train"):
         try:
             t_B, t_sec = (2, 0.5) if smoke else (8, 2.0)
             ms32, sps32, roof32 = measure_train(mixed=False, B=t_B,
@@ -883,15 +969,20 @@ def main():
                 detail["train_sustained_device_augment"] = (
                     f"failed: {type(e).__name__}")
 
-    try:
-        detail["denoise_rtf_single_stream"] = round(
-            measure_denoise_rtf(seconds=1.0 if smoke else 10.0,
-                                iters=2 if smoke else 10), 1)
-        detail["denoise_rtf_target"] = 20.0
-    except Exception:
-        pass
+    _checkpoint("train")
 
-    if not os.environ.get("BENCH_SKIP_SERVER"):
+    if not _past_deadline("rtf"):
+        try:
+            detail["denoise_rtf_single_stream"] = round(
+                measure_denoise_rtf(seconds=1.0 if smoke else 10.0,
+                                    iters=2 if smoke else 10), 1)
+            detail["denoise_rtf_target"] = 20.0
+        except Exception:
+            pass
+    _checkpoint("rtf")
+
+    if (not os.environ.get("BENCH_SKIP_SERVER")
+            and not _past_deadline("server")):
         try:
             detail["session_server_e2e"] = measure_session_server(
                 engine, variables, B=8 if smoke else 1024,
@@ -899,6 +990,7 @@ def main():
                 fused=fused)
         except Exception as e:
             detail["session_server_e2e"] = f"failed: {type(e).__name__}"
+    _checkpoint("server")
 
     print(json.dumps({
         "metric": "concurrent_16khz_streaming_tse_streams_per_chip",
