@@ -743,6 +743,12 @@ def main():
     dtype = (jnp.bfloat16 if fused and not os.environ.get("BENCH_F32")
              else jnp.float32)
     smoke = bool(os.environ.get("BENCH_SMOKE"))  # tiny CPU sanity pass
+    if not on_tpu and not smoke:
+        # a CPU run (forced or health-probe fallback) must never attempt the
+        # TPU-scale capacity search — B=8192+ streaming steps on the 1-core
+        # host would run for hours; emit the smoke-scale evidence instead
+        smoke = True
+        detail["cpu_smoke_sizing"] = True
 
     last = {}
 
