@@ -230,6 +230,14 @@ class SocketServingFront:
             while not pump_stop.is_set():
                 n = hub.output_available(sid)
                 if n:
+                    # cap each message at the protocol's payload limit: the
+                    # output ring can coalesce many ticks (slow poll, burst
+                    # push) and the receive side rejects oversized frames;
+                    # keep the split aligned to the SIMO interleave frame
+                    cap = max(self.n_sources,
+                              (MAX_PAYLOAD // 4) // self.n_sources
+                              * self.n_sources)
+                    n = min(n, cap)
                     out = hub.pop_output(sid, n)
                     try:
                         with send_lock:
