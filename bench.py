@@ -715,12 +715,16 @@ def main():
                                 ".bench_partial.json")
 
     def _checkpoint(section):
-        detail["last_completed_section"] = section
+        # only record sections that actually RAN (callers must guard);
+        # serialize fully before touching the file so a non-serializable
+        # entry can't leave a truncated/corrupt checkpoint behind
+        detail["last_checkpoint"] = section
         detail["elapsed_s"] = round(time.time() - t_bench0, 1)
         try:
+            s = json.dumps(detail, indent=1, default=str)
             with open(partial_path, "w") as f:
-                json.dump(detail, f, indent=1)
-        except (OSError, TypeError):
+                f.write(s)
+        except (OSError, TypeError, ValueError):
             pass
 
     def _past_deadline(section):
@@ -774,7 +778,10 @@ def main():
                   serving_dtype=str(jnp.dtype(dtype).name),
                   step_ms_at_best_batch=round(best_ms, 3),
                   batches_tested=tse_results,
-                  capacity_is_measured=best_B > 0)
+                  # a smoke run never measures against the real 15 ms
+                  # budget (search_capacity gets a 1e9 budget) — its
+                  # headline must not read like a measured capacity
+                  capacity_is_measured=best_B > 0 and not smoke)
     if best_B in last and on_tpu:
         try:
             step, args, ms = last[best_B]
@@ -879,11 +886,11 @@ def main():
         except Exception as e:
             detail["ns_streams_per_chip"] = f"failed: {type(e).__name__}"
         _checkpoint("ns")
-        # DPARN capacity (attention intra runs stock XLA; inter LSTM on the
-        # fused Pallas scan) — first measured in round 3
+    # DPARN capacity (attention intra runs stock XLA; inter LSTM on the
+    # fused Pallas scan) — first measured in round 3
+    if ((on_tpu or smoke) and not os.environ.get("BENCH_SKIP_NS")
+            and not _past_deadline("dparn")):
         try:
-            if _past_deadline("dparn"):
-                raise TimeoutError("bench deadline")
             dp_engine, dp_vars = build_dparn_engine()
 
             # pick the faster fused path: center-fused masker kernel
@@ -929,8 +936,7 @@ def main():
                 detail["dparn_capacity_is_measured"] = False
         except Exception as e:
             detail["dparn_streams_per_chip"] = f"failed: {type(e).__name__}"
-
-    _checkpoint("dparn")
+        _checkpoint("dparn")
 
     # ---------------- training throughput ----------------------------------
     if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("train"):
@@ -974,8 +980,7 @@ def main():
             except Exception as e:
                 detail["train_sustained_device_augment"] = (
                     f"failed: {type(e).__name__}")
-
-    _checkpoint("train")
+        _checkpoint("train")
 
     if not _past_deadline("rtf"):
         try:
@@ -985,7 +990,7 @@ def main():
             detail["denoise_rtf_target"] = 20.0
         except Exception:
             pass
-    _checkpoint("rtf")
+        _checkpoint("rtf")
 
     if (not os.environ.get("BENCH_SKIP_SERVER")
             and not _past_deadline("server")):
@@ -996,15 +1001,20 @@ def main():
                 fused=fused)
         except Exception as e:
             detail["session_server_e2e"] = f"failed: {type(e).__name__}"
-    _checkpoint("server")
+        _checkpoint("server")
 
-    print(json.dumps({
+    out = {
         "metric": "concurrent_16khz_streaming_tse_streams_per_chip",
         "value": round(float(value), 1),
         "unit": "streams",
         "vs_baseline": round(float(value) / 500.0, 3),
-        "detail": detail,
-    }))
+    }
+    if smoke:
+        # top-level flag so a fallback run can never read like a measured
+        # TPU capacity (the headline value is smoke-scale evidence only)
+        out["smoke"] = True
+    out["detail"] = detail
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

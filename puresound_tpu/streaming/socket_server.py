@@ -226,17 +226,21 @@ class SocketServingFront:
         pump_stop = threading.Event()
         send_lock = threading.Lock()
 
+        # cap each message at the protocol's payload limit: the output
+        # ring can coalesce many ticks (slow poll, burst push) and the
+        # receive side rejects oversized frames; keep the split aligned
+        # to the SIMO interleave frame (module MAX_PAYLOAD read at pump
+        # start so tests can shrink it deterministically per-connection)
+        def _payload_cap():
+            return max(self.n_sources,
+                       (MAX_PAYLOAD // 4) // self.n_sources
+                       * self.n_sources)
+
         def pump():
+            cap = _payload_cap()
             while not pump_stop.is_set():
                 n = hub.output_available(sid)
                 if n:
-                    # cap each message at the protocol's payload limit: the
-                    # output ring can coalesce many ticks (slow poll, burst
-                    # push) and the receive side rejects oversized frames;
-                    # keep the split aligned to the SIMO interleave frame
-                    cap = max(self.n_sources,
-                              (MAX_PAYLOAD // 4) // self.n_sources
-                              * self.n_sources)
                     n = min(n, cap)
                     out = hub.pop_output(sid, n)
                     try:

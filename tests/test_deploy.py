@@ -1,6 +1,7 @@
 """Serving deployment builder (streaming/deploy.py): model -> SessionServer
 -> TCP front-end, with output equivalence against the bare engine."""
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -338,6 +339,70 @@ def test_socket_client_send_chunks_at_max_payload(rng, monkeypatch):
         c2.send(audio)  # 6*chunk*4 bytes >> cap: must split, not die
         got = c2.finish()
         np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        front.stop()
+
+
+def test_socket_server_audio_out_capped_deterministic(rng, monkeypatch):
+    """Server-side AUDIO_OUT cap, deterministically: gate the pump's view
+    of the output ring to 0 until ALL chunks have been served into the
+    ring, so output_available > cap is guaranteed (not timing-dependent),
+    then release and assert every AUDIO_OUT payload <= MAX_PAYLOAD."""
+    import threading as _threading
+
+    from puresound_tpu.streaming import socket_server as ss
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = _ns_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 640)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, method=SoTaskWrapModule.inference)
+    bundle = make_session_server(model, variables, n_slots=1, chunk_ms=8.0,
+                                 sr=16000)
+    chunk = bundle.chunk_samples
+    n_chunks = 6
+    # cap = exactly one chunk of samples per message
+    monkeypatch.setattr(ss, "MAX_PAYLOAD", chunk * 4)
+
+    real_hub = bundle.server.hub
+    gate = _threading.Event()  # closed: pump sees an empty ring
+
+    class GatedHub:
+        def output_available(self, sid):
+            return real_hub.output_available(sid) if gate.is_set() else 0
+
+        def __getattr__(self, name):
+            return getattr(real_hub, name)
+
+    monkeypatch.setattr(bundle.server, "hub", GatedHub())
+
+    sent = []  # (msg_type, payload_bytes) from the server side
+    orig_send = ss._send_msg
+
+    def recording_send(sock, t, payload=b""):
+        sent.append((t, len(payload)))
+        return orig_send(sock, t, payload)
+
+    monkeypatch.setattr(ss, "_send_msg", recording_send)
+
+    front = ss.SocketServingFront(bundle.server).start()
+    try:
+        audio = rng.standard_normal(n_chunks * chunk).astype(np.float32) * 0.1
+        c = ss.StreamingClient(*front.address).hello()
+        c.send(audio)
+        # wait (on the REAL hub) until every chunk's output is in the ring
+        deadline = time.monotonic() + 30.0
+        want = n_chunks * chunk
+        while (real_hub.output_available(c.slot) < want
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert real_hub.output_available(c.slot) >= want, (
+            "serving loop never filled the ring")
+        gate.set()  # release: the pump now sees 6*chunk > cap at once
+        got = c.finish()
+        assert got.size == want
+        outs = [n for t, n in sent if t == ss.MSG_AUDIO_OUT]
+        assert len(outs) >= n_chunks  # the coalesced ring WAS split
+        assert max(outs) <= ss.MAX_PAYLOAD, outs
     finally:
         front.stop()
 
