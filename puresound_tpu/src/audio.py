@@ -130,7 +130,19 @@ class AudioIO:
         from math import gcd
 
         g = gcd(orig_sr, new_sr)
-        return resample_poly(wav, new_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+        return _resample_poly_f32(wav, new_sr // g, orig_sr // g)
+
+
+def _resample_poly_f32(wav: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Polyphase resample, preferring the native C++ kernel (bit-exact vs
+    scipy.signal.resample_poly on f32 input, ~20x faster warm: taps cached
+    per (up, down) instead of rebuilt per call — tests/test_metrics.py
+    gates the equivalence)."""
+    from . import native
+
+    if native.available():
+        return native.resample_poly(np.asarray(wav, np.float32), up, down)
+    return resample_poly(wav, up, down, axis=-1).astype(np.float32)
 
 
 class AudioAugmentor:
@@ -166,7 +178,7 @@ class AudioAugmentor:
         # resample sr -> sr/speed (then interpret at sr)
         ratio = 1.0 / speed
         up = int(round(ratio * 10000))
-        out = resample_poly(wav, up, 10000, axis=-1).astype(np.float32)
+        out = _resample_poly_f32(wav, up, 10000)
         return out, speed
 
     # ----------------------------------------------------------- bg / noise
@@ -259,7 +271,14 @@ class AudioAugmentor:
             r = np.random.uniform(-3 / 8, 3 / 8, 4)
             a_coeffs = np.array([1, r[0], r[1]], np.float32)
             b_coeffs = np.array([1, r[2], r[3]], np.float32)
-        out = lfilter(b_coeffs, a_coeffs, wav, axis=-1).astype(np.float32)
+        from . import native
+
+        if native.available() and len(a_coeffs) == 3 and len(b_coeffs) == 3:
+            # native biquad (bit-exact vs lfilter f32, no scipy dispatch)
+            out = native.biquad(b_coeffs, a_coeffs,
+                                np.asarray(wav, np.float32))
+        else:
+            out = lfilter(b_coeffs, a_coeffs, wav, axis=-1).astype(np.float32)
         return out, a_coeffs, b_coeffs
 
     # -------------------------------------------------------------- corpora

@@ -68,6 +68,15 @@ def _load() -> Optional[ctypes.CDLL]:
         fn.restype = ctypes.c_int
     lib.free_buffer.argtypes = [ctypes.POINTER(ctypes.c_float)]
     lib.free_buffer.restype = None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.ps_resample_len.argtypes = [ctypes.c_int64] * 3
+    lib.ps_resample_len.restype = ctypes.c_int64
+    lib.ps_resample_poly_f32.argtypes = [f32p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         f32p]
+    lib.ps_resample_poly_f32.restype = ctypes.c_int
+    lib.ps_biquad_f32.argtypes = [f32p, f32p, f32p, ctypes.c_int64, f32p]
+    lib.ps_biquad_f32.restype = None
     _lib = lib
     return _lib
 
@@ -94,6 +103,49 @@ def _decode(fn_name: str, raw: bytes) -> Tuple[np.ndarray, int]:
     arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
     lib.free_buffer(out)
     return arr.reshape(channels.value, total.value), sr.value
+
+
+def resample_poly(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """scipy.signal.resample_poly-equivalent polyphase resampler along the
+    last axis (kaiser-5.0 lowpass, f32). Taps are cached per (up, down)
+    in the library — scipy rebuilds the ~200k-tap filter every call,
+    which dominates the Python speed-perturb cost in loader workers."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    ny = lib.ps_resample_len(flat.shape[1], up, down)
+    out = np.empty((flat.shape[0], ny), np.float32)
+    for r in range(flat.shape[0]):
+        rc = lib.ps_resample_poly_f32(flat[r], flat.shape[1], up, down,
+                                      out[r])
+        if rc != 0:
+            raise ValueError(f"ps_resample_poly_f32 failed ({rc})")
+    return out.reshape(lead + (ny,))
+
+
+def biquad(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """lfilter(b, a, x) for order-2 IIR along the last axis, float32
+    (direct form II transposed, zero initial state)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    if a.shape != (3,) or b.shape != (3,):
+        raise ValueError("biquad expects 3-tap a/b")
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    x = np.ascontiguousarray(x, np.float32)
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    out = np.empty_like(flat)
+    for r in range(flat.shape[0]):
+        lib.ps_biquad_f32(b, a, flat[r], flat.shape[1], out[r])
+    return out.reshape(lead + (flat.shape[1],))
 
 
 def read_flac(path: str) -> Tuple[np.ndarray, int]:
