@@ -38,6 +38,14 @@ SCAN_UNROLL = int(os.environ.get("PURESOUND_SCAN_UNROLL", "1"))
 # to the lax.scan path (tests/test_pallas_kernels.py).
 FUSED_TRAIN_SCAN = int(os.environ.get("PURESOUND_FUSED_SCAN", "0")) != 0
 
+# With the fused scan on, additionally run the input projection (and its
+# gradient) INSIDE the kernels (lstm_scan_train_fp): the [B, T, 4H] xp
+# tensor and its cotangent never reach HBM (~275 MB per SkiM block per
+# pass at flagship training shapes on an HBM-bound step) — the extra
+# per-step MXU matmul is nearly free in the VPU-bound body. Exact vs the
+# hoisted path (tests/test_pallas_kernels.py fused_proj tests).
+FUSED_PROJ_SCAN = int(os.environ.get("PURESOUND_FUSED_PROJ", "1")) != 0
+
 
 def _unroll(T: int) -> int:
     u = SCAN_UNROLL
@@ -90,10 +98,20 @@ class LSTMCellParams(nn.Module):
         # measured crossover: at <256 rows the per-kernel overhead loses to
         # lax.scan (B=8 flagship: 19 ms fused vs 10 ms stock); at 896 rows
         # the fused path wins 66 -> 50 ms
-        xp = self.input_proj(x)  # [B, T, 4H]
         if (FUSED_TRAIN_SCAN and x.shape[0] >= 256 and x.shape[1] >= 8
                 and self.hidden % 8 == 0):
             import jax as _jax
+
+            dd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+            interp = _jax.default_backend() != "tpu"
+            if FUSED_PROJ_SCAN and self.in_features % 8 == 0:
+                from ...ops.lstm_train_kernel import lstm_scan_train_fp
+
+                # projection fused into the kernels: xp/dxp never reach HBM
+                y, hT, cT = lstm_scan_train_fp(
+                    x, h0, c0, self.w_ih, self.b_ih + self.b_hh, self.w_hh,
+                    reverse, 0, interp, dd)
+                return y, (hT, cT)
 
             from ...ops.lstm_train_kernel import lstm_scan_train
 
@@ -101,11 +119,11 @@ class LSTMCellParams(nn.Module):
             # kernel FUSE into the projection matmul's output layout (a
             # time-major caller that transposes raw x instead measured
             # +0.6 ms — the x transpose materializes as a Pallas operand)
-            dd = jnp.bfloat16 if xp.dtype == jnp.bfloat16 else jnp.float32
             y, hT, cT = lstm_scan_train(
-                xp, h0, c0, self.w_hh, reverse, 0,
-                _jax.default_backend() != "tpu", dd)
+                self.input_proj(x), h0, c0, self.w_hh, reverse, 0,
+                interp, dd)
             return y, (hT, cT)
+        xp = self.input_proj(x)  # [B, T, 4H]
         xp_t = jnp.swapaxes(xp, 0, 1)  # [T, B, 4H]
 
         def body(carry, xt):

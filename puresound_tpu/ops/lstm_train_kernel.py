@@ -348,3 +348,325 @@ def lstm_scan_train(xp, h0, c0, w_hh, reverse: bool = False,
         jnp.swapaxes(xp, 0, 1), h0, c0, w_hh, reverse, b_tile, interpret,
         dot_dtype)
     return jnp.swapaxes(y_t, 0, 1), hT, cT
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection variant (round 4): the input projection xp = x @ w_ih
+# and its gradient run INSIDE the kernels, so the [T, B, 4H] xp tensor (and
+# dxp in the backward) never touches HBM. At the flagship training shapes
+# those are ~275 MB per SkiM block per pass on a step measured HBM-bound —
+# the projection matmuls are extra MXU work inside a VPU-bound body, i.e.
+# nearly free. x stays BATCH-major ([B, T, C] blocks) so no transpose
+# materializes in front of the Pallas operand.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_fp(nT: int, u: int, reverse: bool, dot_dtype):
+    def kernel(x_ref, h0_ref, c0_ref, wih_ref, bias_ref, whh_ref,
+               y_ref, hT_ref, cT_ref, gates_ref, cseq_ref,
+               h_scr, c_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h_scr[:] = h0_ref[:].astype(jnp.float32)
+            c_scr[:] = c0_ref[:].astype(jnp.float32)
+
+        h = h_scr[:]
+        c = c_scr[:]
+        H = h.shape[-1]
+        bias = bias_ref[:].astype(jnp.float32)  # [1, 4H]
+        for kk in range(u):
+            k = u - 1 - kk if reverse else kk
+            gates = (jnp.dot(x_ref[:, k].astype(dot_dtype),
+                             wih_ref[:].astype(dot_dtype),
+                             preferred_element_type=jnp.float32)
+                     + bias
+                     + jnp.dot(h.astype(dot_dtype),
+                               whh_ref[:].astype(dot_dtype),
+                               preferred_element_type=jnp.float32))
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            g = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            y_ref[k] = h.astype(y_ref.dtype)
+            gates_ref[k] = jnp.concatenate([i, f, g, o], axis=-1
+                                           ).astype(gates_ref.dtype)
+            cseq_ref[k] = c.astype(cseq_ref.dtype)
+        h_scr[:] = h
+        c_scr[:] = c
+
+        @pl.when(t == nT - 1)
+        def _():
+            hT_ref[:] = h.astype(hT_ref.dtype)
+            cT_ref[:] = c.astype(cT_ref.dtype)
+
+    return kernel
+
+
+def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
+    def kernel(gates_ref, cseq_ref, cprev_ref, hprev_ref, x_ref, dy_ref,
+               dhT_ref, dcT_ref, whh_ref, wih_ref,
+               dx_ref, dh0_ref, dc0_ref, dwhh_ref, dwih_ref, dbias_ref,
+               dh_scr, dc_scr, dw_scr, dwi_scr, db_scr):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            dh_scr[:] = dhT_ref[:].astype(jnp.float32)
+            dc_scr[:] = dcT_ref[:].astype(jnp.float32)
+            dw_scr[:] = jnp.zeros_like(dw_scr)
+            dwi_scr[:] = jnp.zeros_like(dwi_scr)
+            db_scr[:] = jnp.zeros_like(db_scr)
+
+        H = dh_scr.shape[-1]
+        dh_c = dh_scr[:]
+        dc_c = dc_scr[:]
+        dw = jnp.zeros_like(dw_scr)
+        dwi = jnp.zeros_like(dwi_scr)
+        db = jnp.zeros_like(db_scr)
+        for kk in range(u):
+            k = kk if fwd_reverse else u - 1 - kk
+            gates = gates_ref[k].astype(jnp.float32)
+            i = gates[:, :H]
+            f = gates[:, H:2 * H]
+            g = gates[:, 2 * H:3 * H]
+            o = gates[:, 3 * H:]
+            c_new = cseq_ref[k].astype(jnp.float32)
+            c_prev = cprev_ref[k].astype(jnp.float32)
+            tanh_c = jnp.tanh(c_new)
+
+            dh = dh_c + dy_ref[k].astype(jnp.float32)
+            dc = dc_c + dh * o * (1.0 - tanh_c * tanh_c)
+            dgo = dh * tanh_c * o * (1.0 - o)
+            dgf = dc * c_prev * f * (1.0 - f)
+            dgi = dc * g * i * (1.0 - i)
+            dgg = dc * i * (1.0 - g * g)
+            dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+
+            dx_ref[:, k] = jnp.dot(
+                dgates.astype(dot_dtype), wih_ref[:].astype(dot_dtype).T,
+                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+            dh_c = jnp.dot(dgates.astype(dot_dtype),
+                           whh_ref[:].astype(dot_dtype).T,
+                           preferred_element_type=jnp.float32)
+            dc_c = dc * f
+            dw += jnp.dot(hprev_ref[k].astype(dot_dtype).T,
+                          dgates.astype(dot_dtype),
+                          preferred_element_type=jnp.float32)
+            dwi += jnp.dot(x_ref[:, k].astype(dot_dtype).T,
+                           dgates.astype(dot_dtype),
+                           preferred_element_type=jnp.float32)
+            db += jnp.sum(dgates, axis=0, keepdims=True)
+        dh_scr[:] = dh_c
+        dc_scr[:] = dc_c
+        dw_scr[:] += dw
+        dwi_scr[:] += dwi
+        db_scr[:] += db
+
+        @pl.when(t == nT - 1)
+        def _():
+            dh0_ref[:] = dh_scr[:].astype(dh0_ref.dtype)
+            dc0_ref[:] = dc_scr[:].astype(dc0_ref.dtype)
+
+        @pl.when((t == nT - 1) & (b == 0))
+        def _():
+            dwhh_ref[:] = dw_scr[:].astype(dwhh_ref.dtype)
+            dwih_ref[:] = dwi_scr[:].astype(dwih_ref.dtype)
+            dbias_ref[:] = db_scr[:].astype(dbias_ref.dtype)
+
+        @pl.when((t == nT - 1) & (b > 0))
+        def _():
+            dwhh_ref[:] += dw_scr[:].astype(dwhh_ref.dtype)
+            dwih_ref[:] += dwi_scr[:].astype(dwih_ref.dtype)
+            dbias_ref[:] += db_scr[:].astype(dbias_ref.dtype)
+
+    return kernel
+
+
+def _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
+                 dot_dtype):
+    B, T, C = x.shape
+    H4 = w_ih.shape[1]
+    H = H4 // 4
+    nb = B // b_tile
+    u = _pick_u(T)
+    nT = T // u
+    tmap = _tmap(reverse, nT)
+    bmap = lambda b, t: (b, 0)
+    xmap = ((lambda b, t: (b, nT - 1 - t, 0)) if reverse
+            else (lambda b, t: (b, t, 0)))
+    kernel = _fwd_kernel_fp(nT, u, reverse, dot_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nT),
+        in_specs=[
+            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_ih.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((B, H), h0.dtype),
+            jax.ShapeDtypeStruct((B, H), c0.dtype),
+            jax.ShapeDtypeStruct((T, B, H4), x.dtype),  # activated gates
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),   # cell states
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, h0, c0, w_ih, bias.reshape(1, -1), w_hh)
+
+
+def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
+                 reverse, b_tile, interpret, dot_dtype):
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    C = x.shape[-1]
+    nb = B // b_tile
+    u = _pick_u(T)
+    nT = T // u
+    tmap = _tmap(not reverse, nT)
+    bmap = lambda b, t: (b, 0)
+    xmap = ((lambda b, t: (b, t, 0)) if reverse
+            else (lambda b, t: (b, nT - 1 - t, 0)))
+    kernel = _bwd_kernel_fp(nT, nb, u, reverse, dot_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nT),
+        in_specs=[
+            pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_ih.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_ih.shape, lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, C), x.dtype),  # dx (batch-major)
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((C, H4), jnp.float32),
+            jax.ShapeDtypeStruct((1, H4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((b_tile, H), jnp.float32),
+            pltpu.VMEM((H, H4), jnp.float32),
+            pltpu.VMEM((C, H4), jnp.float32),
+            pltpu.VMEM((1, H4), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def lstm_scan_train_fp(x, h0, c0, w_ih, bias, w_hh, reverse: bool = False,
+                       b_tile: int = 0, interpret: bool = False,
+                       dot_dtype=jnp.float32):
+    """Differentiable fused LSTM scan with IN-KERNEL input projection.
+
+    x [B, T, C] raw inputs (batch-major — no transpose materializes in
+    front of the kernel), w_ih [C, 4H], bias [4H] (= b_ih + b_hh),
+    w_hh [H, 4H]. Returns (y [B, T, H], hT, cT).
+
+    vs lstm_scan_train: the hoisted xp = x @ w_ih ([B, T, 4H]) and its
+    cotangent dxp never exist in HBM — the forward computes the projection
+    per time step on the MXU (the body is VPU-bound on the gate
+    transcendentals, so this is nearly free) and the backward emits
+    dx / dw_ih / dbias directly from its VMEM-resident dgates.
+    """
+    y_t, hT, cT, _, _ = _run_fwd_fp(x, h0, c0, w_ih, bias, w_hh, reverse,
+                                    b_tile, interpret, dot_dtype)
+    return jnp.swapaxes(y_t, 0, 1), hT, cT
+
+
+def _run_fwd_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
+                dot_dtype):
+    B, T, C = x.shape
+    b_tile = _resolve_tile(B, b_tile)
+    return _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile,
+                        interpret, dot_dtype)
+
+
+def _fwd_rule_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
+                 dot_dtype):
+    y_t, hT, cT, gates, cseq = _run_fwd_fp(
+        x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret, dot_dtype)
+    return ((jnp.swapaxes(y_t, 0, 1), hT, cT),
+            (gates, cseq, c0, h0, y_t, x, w_ih, w_hh, bias))
+
+
+def _bwd_rule_fp(reverse, b_tile, interpret, dot_dtype, res, cts):
+    gates, cseq, c0, h0, y_t, x, w_ih, w_hh, bias = res
+    dy, dhT, dcT = cts
+    dy_t = jnp.swapaxes(dy, 0, 1)
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    b_tile = _resolve_tile(B, b_tile)
+
+    if reverse:
+        hprev = jnp.concatenate([y_t[1:], h0[None].astype(y_t.dtype)],
+                                axis=0)
+        cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
+                                axis=0)
+    else:
+        hprev = jnp.concatenate([h0[None].astype(y_t.dtype), y_t[:-1]],
+                                axis=0)
+        cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
+                                axis=0)
+
+    dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
+    dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
+    dx, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
+        gates, cseq, cprev, hprev, x, dy_t,
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh, w_ih,
+        reverse, b_tile, interpret, dot_dtype)
+    return (dx, dh0.astype(h0.dtype), dc0.astype(c0.dtype),
+            dwih.astype(w_ih.dtype), dbias.reshape(-1).astype(bias.dtype),
+            dwhh.astype(w_hh.dtype))
+
+
+lstm_scan_train_fp.defvjp(_fwd_rule_fp, _bwd_rule_fp)

@@ -303,6 +303,55 @@ def test_lstm_train_kernel_matches_scan_grads(rng, reverse):
                                    err_msg=n)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_train_fused_proj_matches_scan_grads(rng, reverse):
+    """lstm_scan_train_fp (in-kernel input projection: xp/dxp never reach
+    HBM) must match the hoisted-projection lax.scan values AND all six
+    gradients (x, h0, c0, w_ih, bias, w_hh) in both directions."""
+    from puresound_tpu.ops.lstm_train_kernel import lstm_scan_train_fp
+
+    B, T, H, C = 8, 12, 16, 8  # C != H catches axis mixups
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.4)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    wih = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.2)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+
+    def ref_scan(x, h0, c0, wih, bias, whh):
+        xp = x @ wih + bias
+
+        def body(carry, xt):
+            h, c = carry
+            gates = xt + h @ whh
+            i, f, g, o = jnp.split(gates, 4, -1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), jnp.swapaxes(xp, 0, 1),
+                                    reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1), hT, cT
+
+    w = jnp.cos(jnp.arange(B * T * H).reshape(B, T, H) * 0.1)
+
+    def loss(fn, args):
+        y, hT, cT = fn(*args)
+        return jnp.sum(y * w) + jnp.sum(hT**2) + jnp.sum(cT * 0.3)
+
+    args = (x, h0, c0, wih, bias, whh)
+    fused = lambda *a: lstm_scan_train_fp(*a, reverse, 4, True)
+    for got, ref in zip(fused(*args), ref_scan(*args)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+    g1 = jax.grad(lambda a: loss(fused, a))(args)
+    g2 = jax.grad(lambda a: loss(ref_scan, a))(args)
+    for a, b, n in zip(g1, g2, ("dx", "dh0", "dc0", "dwih", "dbias",
+                                "dwhh")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6,
+                                   err_msg=n)
+
+
 def test_fused_scan_flag_trains_skim(rng, monkeypatch):
     """FUSED_TRAIN_SCAN routes SkiM training through the Pallas kernel
     (interpret on CPU) and matches the stock path's loss/grads."""
