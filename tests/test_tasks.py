@@ -423,17 +423,20 @@ TRAIN:
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_PLATFORMS="cpu")
-    # one retry: under full-suite memory pressure the fresh subprocess
-    # has been observed dying AFTER training completes (same XLA-CPU
-    # late-abort class as the in-process note above); standalone it
-    # passes reliably
-    for _attempt in range(2):
-        r = subprocess.run(
-            [_sys.executable, os.path.join(repo, "egs", "ns", "main.py"),
-             str(conf), "--action", "train", "--backend", "cpu"],
-            capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
-        if r.returncode == 0:
-            break
+    # root-caused flake (round-4): under full-suite memory pressure the
+    # subprocess was observed ABORTING DURING INTERPRETER TEARDOWN after
+    # training completed and the checkpoint was written (XLA-CPU client
+    # destructor class). os._exit(0) after a successful run skips
+    # teardown entirely, so the abort can't fire — no retry needed.
+    driver = (
+        "import os, sys, runpy\n"
+        f"sys.argv = [{os.path.join(repo, 'egs', 'ns', 'main.py')!r}, "
+        f"{str(conf)!r}, '--action', 'train', '--backend', 'cpu']\n"
+        f"runpy.run_path(sys.argv[0], run_name='__main__')\n"
+        "sys.stdout.flush(); sys.stderr.flush(); os._exit(0)\n")
+    r = subprocess.run(
+        [_sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=1200, cwd=repo, env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "Data-parallel training over 8x1 device mesh" in r.stdout
     assert os.path.isfile(str(tmp_path / "ckpt" / "epoch_0.ckpt"))
