@@ -42,6 +42,7 @@ def disturbances(cfg, ref, deg):
         r = pn._apply_db_curve(r, cfg.fs, pn._IRS_DB)
         d = pn._apply_db_curve(d, cfg.fs, pn._IRS_DB)
     r, d = pn._align(r, d, cfg.fs)
+    d = pn._utterance_align(r, d, cfg.fs)
     return pn._perceptual_model(r, d, cfg)
 
 
@@ -65,6 +66,31 @@ def make_anchors(x, fs, mode):
         m = np.where((np.arange(len(x)) % fs) < (1 - frac) * fs, 1.0, 0.0)
         return x * m
 
+    def reverb(t60):
+        # synthetic exponential-decay RIR, unit direct path, tail scaled
+        # to a realistic direct-to-reverberant ratio for a ~1.5 m source
+        # (DRR shrinks as T60 grows) — published PESQ-vs-T60 curves are
+        # measured in such rooms, so the DRR must match or the condition
+        # is far harsher than its target
+        L = int(t60 * fs)
+        env = np.exp(-3.0 * np.log(10) * np.arange(L) / L)
+        tail = rng.standard_normal(L) * env
+        drr_db = 10.0 - 11.0 * t60  # 0.3->6.7, 0.6->3.4, 1.0->-1 dB
+        g = np.sqrt(10 ** (-drr_db / 10.0) / np.sum(env ** 2))
+        h = np.concatenate([[1.0], g * tail])
+        y = np.convolve(x, h)[: len(x)]
+        return y / (np.abs(y).max() + 1e-12) * np.abs(x).max()
+
+    def ulaw(bits=8, mu=255.0):
+        # mu-law compand/expand (G.711-style companding distortion)
+        c = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+        q = np.round(c * (2 ** (bits - 1) - 1)) / (2 ** (bits - 1) - 1)
+        return np.sign(q) * (np.expm1(np.abs(q) * np.log1p(mu))) / mu
+
+    def bitcrush(bits):
+        s = 2 ** (bits - 1) - 1
+        return np.round(x * s) / s
+
     if mode == "wb":
         # targets: white noise per round-2 anchors; MNRU per P.862 design
         # behaviour; band-limitation per published WB-PESQ bandwidth
@@ -76,9 +102,16 @@ def make_anchors(x, fs, mode):
             ("noise0", noisy(0), 1.3),
             ("mnru35", mnru(35), 3.8), ("mnru25", mnru(25), 3.1),
             ("mnru15", mnru(15), 2.2),
-            ("lp3400", lowpass(3400), 3.1), ("lp2000", lowpass(2000), 2.4),
-            ("lp1000", lowpass(1000), 2.1),
+            ("lp3400", lowpass(3400), 3.1), ("lp2000", lowpass(2000), 2.7),
+            ("lp1000", lowpass(1000), 2.5),
             ("mute20", mute(0.2), 1.7),
+            # reverberation: published PESQ-vs-T60 curves for reverberant
+            # speech (direct path present) — mild/medium/strong
+            ("rev300", reverb(0.3), 3.2), ("rev600", reverb(0.6), 2.6),
+            ("rev1000", reverb(1.0), 2.1),
+            # codec-like: mu-law companding ~= 35-38 dB correlated
+            # quantization noise; 6-bit linear ~= 25 dB
+            ("ulaw8", ulaw(8), 3.6), ("crush6", bitcrush(6), 2.8),
         ]
     return [
         ("noise50", noisy(50), 4.3), ("noise40", noisy(40), 4.0),
@@ -87,8 +120,11 @@ def make_anchors(x, fs, mode):
         ("noise0", noisy(0), 1.5),
         ("mnru35", mnru(35), 3.9), ("mnru25", mnru(25), 3.2),
         ("mnru15", mnru(15), 2.3),
-        ("lp1700", lowpass(1700), 2.9), ("lp1000", lowpass(1000), 2.4),
+        ("lp1700", lowpass(1700), 3.2), ("lp1000", lowpass(1000), 2.9),
         ("mute20", mute(0.2), 1.8),
+        ("rev300", reverb(0.3), 3.0), ("rev600", reverb(0.6), 2.4),
+        ("rev1000", reverb(1.0), 1.9),
+        ("ulaw8", ulaw(8), 4.0), ("crush6", bitcrush(6), 2.9),
     ]
 
 
@@ -113,6 +149,8 @@ def fit(mode_name):
 
     def model(p):
         k_d, p_d, k_a, p_a = np.exp(p)  # positivity
+        p_a = min(p_a, 3.0)  # bound: steeper fits knee sharply around one
+        # family's disturbance scale and generalize badly out-of-family
         raw = (4.5 - pn._D_WEIGHT * k_d * ds[:, 0] ** p_d
                - pn._A_WEIGHT * k_a * np.where(ds[:, 1] > 0,
                                                ds[:, 1] ** p_a, 0.0))

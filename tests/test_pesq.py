@@ -1,10 +1,11 @@
 """Native PESQ (src/pesq_native.py) validation.
 
 No conformance vectors exist in this environment, so validation is
-property-based plus the round-3 multi-family calibration grids (white
-noise at SNR, MNRU, band-limitation — scripts/calibrate_pesq.py):
-identity ceiling, monotonicity in degradation, scale and delay
-invariance, per-family anchors at +-0.15 (see pesq_native.py docstring
+property-based plus the round-4 six-family calibration grids (white
+noise at SNR, MNRU, band-limitation, muting, reverberation, codec-like —
+scripts/calibrate_pesq.py): identity ceiling, monotonicity in
+degradation, scale and delay invariance, mid-stream delay-jump
+realignment, per-family anchors at +-0.15 (see pesq_native.py docstring
 for residuals vs literature targets).
 """
 import numpy as np
@@ -62,8 +63,8 @@ def test_calibration_anchors_white_noise(speech):
     (scripts/calibrate_pesq.py; values are the fit's achieved scores,
     asserted at +-0.15 as a regression freeze — the fit itself sits within
     ~0.2 (wb) / ~0.35 (nb) of the literature-informed targets)."""
-    wb = {40: 3.62, 30: 3.08, 20: 2.40, 10: 1.70, 0: 1.28}
-    nb = {40: 3.53, 30: 3.10, 20: 2.55, 10: 1.85, 0: 1.43}
+    wb = {40: 3.67, 30: 3.20, 20: 2.60, 10: 1.81, 0: 1.23}
+    nb = {40: 3.70, 30: 3.23, 20: 2.55, 10: 1.79, 0: 1.42}
     for snr, tgt in wb.items():
         got = pesq(16000, speech, _noisy(speech, snr), "wb")
         assert abs(got - tgt) < 0.15, ("wb", snr, got, tgt)
@@ -74,8 +75,8 @@ def test_calibration_anchors_white_noise(speech):
 
 def test_calibration_anchors_mnru(speech):
     """MNRU (P.862's reference degradation family): modulated noise at Q dB."""
-    wb = {35: 3.69, 25: 3.03, 15: 2.19}
-    nb = {35: 3.52, 25: 2.96, 15: 2.20}
+    wb = {35: 3.73, 25: 3.16, 15: 2.39}
+    nb = {35: 3.70, 25: 3.06, 15: 2.15}
     for Q, tgt in wb.items():
         got = pesq(16000, speech, _mnru(speech, Q), "wb")
         assert abs(got - tgt) < 0.15, ("wb", Q, got, tgt)
@@ -89,12 +90,49 @@ def test_calibration_anchors_band_limitation(speech):
     speech 4.6) and scores must fall with the cutoff; depth beyond the
     P.862 0.01 frequency-compensation floor saturates, so the spacing is
     compressed vs true WB-PESQ (documented in pesq_native.py)."""
-    wb = {3400: 2.84, 2000: 2.65, 1000: 2.55}
+    wb = {3400: 2.98, 2000: 2.82, 1000: 2.73}
     got = {c: pesq(16000, speech, _lowpass(speech, c, 16000), "wb")
            for c in wb}
     for c, tgt in wb.items():
         assert abs(got[c] - tgt) < 0.15, ("wb", c, got[c], tgt)
     assert got[1000] < got[2000] < got[3400]
+
+
+def _reverb(x, t60, fs, seed=0):
+    rng = np.random.default_rng(seed)
+    L = int(t60 * fs)
+    env = np.exp(-3.0 * np.log(10) * np.arange(L) / L)
+    tail = rng.standard_normal(L) * env
+    drr = 10.0 - 11.0 * t60
+    g = np.sqrt(10 ** (-drr / 10.0) / np.sum(env ** 2))
+    h = np.concatenate([[1.0], g * tail])
+    y = np.convolve(x, h)[: len(x)]
+    return y / (np.abs(y).max() + 1e-12) * np.abs(x).max()
+
+
+def _ulaw(x, bits=8, mu=255.0):
+    c = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+    q = np.round(c * (2 ** (bits - 1) - 1)) / (2 ** (bits - 1) - 1)
+    return np.sign(q) * (np.expm1(np.abs(q) * np.log1p(mu))) / mu
+
+
+def test_calibration_anchors_reverb_codec(speech):
+    """Round-4 families: reverberation (exponential RIR at realistic DRR)
+    and codec-like distortion (mu-law companding, bit-crush). Frozen at
+    the round-4 joint calibration's achieved scores (+-0.15); the fit's
+    residuals vs literature targets are documented in pesq_native.py
+    (rms 0.182 wb / 0.157 nb across all six families)."""
+    wb_rev = {0.3: 2.86, 0.6: 2.40, 1.0: 2.03}
+    for t60, tgt in wb_rev.items():
+        got = pesq(16000, speech, _reverb(speech, t60, 16000), "wb")
+        assert abs(got - tgt) < 0.15, ("rev", t60, got, tgt)
+    assert abs(pesq(16000, speech, _ulaw(speech), "wb") - 3.85) < 0.15
+    s = 2 ** 5 - 1
+    crushed = np.round(speech * s) / s
+    assert abs(pesq(16000, speech, crushed, "wb") - 2.64) < 0.15
+    # muting stays calibrated (round-3's worst family, off by ~0.5)
+    mask = np.where((np.arange(len(speech)) % 16000) < 0.8 * 16000, 1.0, 0.0)
+    assert abs(pesq(16000, speech, speech * mask, "wb") - 1.70) < 0.15
 
 
 def test_scale_invariance(speech):
@@ -111,6 +149,21 @@ def test_delay_invariance(speech):
     assert pesq(16000, speech, delayed, "wb") > 4.5
     neg = speech[800:]
     assert pesq(16000, speech, neg, "wb") > 4.4
+
+
+def test_mid_stream_delay_jump_mostly_realigned(speech):
+    """P.862's utterance splitting charges a mid-stream delay CHANGE
+    (VoIP jitter) as alignment, not distortion: a 20 ms jump halfway
+    through must score far above what raw misalignment would give
+    (~1.5) and well above harsh degradations — only the ~300 ms around
+    the jump (recursive-split resolution) keeps a residual penalty."""
+    drift = speech.copy()
+    half, shift = len(speech) // 2, int(0.020 * 16000)
+    drift[half:] = speech[half - shift:len(speech) - shift]
+    s = pesq(16000, speech, drift, "wb")
+    assert s > 2.5, s
+    # and worse than clean: the jump region residual IS audible
+    assert s < pesq(16000, speech, speech.copy(), "wb")
 
 
 def test_degradations_rank_sensibly(speech):
