@@ -378,7 +378,7 @@ def _fwd_kernel_fp(nT: int, u: int, reverse: bool, dot_dtype):
         bias = bias_ref[:].astype(jnp.float32)  # [1, 4H]
         for kk in range(u):
             k = u - 1 - kk if reverse else kk
-            gates = (jnp.dot(x_ref[:, k].astype(dot_dtype),
+            gates = (jnp.dot(x_ref[k].astype(dot_dtype),
                              wih_ref[:].astype(dot_dtype),
                              preferred_element_type=jnp.float32)
                      + bias
@@ -447,7 +447,7 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
             dgg = dc * i * (1.0 - g * g)
             dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
 
-            dx_ref[:, k] = jnp.dot(
+            dx_ref[k] = jnp.dot(
                 dgates.astype(dot_dtype), wih_ref[:].astype(dot_dtype).T,
                 preferred_element_type=jnp.float32).astype(dx_ref.dtype)
             dh_c = jnp.dot(dgates.astype(dot_dtype),
@@ -457,7 +457,7 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
             dw += jnp.dot(hprev_ref[k].astype(dot_dtype).T,
                           dgates.astype(dot_dtype),
                           preferred_element_type=jnp.float32)
-            dwi += jnp.dot(x_ref[:, k].astype(dot_dtype).T,
+            dwi += jnp.dot(x_ref[k].astype(dot_dtype).T,
                            dgates.astype(dot_dtype),
                            preferred_element_type=jnp.float32)
             db += jnp.sum(dgates, axis=0, keepdims=True)
@@ -487,9 +487,9 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
     return kernel
 
 
-def _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
+def _fwd_call_fp(x_t, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
                  dot_dtype):
-    B, T, C = x.shape
+    T, B, C = x_t.shape
     H4 = w_ih.shape[1]
     H = H4 // 4
     nb = B // b_tile
@@ -497,14 +497,12 @@ def _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
     nT = T // u
     tmap = _tmap(reverse, nT)
     bmap = lambda b, t: (b, 0)
-    xmap = ((lambda b, t: (b, nT - 1 - t, 0)) if reverse
-            else (lambda b, t: (b, t, 0)))
     kernel = _fwd_kernel_fp(nT, u, reverse, dot_dtype)
     return pl.pallas_call(
         kernel,
         grid=(nb, nT),
         in_specs=[
-            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_ih.shape, lambda b, t: (0, 0),
@@ -522,11 +520,11 @@ def _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x_t.dtype),
             jax.ShapeDtypeStruct((B, H), h0.dtype),
             jax.ShapeDtypeStruct((B, H), c0.dtype),
-            jax.ShapeDtypeStruct((T, B, H4), x.dtype),  # activated gates
-            jax.ShapeDtypeStruct((T, B, H), x.dtype),   # cell states
+            jax.ShapeDtypeStruct((T, B, H4), x_t.dtype),  # activated gates
+            jax.ShapeDtypeStruct((T, B, H), x_t.dtype),   # cell states
         ),
         scratch_shapes=[
             pltpu.VMEM((b_tile, H), jnp.float32),
@@ -536,21 +534,19 @@ def _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, h0, c0, w_ih, bias.reshape(1, -1), w_hh)
+    )(x_t, h0, c0, w_ih, bias.reshape(1, -1), w_hh)
 
 
-def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
+def _bwd_call_fp(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih,
                  reverse, b_tile, interpret, dot_dtype):
     T, B, H4 = gates.shape
     H = H4 // 4
-    C = x.shape[-1]
+    C = x_t.shape[-1]
     nb = B // b_tile
     u = _pick_u(T)
     nT = T // u
     tmap = _tmap(not reverse, nT)
     bmap = lambda b, t: (b, 0)
-    xmap = ((lambda b, t: (b, t, 0)) if reverse
-            else (lambda b, t: (b, nT - 1 - t, 0)))
     kernel = _bwd_kernel_fp(nT, nb, u, reverse, dot_dtype)
     return pl.pallas_call(
         kernel,
@@ -560,7 +556,7 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
@@ -570,7 +566,7 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b_tile, u, C), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
@@ -581,7 +577,7 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, T, C), x.dtype),  # dx (batch-major)
+            jax.ShapeDtypeStruct((T, B, C), x_t.dtype),  # dx (time-major)
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
@@ -599,7 +595,7 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(gates, cseq, cprev, hprev, x, dy_t, dhT, dcT, w_hh, w_ih)
+    )(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -625,10 +621,14 @@ def lstm_scan_train_fp(x, h0, c0, w_ih, bias, w_hh, reverse: bool = False,
 
 def _run_fwd_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
                 dot_dtype):
+    # kernel-native layout is time-major; the TPU lowering requires the
+    # last two block dims (8, 128)-aligned, which a batch-major
+    # (b_tile, 1, C) x block violates — transpose the NARROW x instead
+    # (4x less traffic than the xp transpose the hoisted path fuses away)
     B, T, C = x.shape
     b_tile = _resolve_tile(B, b_tile)
-    return _fwd_call_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile,
-                        interpret, dot_dtype)
+    return _fwd_call_fp(jnp.swapaxes(x, 0, 1), h0, c0, w_ih, bias, w_hh,
+                        reverse, b_tile, interpret, dot_dtype)
 
 
 def _fwd_rule_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
@@ -636,11 +636,12 @@ def _fwd_rule_fp(x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
     y_t, hT, cT, gates, cseq = _run_fwd_fp(
         x, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret, dot_dtype)
     return ((jnp.swapaxes(y_t, 0, 1), hT, cT),
-            (gates, cseq, c0, h0, y_t, x, w_ih, w_hh, bias))
+            (gates, cseq, c0, h0, y_t, jnp.swapaxes(x, 0, 1), w_ih, w_hh,
+             bias))
 
 
 def _bwd_rule_fp(reverse, b_tile, interpret, dot_dtype, res, cts):
-    gates, cseq, c0, h0, y_t, x, w_ih, w_hh, bias = res
+    gates, cseq, c0, h0, y_t, x_t, w_ih, w_hh, bias = res
     dy, dhT, dcT = cts
     dy_t = jnp.swapaxes(dy, 0, 1)
     T, B, H4 = gates.shape
@@ -660,11 +661,12 @@ def _bwd_rule_fp(reverse, b_tile, interpret, dot_dtype, res, cts):
 
     dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
     dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
-    dx, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
-        gates, cseq, cprev, hprev, x, dy_t,
+    dx_t, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
+        gates, cseq, cprev, hprev, x_t, dy_t,
         dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh, w_ih,
         reverse, b_tile, interpret, dot_dtype)
-    return (dx, dh0.astype(h0.dtype), dc0.astype(c0.dtype),
+    return (jnp.swapaxes(dx_t, 0, 1), dh0.astype(h0.dtype),
+            dc0.astype(c0.dtype),
             dwih.astype(w_ih.dtype), dbias.reshape(-1).astype(bias.dtype),
             dwhh.astype(w_hh.dtype))
 

@@ -51,9 +51,9 @@ def main():
         state = TrainState.create(variables["params"], {}, optax.adam(1e-3))
         # fresh lambda per config: jit caches on the function object and
         # module globals are not part of the trace key (CLAUDE.md gotcha)
-        step = make_train_step(model, grad_clip=10.0, donate=False,
+        base = make_train_step(model, grad_clip=10.0, donate=False,
                                compute_dtype=jnp.bfloat16)
-        step = jax.jit(lambda s, b, r: step(s, b, r))
+        step = jax.jit(lambda s, b, r: base(s, b, r))
         key = jax.random.PRNGKey(1)
         t0 = time.time()
         state, m = step(state, batch, key)
