@@ -897,7 +897,12 @@ def main():
             # (d4 + attention + inter LSTM + u0) vs the intra-attention
             # kernel with stock convs
             da_use_mk = False
-            if not smoke:
+            # OPT-IN (BENCH_DPARN_MK=1): the DPARN wide-center kernel
+            # probe HUNG the remote compiler for 20+ min mid-bench
+            # (round-4; zero process IO, the 500-class hang) and the mk
+            # path has never beaten the attn kernel on DPARN anyway —
+            # don't let an optional probe stall the whole bench
+            if not smoke and os.environ.get("BENCH_DPARN_MK"):
                 try:
                     probe_B = 1024
                     mk_ms, _, _ = measure_ns_step_ms(
@@ -988,8 +993,11 @@ def main():
                 measure_denoise_rtf(seconds=1.0 if smoke else 10.0,
                                     iters=2 if smoke else 10), 1)
             detail["denoise_rtf_target"] = 20.0
-        except Exception:
-            pass
+        except Exception as e:
+            # swallowing silently once hid a transient post-train failure
+            # (round-4: worked standalone at RTF 523x) — keep the reason
+            detail["denoise_rtf_single_stream"] = (
+                f"failed: {type(e).__name__}: {str(e)[:120]}")
         _checkpoint("rtf")
 
     if (not os.environ.get("BENCH_SKIP_SERVER")
