@@ -17,6 +17,21 @@ Semantics mirror MhaSelfAttenLayer (nnet/lobe/attention.py:103-158,
 deterministic/serving mode) and DPARNblock2D's intra chain
 (nnet/dparn.py); the accuracy gate vs the stock path lives in
 tests/test_pallas_kernels.py.
+
+CAPACITY FLOOR (round-4 conclusion): 1,408 streams @ <16 ms is the
+measured DPARN serving floor on this toolchain. The kernel is MXU-rate
+bound at the 1/8 lane utilization the per-head Dh=16 dots force:
+- blockdiag (full-width masked dots, 8x lane util) is REJECTED by the
+  remote compiler at every (dtype, r_tile) — re-confirmed on a healthy
+  compile service (fast 500s, not the hang/outage class),
+- headbatch (all heads in ONE batched dot pair, serial unroll removed)
+  compiles and is bit-identical but measures FLAT (7.47 perhead vs 7.57
+  headbatch ms at R=4096 bf16 r_tile=64) — so the serial head loop was
+  never the bottleneck,
+- r_tile 32/64/128 measure flat (rate-bound), 256+ hangs the compiler.
+The residual levers live outside this kernel (conv chain, inter LSTM,
+layout glue shared with DPCRN), where DPARN already matches DPCRN's
+per-stream cost. scripts/exp_attn_blockdiag.py reproduces all of this.
 """
 from __future__ import annotations
 
@@ -61,6 +76,36 @@ def _perhead_attn(q2, k2, v2, rt, F, C, H, cast):
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))  # [rt, F, Dh]
     return jnp.concatenate(outs, axis=-1).reshape(rt * F, C)
+
+
+def _headbatch_attn(q2, k2, v2, rt, F, C, H, cast):
+    """All heads in ONE batched dot pair: per-head column slices are
+    concatenated along the BATCH axis ([H*rt, F, Dh]), so the 2*H serial
+    per-head dot_generals become 2 batched ones. Lane utilization per MXU
+    pass is unchanged (Dh=16), but the serial head unroll disappears —
+    wins iff the per-head form is issue-latency bound rather than
+    MXU-throughput bound. 3-D ops only (the 4-D transpose form is
+    rejected by Mosaic on this toolchain)."""
+    Dh = C // H
+
+    def stack(a2):
+        return jnp.concatenate(
+            [a2[:, h * Dh:(h + 1) * Dh].reshape(rt, F, Dh)
+             for h in range(H)], axis=0)
+
+    qh, kh, vh = stack(q2), stack(k2), stack(v2)  # [H*rt, F, Dh]
+    logits = jax.lax.dot_general(
+        cast(qh), cast(kh),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(Dh))
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        cast(weights), cast(vh),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [H*rt, F, Dh]
+    return jnp.concatenate(
+        [out[h * rt:(h + 1) * rt] for h in range(H)],
+        axis=-1).reshape(rt * F, C)
 
 
 def _blockdiag_attn(q2, k2, v2, rt, F, C, H, cast):
@@ -119,7 +164,8 @@ def attention_encoder_layer(x, pe, w, H, dot, cast=lambda a: a,
     q2 = dot(x2, w["wqT"])
     k2 = dot(x2, w["wkT"])
     v2 = dot(x2, w["wvT"])
-    attn = _blockdiag_attn if variant == "blockdiag" else _perhead_attn
+    attn = {"blockdiag": _blockdiag_attn,
+            "headbatch": _headbatch_attn}.get(variant, _perhead_attn)
     out = attn(q2, k2, v2, rt, F, C, H, cast)
     out = dot(out, w["woT"]).reshape(rt, F, C)
     x = _ln(src + out, w["ln1_g"][:], w["ln1_b"][:])

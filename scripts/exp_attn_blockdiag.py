@@ -62,7 +62,9 @@ def main():
         x = jnp.asarray(rng.standard_normal((R, F, C)).astype(np.float32)
                         * 0.3)
         outs = {}
-        for variant in ("perhead", "blockdiag"):
+        import os
+        variants = tuple((os.environ.get("VARIANTS") or "perhead,blockdiag").split(","))
+        for variant in variants:
             for dd, rt in ((jnp.float32, 32), (jnp.bfloat16, 32),
                            (jnp.bfloat16, 64)):
                 key = (variant, dd.__name__, rt)
@@ -90,13 +92,16 @@ def main():
                            "r_tile": rt,
                            "err": f"{type(e).__name__}: {str(e)[:120]}"},
                           flush=True)
-        if len(outs) == 2:
-            ref, new = outs["perhead"], outs["blockdiag"]
-            err = new - ref
-            snr = 10 * np.log10((ref ** 2).mean()
-                                / max((err ** 2).mean(), 1e-30))
-            print({"R": R, "snr_blockdiag_vs_perhead_db":
-                   round(float(snr), 1)}, flush=True)
+        if "perhead" in outs:
+            for v, new in outs.items():
+                if v == "perhead":
+                    continue
+                ref = outs["perhead"]
+                err = new - ref
+                snr = 10 * np.log10((ref ** 2).mean()
+                                    / max((err ** 2).mean(), 1e-30))
+                print({"R": R, f"snr_{v}_vs_perhead_db":
+                       round(float(snr), 1)}, flush=True)
     print("done", flush=True)
 
 

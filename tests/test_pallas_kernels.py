@@ -455,6 +455,41 @@ def test_dparn_attn_kernel_matches_stock(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_dparn_attn_variants_match(rng):
+    """All three attention formulations (perhead, headbatch, blockdiag)
+    are algebraically identical — interpret-mode equality. On hardware
+    only perhead/headbatch compile (and measure FLAT: the kernel is
+    MXU-rate bound at the per-head Dh lane utilization, the documented
+    1,408-stream DPARN floor — see dparn_attention_kernel.py)."""
+    from puresound_tpu.ops.dparn_attention_kernel import dparn_intra_pass
+
+    F, C, H, FFD = 8, 16, 4, 16
+    rt = 8
+
+    def a(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
+                           * (1.0 / np.sqrt(shape[0])))
+
+    ws = []
+    for _ in range(2):
+        ws += [a(C, C), a(C, C), a(C, C), a(C, C),
+               jnp.ones((C,)), jnp.zeros((C,)),
+               a(C, FFD), jnp.zeros((FFD,)),
+               a(FFD, C), jnp.zeros((C,)),
+               jnp.ones((C,)), jnp.zeros((C,))]
+    ws += [a(C, C), jnp.zeros((C,)), jnp.ones((C,)), jnp.zeros((C,))]
+    ws = tuple(ws)
+    x = jnp.asarray(rng.standard_normal((rt, F, C)).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.standard_normal((F, C)).astype(np.float32) * 0.1)
+    outs = {v: np.asarray(dparn_intra_pass(x, pe, ws, heads=H, r_tile=4,
+                                           interpret=True, variant=v))
+            for v in ("perhead", "headbatch", "blockdiag")}
+    np.testing.assert_allclose(outs["headbatch"], outs["perhead"],
+                               atol=1e-5)
+    np.testing.assert_allclose(outs["blockdiag"], outs["perhead"],
+                               atol=1e-5)
+
+
 def _tcn_module():
     from puresound_tpu.nnet.conv_tasnet import TCN
 
