@@ -80,3 +80,69 @@ def torch_oracle():
 
     torch.manual_seed(0)
     return torch
+
+
+# ---------------------------------------------------------------------------
+# Long-suite stability (round 4): after ~250 tests the long-lived XLA-CPU
+# process has been observed dying INSIDE a big compile's persistent-cache
+# write (SIGSEGV in compilation_cache.put_executable_and_time; SIGABRT in
+# the same region on other runs) — host memory is fine (128 GB free), it's
+# process-age state corruption. Two mitigations:
+#  1. run the heaviest full-model compiles FIRST, while the process is
+#     young (they sat last alphabetically, exactly where the crash window
+#     opens);
+#  2. drop JAX's in-process executable/trace caches every N tests so
+#     accumulated state stays bounded (the persistent disk cache makes
+#     re-traces cheap).
+# ---------------------------------------------------------------------------
+
+_HEAVY_FIRST = ("test_waveform_parity", "test_grad_parity")
+
+# Markers (round-4 durations run, 269 tests / 38 min total):
+# - `slow`: the >60 s tests (subprocess CLI drives, overfit quality gates,
+#   f64 grad-parity oracles) — `-m "not slow"` cuts the suite to ~22 min.
+# - `quick`: a curated cheap-module allowlist (~4 min) covering the DSP/
+#   loss/metric/augment/config contracts — the commit-gate subset:
+#   `python -m pytest tests/ -m quick -q`.
+_SLOW_TESTS = (
+    "test_multihost.py::test_ns_cli_train_multihost",        # 229 s
+    "test_tasks.py::test_ns_cli_train_multi_gpu",            # 175 s
+    "test_grad_parity.py::test_ns_dpcrn_grad_parity",        # 69 s
+    "test_grad_parity.py::test_ns_dparn_grad_parity",        # 64 s
+)
+_QUICK_MODULES = (
+    "test_dsp.py", "test_loss.py", "test_lobe.py", "test_metrics.py",
+    "test_pesq.py", "test_filter_ffc.py", "test_native_augment.py",
+    "test_dataprep.py", "test_bench_health.py", "test_parallel.py",
+    "test_server.py", "test_dataloader.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW_TESTS):
+            item.add_marker(pytest.mark.slow)
+        if any("/" + m + "::" in item.nodeid or item.nodeid.startswith(m)
+               or ("tests/" + m) in item.nodeid for m in _QUICK_MODULES):
+            item.add_marker(pytest.mark.quick)
+
+    def bucket(item):
+        for i, m in enumerate(_HEAVY_FIRST):
+            if m in item.nodeid:
+                return i
+        return len(_HEAVY_FIRST)
+
+    items.sort(key=bucket)  # stable: original order within buckets
+
+
+_test_count = 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    global _test_count
+    _test_count += 1
+    if _test_count % 60 == 0:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
