@@ -970,18 +970,41 @@ def main():
         except Exception as e:
             detail["train_step"] = f"failed: {type(e).__name__}"
         if not smoke:
+            # sustained sections run in FRESH subprocesses: measured
+            # in-situ (late in a process that has absorbed dozens of
+            # compiles + a dataset build) they under-report by ~2x
+            # (36.9 vs 70.0 audio-s/s standalone, round 4) — the clean
+            # number is the honest one and the compile cache makes the
+            # subprocess warm-up cheap
+            def _sustained_subprocess(on_device_augment):
+                import subprocess
+
+                nw = int(os.environ.get("BENCH_WORKERS", 4))
+                code = (
+                    "import json, bench\n"
+                    "bench._enable_compile_cache()\n"
+                    "r = bench.measure_train_sustained(B=8, seconds=2.0, "
+                    f"n_steps=30, num_workers={nw}, "
+                    f"on_device_augment={on_device_augment})\n"
+                    "print('SUSTAINED ' + json.dumps(r))\n")
+                r = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True,
+                    text=True, timeout=1800,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                line = [l for l in r.stdout.splitlines()
+                        if l.startswith("SUSTAINED ")]
+                if r.returncode != 0 or not line:
+                    raise RuntimeError(
+                        (r.stderr or r.stdout or "no output")[-200:])
+                return json.loads(line[-1][len("SUSTAINED "):])
+
             try:
-                detail["train_sustained"] = measure_train_sustained(
-                    B=8, seconds=2.0, n_steps=30,
-                    num_workers=int(os.environ.get("BENCH_WORKERS", 4)))
+                detail["train_sustained"] = _sustained_subprocess(False)
             except Exception as e:
                 detail["train_sustained"] = f"failed: {type(e).__name__}"
             try:
                 detail["train_sustained_device_augment"] = (
-                    measure_train_sustained(
-                        B=8, seconds=2.0, n_steps=30,
-                        num_workers=int(os.environ.get("BENCH_WORKERS", 4)),
-                        on_device_augment=True))
+                    _sustained_subprocess(True))
             except Exception as e:
                 detail["train_sustained_device_augment"] = (
                     f"failed: {type(e).__name__}")
