@@ -275,7 +275,14 @@ def fused_skim_frames(x, se, be, ge, seg_h, seg_c, weights,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # 112 MB of the v5e's 128 MB: b_tile=2048 at the flagship
+            # geometry needs 102.7 MB of scoped stack — the round-3
+            # "2048 fails the remote compile" was this limit at 100 MB,
+            # not a toolchain ceiling. Measured (round 4, B=28,672 bf16):
+            # 2048 -> 15.01 ms vs 1024 -> 14.76 — compiles but loses, so
+            # 1024 stays the serving tile; the raised budget just stops
+            # the bigger tile from masquerading as uncompilable.
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(x_t, se, be, ge, seg_h, seg_c, *weights)
     return jnp.swapaxes(y, 0, 1), h_out, c_out

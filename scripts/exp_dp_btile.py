@@ -50,7 +50,9 @@ def main():
     h_in, c_in = init_carries(N_BLOCKS, F, B, H, jnp.bfloat16)
     weights = make_weights(rng)
 
-    for bt in (128, 64, 32):
+    import os
+    tiles = tuple(int(t) for t in os.environ.get('TILES', '128,64,32').split(','))
+    for bt in tiles:
         run = jax.jit(lambda x, h, c, _bt=bt: dual_path_chunk(
             x, h, c, weights, b_tile=_bt, dot_dtype=jnp.bfloat16,
             xscr_half=True))
