@@ -764,9 +764,12 @@ def main():
         return ms
 
     tse_batches = (8, 16) if smoke else (8192, 16384, 32768)
+    # granularity 1024 (round 4): the 2048 grid stops at 28,672 while
+    # 29,696 measures under budget (14.86 ms) — one extra refine step
+    # buys the real capacity
     best_B, best_ms, tse_results = search_capacity(
         tse_measure, 1e9 if smoke else chunk_ms, tse_batches,
-        granularity=8 if smoke else 2048)
+        granularity=8 if smoke else 1024, max_refine=4)
     if best_B == 0:  # even the smallest batch missed; report fractional
         B0, ms0 = tse_results[0]
         value = B0 * chunk_ms / ms0
@@ -793,7 +796,9 @@ def main():
         # int8 recurrent-dot prototype: one capacity probe past the bf16
         # point (measured 36.5 dB vs the bf16 path at flagship size)
         try:
-            B8 = best_B + 4096
+            # +3072 from the finer bf16 capacity grid lands on 32,768
+            # (the measured-realtime int8 point) when best_B = 29,696
+            B8 = best_B + 3072
             ms8, _, _ = measure_tse_step_ms(engine, variables, B8,
                                             chunk_samples, fused=fused,
                                             dtype=dtype, int8_hh=True)

@@ -286,6 +286,16 @@ def _resolve_tile(B, b_tile):
         b_tile = pick_b_tile(B, cap=512)
     while B % b_tile:
         b_tile -= 1
+    # TPU block rule: a (u, b_tile, *) block's second-to-last dim must be
+    # divisible by 8 OR equal the array dim. Decrementing to a divisor can
+    # land on a non-multiple of 8 (e.g. 66 rows -> 33), which passes
+    # interpret mode but fails the hardware lowering (hit via inference
+    # routed through the train scan with odd row counts, round 4) — pick
+    # the largest 8-multiple divisor instead, else run the batch whole.
+    if b_tile != B and b_tile % 8:
+        aligned = next((t for t in range(b_tile - b_tile % 8, 7, -8)
+                        if B % t == 0), 0)
+        b_tile = aligned or B
     return b_tile
 
 

@@ -352,6 +352,22 @@ def test_lstm_train_fused_proj_matches_scan_grads(rng, reverse):
                                    err_msg=n)
 
 
+def test_lstm_train_tile_resolution_is_hw_legal():
+    """_resolve_tile must return a tile that is a divisor of B AND either
+    8-aligned or the whole batch — decrementing to an odd divisor passes
+    interpret mode but fails the real TPU lowering (hit via inference
+    routed through the train scan at odd row counts, round 4)."""
+    from puresound_tpu.ops.lstm_train_kernel import _resolve_tile
+
+    for B in (66, 896, 256, 33, 8, 7, 1000, 1024, 330):
+        t = _resolve_tile(B, 0)
+        assert B % t == 0, (B, t)
+        assert t == B or t % 8 == 0, (B, t)
+    # explicit tile requests keep the same guarantee
+    assert _resolve_tile(66, 33) == 66
+    assert _resolve_tile(896, 448) == 448
+
+
 def test_fused_scan_flag_trains_skim(rng, monkeypatch):
     """FUSED_TRAIN_SCAN routes SkiM training through the Pallas kernel
     (interpret on CPU) and matches the stock path's loss/grads."""
