@@ -297,12 +297,19 @@ def _pack(w_in, g1, b1, al1, w_dw, b_dw, g2, b2, al2,
             col(g3), col(b3), al3.reshape(1, 1), w_out, col(b_out))
 
 
+# Auto-tile ceiling: at the flagship speaker geometry (C=64 Ch=128
+# T=2000, bf16) b_tile=4 compiles on a healthy service and runs 9%
+# faster than 2 (1.996 vs 2.195 ms fwd+bwd per block, round 4);
+# b_tile=8 remains a genuine remote-compiler rejection (HTTP 500).
+_TILE_CAP = 4
+
+
 def _resolve_tile(B, C, Ch, Tp, b_tile, budget_bytes):
     """Largest divisor of B whose live tile (x + ~8 hidden intermediates +
-    dy/dx in the backward) fits the VMEM budget."""
+    dy/dx in the backward) fits the VMEM budget, capped at _TILE_CAP."""
     if b_tile <= 0:
         per_sample = 4 * Tp * (3 * C + 9 * Ch)
-        b_tile = max(1, budget_bytes // max(per_sample, 1))
+        b_tile = max(1, min(budget_bytes // max(per_sample, 1), _TILE_CAP))
     b_tile = min(b_tile, B)
     while B % b_tile:
         b_tile -= 1
