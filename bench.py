@@ -666,6 +666,83 @@ def measure_denoise_rtf(seconds: float = 10.0, iters: int = 10) -> float:
     return seconds * 1000.0 / ms
 
 
+# The driver keeps only the LAST line of stdout and a ~2000-char tail of it;
+# round 4's 10 KB single-line JSON overflowed that and the official record
+# became `parsed: null`. The final line must stay under this budget — the
+# full detail dict goes to the bench_detail.json sidecar instead.
+LINE_BUDGET = 1500
+
+
+def compact_summary(detail):
+    """Fixed-shape digest of the full detail dict for the one-line output.
+
+    Every lookup is defensive: failed sections store an error *string*
+    where a dict would be, and smoke runs omit sections entirely.
+    """
+    def g(*path):
+        cur = detail
+        for p in path:
+            if not isinstance(cur, dict) or p not in cur:
+                return None
+            cur = cur[p]
+        return cur if isinstance(cur, (int, float, str, bool)) else None
+
+    s = {
+        "platform": g("platform"),
+        "tse_streams": None,  # filled by caller (the headline value)
+        "tse_step_ms": g("step_ms_at_best_batch"),
+        "tse_mfu_pct": g("tse_roofline", "mfu_pct_bf16peak"),
+        "int8_hh_streams": g("int8_hh_probe", "streams"),
+        "int8_hh_ms": g("int8_hh_probe", "step_ms"),
+        "ns_streams": g("ns_streams_per_chip"),
+        "ns_step_ms": g("ns_step_ms"),
+        "dparn_streams": g("dparn_streams_per_chip"),
+        "dparn_step_ms": g("dparn_step_ms"),
+        "train_bf16_B64_ms": g("train_step", "bf16_B64_ms"),
+        "train_audio_sps_B64": g("train_step",
+                                 "audio_seconds_per_second_bf16_B64"),
+        "train_sustained_sps": g("train_sustained",
+                                 "audio_seconds_per_second"),
+        "denoise_rtf": g("denoise_rtf_single_stream"),
+        "server_tick_p50_ms": g("session_server_e2e", "tick_ms_p50"),
+    }
+    note = g("backend_fallback")
+    if note:
+        s["backend_fallback"] = str(note)[:120]
+    return {k: v for k, v in s.items() if v is not None}
+
+
+def emit_result(out, detail, repo_dir=None):
+    """Write the sidecar + print the compact final line (the driver
+    contract). Returns the printed line. Tested by test_bench_health."""
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(repo_dir, "bench_detail.json")
+    try:
+        s = json.dumps(detail, indent=1, default=str)
+        with open(sidecar, "w") as f:
+            f.write(s)
+        out["detail_file"] = os.path.basename(sidecar)
+    except (OSError, TypeError, ValueError):
+        pass
+    summary = compact_summary(detail)
+    summary["tse_streams"] = out.get("value")
+    out["summary"] = summary
+    line = json.dumps(out, default=str)
+    if len(line) > LINE_BUDGET:
+        # never print an oversized line: drop summary keys (least important
+        # last) until it fits, then as a last resort drop the whole summary
+        for k in list(summary.keys())[::-1]:
+            summary.pop(k)
+            line = json.dumps(out, default=str)
+            if len(line) <= LINE_BUDGET:
+                break
+        if len(line) > LINE_BUDGET:
+            out.pop("summary", None)
+            line = json.dumps(out, default=str)
+    print(line)
+    return line
+
+
 def main():
     import jax
 
@@ -984,6 +1061,14 @@ def main():
             def _sustained_subprocess(on_device_augment):
                 import subprocess
 
+                # clamp to the remaining global deadline (ADVICE r4): a
+                # degraded backend must not overshoot BENCH_DEADLINE_S by
+                # up to 30 min per subprocess
+                sub_timeout = 1800.0
+                if deadline_s:
+                    sub_timeout = max(
+                        60.0, min(1800.0,
+                                  deadline_s - (time.time() - t_bench0)))
                 nw = int(os.environ.get("BENCH_WORKERS", 4))
                 code = (
                     "import json, bench\n"
@@ -994,7 +1079,7 @@ def main():
                     "print('SUSTAINED ' + json.dumps(r))\n")
                 r = subprocess.run(
                     [sys.executable, "-c", code], capture_output=True,
-                    text=True, timeout=1800,
+                    text=True, timeout=sub_timeout,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
                 line = [l for l in r.stdout.splitlines()
                         if l.startswith("SUSTAINED ")]
@@ -1004,7 +1089,23 @@ def main():
                 return json.loads(line[-1][len("SUSTAINED "):])
 
             try:
-                detail["train_sustained"] = _sustained_subprocess(False)
+                # identical runs spread 36.9-70.0 audio-s/s (tunnel RTT
+                # jitter + 1-core scheduling) — a point sample is noise.
+                # Report the median run + the observed spread.
+                runs = [_sustained_subprocess(False)]
+                n_rep = int(os.environ.get("BENCH_SUSTAINED_RUNS", "3"))
+                while (len(runs) < n_rep
+                       and not _past_deadline("train_sustained_rep")):
+                    runs.append(_sustained_subprocess(False))
+                sps = sorted(r["audio_seconds_per_second"] for r in runs)
+                med = sps[len(sps) // 2]
+                rep = next(r for r in runs
+                           if r["audio_seconds_per_second"] == med)
+                rep["audio_seconds_per_second"] = med
+                rep["runs"] = len(runs)
+                rep["sps_min"] = sps[0]
+                rep["sps_max"] = sps[-1]
+                detail["train_sustained"] = rep
             except Exception as e:
                 detail["train_sustained"] = f"failed: {type(e).__name__}"
             try:
@@ -1049,8 +1150,7 @@ def main():
         # top-level flag so a fallback run can never read like a measured
         # TPU capacity (the headline value is smoke-scale evidence only)
         out["smoke"] = True
-    out["detail"] = detail
-    print(json.dumps(out))
+    emit_result(out, detail)
 
 
 if __name__ == "__main__":
