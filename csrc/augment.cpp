@@ -97,6 +97,14 @@ int64_t output_len(int64_t nh, int64_t nx, int64_t up, int64_t down) {
 }
 
 // Build (or fetch cached) scipy-equivalent polyphase taps for up/down.
+//
+// CACHE INVARIANT: the cache key is (up, down) only, but n_post_pad is
+// computed from the FIRST call's nx/n_out. That is sound because the
+// post-pad taps are all ZERO — the convolution loop bounds skip them, so
+// the produced samples are nx-independent; a later call with larger nx
+// only relies on output_len covering its n_out, which the loop in
+// resample_poly guards by never reading past t.h. If the bounds logic
+// ever changes to touch post-pad taps, key the cache by nx too.
 const Taps& get_taps(int64_t up, int64_t down, int64_t nx, int64_t n_out) {
   TapsKey key{up, down};
   std::lock_guard<std::mutex> lk(g_taps_mu);

@@ -282,6 +282,14 @@ def lstm_scan_train_tm(xp_t, h0, c0, w_hh, reverse: bool = False,
 
 
 def _resolve_tile(B, b_tile):
+    """Resolve a batch tile to a hardware-legal divisor of B.
+
+    NOTE: an explicitly requested non-8-aligned tile (e.g. b_tile=33 at
+    B=66) is silently promoted to the nearest legal choice — possibly the
+    whole batch — which can raise the VMEM footprint beyond what the
+    caller sized for. The request was hardware-illegal anyway (TPU block
+    rule below); pass an 8-multiple divisor to keep control of the
+    footprint (tested: test_lstm_train_tile_resolution_is_hw_legal)."""
     if b_tile <= 0 or b_tile > B:
         b_tile = pick_b_tile(B, cap=512)
     while B % b_tile:

@@ -306,7 +306,12 @@ _TILE_CAP = 4
 
 def _resolve_tile(B, C, Ch, Tp, b_tile, budget_bytes):
     """Largest divisor of B whose live tile (x + ~8 hidden intermediates +
-    dy/dx in the backward) fits the VMEM budget, capped at _TILE_CAP."""
+    dy/dx in the backward) fits the VMEM budget, capped at _TILE_CAP.
+
+    The cap applies to the AUTO path only: an explicit b_tile>4 request is
+    honored as an escape hatch and routes into the known remote-compiler
+    HTTP-500 rejection at flagship geometry — only pass it on toolchains
+    where larger tiles are known to compile."""
     if b_tile <= 0:
         per_sample = 4 * Tp * (3 * C + 9 * Ch)
         b_tile = max(1, min(budget_bytes // max(per_sample, 1), _TILE_CAP))
