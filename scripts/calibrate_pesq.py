@@ -109,9 +109,16 @@ def make_anchors(x, fs, mode):
             # speech (direct path present) — mild/medium/strong
             ("rev300", reverb(0.3), 3.2), ("rev600", reverb(0.6), 2.6),
             ("rev1000", reverb(1.0), 2.1),
-            # codec-like: mu-law companding ~= 35-38 dB correlated
-            # quantization noise; 6-bit linear ~= 25 dB
-            ("ulaw8", ulaw(8), 3.6), ("crush6", bitcrush(6), 2.8),
+            # codec-like: mu-law companding noise is MULTIPLICATIVE
+            # (proportional to |x| by construction), i.e. MNRU-equivalent
+            # at Q ~= 38 dB for 8-bit — interpolating this set's own MNRU
+            # ladder (Q35 -> 3.8) gives ~3.9 (round-5 re-derivation; the
+            # round-2 target 3.6 treated it as additive noise, which
+            # contradicts the MNRU anchors under any monotone mapping).
+            # 6-bit LINEAR quantization is NOT multiplicative (uniform
+            # step; much worse SNR in quiet passages) — kept at the
+            # additive-like 2.8.
+            ("ulaw8", ulaw(8), 3.9), ("crush6", bitcrush(6), 2.8),
         ]
     return [
         ("noise50", noisy(50), 4.3), ("noise40", noisy(40), 4.0),
@@ -148,28 +155,40 @@ def fit(mode_name):
     names = [n for n, _, _ in anchors]
 
     def model(p):
-        k_d, p_d, k_a, p_a = np.exp(p)  # positivity
+        # 6-param per-channel power laws with model-noise floors (round 5):
+        # D' = k_d*max(D-d0,0)^p_d, A' = k_a*max(A-a0,0)^p_a. The floors
+        # absorb the small constant disturbance the formula-derived band
+        # structure produces even for near-transparent pairs.
+        k_d, p_d, k_a, p_a, d0, a0 = np.exp(p)  # positivity
         p_a = min(p_a, 3.0)  # bound: steeper fits knee sharply around one
         # family's disturbance scale and generalize badly out-of-family
-        raw = (4.5 - pn._D_WEIGHT * k_d * ds[:, 0] ** p_d
-               - pn._A_WEIGHT * k_a * np.where(ds[:, 1] > 0,
-                                               ds[:, 1] ** p_a, 0.0))
+        De = np.maximum(ds[:, 0] - d0, 0.0)
+        Ae = np.maximum(ds[:, 1] - a0, 0.0)
+        raw = (4.5 - pn._D_WEIGHT * k_d * De ** p_d
+               - pn._A_WEIGHT * k_a * np.where(Ae > 0, Ae ** p_a, 0.0))
         return mos_of(raw, cfg.wideband)
 
     def loss(p):
         return np.sum((model(p) - tgt) ** 2)
 
-    k_d0, p_d0, k_a0, p_a0 = pn._CAL[mode_name]
+    k0 = list(pn._CAL[mode_name])
     best = None
-    for scale_d in (1.0, 4.0, 16.0, 64.0):
-        p0 = np.log([k_d0 * scale_d, p_d0, k_a0, p_a0])
+    p0s = [np.log(np.maximum(k0, 1e-4))]
+    # floor parameters have many local minima — grid the starts
+    for d0 in (0.005, 0.01, 0.02, 0.03, 0.05):
+        for a0 in (0.01, 0.05, 0.15, 0.4, 2.5):
+            for kd in (15.0, 30.0, 60.0):
+                p0s.append(np.log([kd, 0.3, 1.0, 1.5, d0, a0]))
+    for p0 in p0s:
         r = minimize(loss, p0, method="Nelder-Mead",
-                     options={"maxiter": 4000, "xatol": 1e-6, "fatol": 1e-9})
+                     options={"maxiter": 8000, "xatol": 1e-7,
+                              "fatol": 1e-10})
         if best is None or r.fun < best.fun:
             best = r
     k = np.exp(best.x)
     got = model(best.x)
-    print(f"{mode_name}: _CAL = ({k[0]:.4f}, {k[1]:.4f}, {k[2]:.4f}, {k[3]:.4f})")
+    print(f"{mode_name}: _CAL = ({k[0]:.4f}, {k[1]:.4f}, {k[2]:.4f}, "
+          f"{min(k[3], 3.0):.4f}, {k[4]:.4f}, {k[5]:.4f})")
     for n, g, t in zip(names, got, tgt):
         flag = "  <-- off" if abs(g - t) > 0.25 else ""
         print(f"  {n:8s} got {g:.2f} target {t:.2f}  ({g-t:+.2f}){flag}")
