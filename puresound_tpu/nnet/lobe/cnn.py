@@ -61,6 +61,20 @@ class Conv1d(nn.Module):
             y = y + self.b.astype(x.dtype)[None, :, None]
         return y
 
+    def dense_last(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply a 1x1 conv as a feature-LAST matmul: x [..., C_in] ->
+        [..., C_out]. Same parameters, same math — but the caller keeps a
+        feature-last layout, avoiding the [N, C, T] transpose round trips
+        that dominated the SkiM conditioning path's HBM traffic (round-5
+        HLO audit: the channel-first FiLM materialized ~40 layout copies
+        of [rows, C, K] per train step)."""
+        assert self.kernel == 1 and self.stride == 1 and self.groups == 1, (
+            "dense_last is a 1x1-conv fast path")
+        y = x @ self.w[:, :, 0].T.astype(x.dtype)
+        if self.use_bias:
+            y = y + self.b.astype(x.dtype)
+        return y
+
 
 class Conv2d(nn.Module):
     """torch-compatible Conv2d on [N, C, H, W]; explicit asymmetric padding.

@@ -103,7 +103,19 @@ class FiLM(nn.Module):
         if self.input_norm:
             self.norm = LayerNormLast(self.feats_size)
 
-    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray,
+                 feature_last: bool = False) -> jnp.ndarray:
+        """feature_last=True takes/returns x as [N, T, C] and applies the
+        1x1 conditioning convs as feature-last matmuls (identical math;
+        no channel-first layout round trips — see Conv1d.dense_last)."""
+        if feature_last:
+            xn = self.norm(x) if self.input_norm else x
+            cond = jnp.broadcast_to(condition[:, None, :],
+                                    (x.shape[0], x.shape[1],
+                                     condition.shape[-1]))
+            cat = jnp.concatenate([xn, cond], axis=-1)
+            return (self.cond_scale.dense_last(cat) * xn
+                    + self.cond_bias.dense_last(cat))
         if self.input_norm:
             x = jnp.swapaxes(self.norm(jnp.swapaxes(x, 1, 2)), 1, 2)
         cond = jnp.broadcast_to(condition[:, :, None],

@@ -185,7 +185,14 @@ class SkiM(nn.Module):
     def _fuse(self, i, x, embed):
         """x: [B, K, C], embed: [B, E] -> fused [B, K, C]."""
         if embed is not None and self.block_with_embed and self.block_with_embed[i]:
-            y = self.seg_input_fusion[i](jnp.swapaxes(x, 1, 2), embed)
+            fusion = self.seg_input_fusion[i]
+            if isinstance(fusion, FiLM):
+                # feature-last path: identical math, no [B, C, K] layout
+                # round trips (round-5 HBM audit — the swaps around the
+                # conditioning convs were a top transpose-copy source in
+                # the train step)
+                return fusion(x, embed, feature_last=True)
+            y = fusion(jnp.swapaxes(x, 1, 2), embed)
             return jnp.swapaxes(y, 1, 2)
         return x
 
