@@ -638,6 +638,99 @@ def measure_session_server(engine, variables, B=1024, chunk_samples=240,
     srv2.flush()
     snap["pipelined_tick_ms_p50"] = round(
         srv2.stats.snapshot()["tick_ms_p50"], 3)
+
+    # ---- pcm16 transfer mode: int16 payloads host<->device ----------------
+    # halves the per-tick transfer (4 MB -> 2 MB per direction at 1,024
+    # slots x 240 samples); conversions ride inside the jit (the
+    # SessionServer pcm16 contract, streaming/deploy.make_session_server)
+    try:
+        scale = 8192.0
+
+        @jax.jit
+        def step16(chunk, dvec, st):
+            out, st = step_fn(chunk.astype(jnp.float32) / scale, dvec, st)
+            return (jnp.clip(out * scale, -32767.0, 32767.0)
+                    .astype(jnp.int16), st)
+
+        srv3 = SessionServer(step16, fresh, B, chunk_samples, embed_dim=192,
+                             lockstep=True, ring_capacity=4 * chunk_samples,
+                             pcm16=True)
+        for _ in range(B):
+            srv3.attach(dvec=z)
+        push3 = lambda: [srv3.hub.push_input(i, x[i]) for i in range(B)]
+        push3()
+        srv3.tick()
+        srv3.stats = ServeStats()
+        for _ in range(iters):
+            push3()
+            srv3.tick()
+        snap["pcm16_tick_ms_p50"] = round(
+            srv3.stats.snapshot()["tick_ms_p50"], 3)
+    except Exception as e:
+        snap["pcm16_tick_ms_p50"] = f"failed: {type(e).__name__}"
+
+    # ---- stage decomposition: what's RTT/transfer vs actual work ----------
+    # (round-5 verdict item 6: the raw p50 alone can't separate the tunnel
+    # RTT + 4 MB transfers from ring/step costs). Each stage measured
+    # standalone, value-fetch synced (block_until_ready can lie on the
+    # tunneled backend).
+    try:
+        def _med(f, n=10):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                f()
+                ts.append((time.perf_counter() - t0) * 1e3)
+            return round(float(np.median(ts)), 3)
+
+        push_all()
+        batch_h, mask, _ = server.hub.gather(chunk_samples)
+        snap["stage_gather_ms"] = _med(
+            lambda: (push_all(), server.hub.gather(chunk_samples)))
+
+        def h2d():
+            d = jax.device_put(batch_h)
+            np.asarray(d[0, 0])  # value-fetch sync
+
+        snap["stage_h2d_ms"] = _med(h2d)
+        dev_batch = jax.device_put(batch_h)
+        np.asarray(dev_batch[0, 0])
+        st = server._state
+        dvec_dev = server._dvec_dev
+
+        def devstep():
+            out, _s = step_fn(dev_batch, dvec_dev, st)
+            np.asarray(out[0, 0])  # sync scalar: includes ~1 RTT
+
+        snap["stage_step_sync_ms"] = _med(devstep)
+
+        # d2h needs a FRESH device array each iteration (jax caches the
+        # host copy after the first fetch); time only the full-batch
+        # fetch, after a scalar sync has already waited out the step
+        d2h_ts = []
+        for _ in range(10):
+            o, _s = step_fn(dev_batch, dvec_dev, st)
+            np.asarray(o[0, 0])
+            t0 = time.perf_counter()
+            np.asarray(o)
+            d2h_ts.append((time.perf_counter() - t0) * 1e3)
+        snap["stage_d2h_ms"] = round(float(np.median(d2h_ts)), 3)
+        out_dev, _ = step_fn(dev_batch, dvec_dev, st)
+        out_h = np.asarray(out_dev)
+        snap["stage_scatter_ms"] = _med(
+            lambda: server.hub.scatter(out_h, mask))
+        one = jax.device_put(np.zeros(1, np.float32))
+        np.asarray(one)
+        snap["stage_rtt_ms"] = _med(lambda: np.asarray(one[0]))
+        # co-located projection: rings + device step; transfers become
+        # PCIe DMA (~GBps; ~1 ms for 4 MB) instead of tunnel RTT + WAN
+        snap["colocated_projection_ms"] = round(
+            snap["stage_gather_ms"] + snap["stage_scatter_ms"]
+            + max(snap["stage_step_sync_ms"] - snap["stage_rtt_ms"], 0.0)
+            + 1.0, 3)
+    except Exception as e:
+        snap["stage_decomposition"] = f"failed: {type(e).__name__}"
+
     snap["slots"] = B
     snap["chunk_ms"] = round(chunk_samples / 16.0, 1)
     return snap
@@ -705,6 +798,7 @@ def compact_summary(detail):
                                  "audio_seconds_per_second"),
         "denoise_rtf": g("denoise_rtf_single_stream"),
         "server_tick_p50_ms": g("session_server_e2e", "tick_ms_p50"),
+        "server_pcm16_p50_ms": g("session_server_e2e", "pcm16_tick_ms_p50"),
     }
     note = g("backend_fallback")
     if note:

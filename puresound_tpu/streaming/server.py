@@ -337,7 +337,8 @@ class SessionServer(StreamingServer):
                  embed_fn=None, embed_dim: Optional[int] = None,
                  reset_fn=None, ring_capacity: int = 1 << 16,
                  lockstep: bool = False, mesh=None, pipelined: bool = False,
-                 slot_axes=None):
+                 slot_axes=None, pcm16: bool = False,
+                 pcm16_scale: float = 8192.0):
         """mesh: a jax.sharding.Mesh with a "dp" axis to serve the slot
         batch SPMD over multiple devices (n_slots divisible by the dp
         size). State/dvec leaves shard on their slot axis
@@ -352,7 +353,19 @@ class SessionServer(StreamingServer):
         device compute of the next, so sustained throughput approaches
         max(host, device) instead of their sum. Clients see outputs one
         tick later; call flush() after the final tick to drain the last
-        pending output. Output values are identical to unpipelined."""
+        pending output. Output values are identical to unpipelined.
+
+        pcm16=True moves the per-tick host<->device audio as int16 PCM
+        (scaled by pcm16_scale, +-4 headroom at the default 8192) instead
+        of float32 — half the transfer bytes each way, the serving e2e
+        lever on transfer-dominated links (the tunneled-TPU bench tick is
+        mostly RTT + 4 MB/dir at 1,024 slots). The caller's step_fn must
+        then take an int16 chunk batch and return an int16 output batch,
+        converting at pcm16_scale INSIDE the jit
+        (streaming/deploy.make_session_server(pcm16=True) builds exactly
+        that wrapper). Quantization sits at the 16-bit PCM floor (~69 dB
+        SNR for speech at rms 0.1) — well below the bf16 serving noise.
+        d-vectors stay float32 (tiny, uploaded only on attach)."""
         super().__init__(step_fn, n_slots, chunk_samples,
                          ring_capacity=ring_capacity, lockstep=lockstep)
         import jax
@@ -393,6 +406,7 @@ class SessionServer(StreamingServer):
         self._gen = np.zeros(n_slots, np.int64)
         self._lock = threading.Lock()
         self.pipelined = pipelined
+        self._pcm16_scale = float(pcm16_scale) if pcm16 else None
         self._inflight = None  # (device out, pre-step mask, gen) of tick t-1
 
     def _put_rows(self, arr):
@@ -479,6 +493,9 @@ class SessionServer(StreamingServer):
         if reset_now.any():
             self._state = self._reset(self._state, self._fresh,
                                       self._put_rows(reset_now))
+        if self._pcm16_scale is not None:
+            batch = np.clip(batch * self._pcm16_scale, -32767.0,
+                            32767.0).astype(np.int16)
         batch = self._put_rows(batch) if self._mesh is not None else batch
         if dvec is None:
             out, self._state = self.step_fn(batch, self._state)
@@ -497,6 +514,8 @@ class SessionServer(StreamingServer):
 
     def _scatter_owned(self, out, mask, gen) -> int:
         out = np.asarray(out)
+        if self._pcm16_scale is not None:
+            out = out.astype(np.float32) * (1.0 / self._pcm16_scale)
         with self._lock:
             # a slot detached (or detached + re-attached: generation bump)
             # while the device step ran must not receive the old stream's

@@ -506,3 +506,40 @@ def test_make_session_server_rejects_embedding_free_tse(rng):
     with pytest.raises(ValueError, match="embedding-free"):
         make_session_server(model, variables, n_slots=2, chunk_ms=10.0,
                             sr=16000)
+
+
+def test_make_session_server_pcm16_matches_float(rng):
+    """pcm16=True (int16 host<->device payloads, round-5 serving-transfer
+    lever) must match the float32 server to the 16-bit PCM quantization
+    floor, through attach/tick/pop on the real rings."""
+    from puresound_tpu.streaming.deploy import make_session_server
+
+    model = _tse_model()
+    x0 = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32) * 0.1)
+    e0 = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32) * 0.1)
+    variables = model.init(KEY, x0, e0, method=SoTaskWrapModule.inference)
+
+    audio = rng.standard_normal(3 * 160).astype(np.float32) * 0.1
+    enroll = rng.standard_normal(800).astype(np.float32) * 0.1
+
+    def run(pcm16):
+        bundle = make_session_server(model, variables, n_slots=2,
+                                     chunk_ms=10.0, sr=16000,
+                                     enroll_len=800, pcm16=pcm16)
+        sid = bundle.server.attach(enroll=enroll)
+        outs = []
+        for k in range(3):
+            bundle.server.hub.push_input(sid, audio[k * 160:(k + 1) * 160])
+            assert bundle.server.tick() == 1
+            outs.append(bundle.server.hub.pop_output(sid, 160))
+        return np.concatenate(outs)
+
+    got16 = run(True)
+    got32 = run(False)
+    err = got16 - got32
+    # the gate is ABSOLUTE: a few LSB at scale 8192 (one LSB ~1.2e-4).
+    # A relative SNR would understate fidelity here only because the
+    # untrained model's output is tiny (~1e-3 rms); at speech levels the
+    # same absolute floor is ~69 dB SNR.
+    assert np.abs(err).max() < 8e-4, np.abs(err).max()
+    assert np.sqrt((err ** 2).mean()) < 2e-4, np.sqrt((err ** 2).mean())
