@@ -20,8 +20,13 @@ roughly half the observed improvement):
   STOI 0.728 -> 0.833, PESQ 1.27 -> 2.33.
 - TSE (SkiM + speaker net, 50 epochs): observed SI-SNRi +8.8 dB by
   epoch 40, +11.5 by 60.
+- DSS (DPARN_Mout SIMO, 150 epochs, round 5): near +5.3 / far +4.3 dB
+  SI-SNRi, sasisnr loss 6.33 -> -5.31.
+- PVAD (SkiM vad head, 200 epochs, round 5): binarized F1 0.88
+  (structural cap, see the test), raw F1 0.98+.
 
-Marked slow: ~6 min total on the 1-core CI host.
+All 4 task families (NS / TSE / DSS / PVAD) now have trained-model
+evidence. Marked slow: ~12 min total on the 1-core CI host.
 """
 import json
 import os
@@ -73,3 +78,35 @@ def test_tse_training_improves_sisnr_on_real_speech_mixtures(tmp_path):
     enrolled speaker must clearly beat the mixture SI-SNR."""
     m = _run_gate("tse", 50, tmp_path)
     assert m["sisnr"] - m["base_sisnr"] > 5.0, m
+
+
+def test_dss_training_separates_near_far_sources(tmp_path):
+    """DPARN_Mout SIMO near/far separation trained through DssTask with
+    the source-aggregated SI-SNR loss (multi_gpu mesh): each separated
+    source must clearly beat the mixture baseline, and the sasisnr loss
+    must improve (ref puresound/task/dss.py:241-342 is the runtime; the
+    reference ships no DSS recipe/results, so the overfit IS the
+    trained-model evidence)."""
+    m = _run_gate("dss", 150, tmp_path)
+    # calibrated (scripts/exp_trained_quality.py dss 150, ~3 min): near
+    # +5.3 / far +4.3 dB, loss 6.33 -> -5.31; margins ~half the observed
+    assert m["near_sisnr"] - m["base_near_sisnr"] > 2.5, m
+    assert m["far_sisnr"] - m["base_far_sisnr"] > 2.0, m
+    assert m["loss"] < m["first_loss"] - 5.0, m
+
+
+def test_pvad_training_reaches_usable_f1_after_binarize(tmp_path):
+    """Personal-VAD (SkiM + Sigmoid head + soft-F1 loss) trained through
+    TseTask on is_vad_dataset manifests: F1 after the Binarize
+    post-processor must clear the gate and beat the untrained model
+    (ref egs/tse/main.py:190-223 scores dev exactly this way)."""
+    m = _run_gate("pvad", 200, tmp_path)
+    # calibrated (scripts/exp_trained_quality.py pvad 250, ~100 s):
+    # binarized F1 0.88 / raw F1 0.98-0.995 by ep 200. The binarized F1
+    # is structurally capped near 0.88: the 0.2 s moving-average smears
+    # the hard label edges (~0.1 s per edge). An always-active predictor
+    # scores F1 ~0.75 but accuracy ~0.6 on these labels — the accuracy
+    # gate rules that degenerate solution out.
+    assert m["f1"] > 0.82, m
+    assert m["accuracy"] > 0.80, m
+    assert m["raw_f1"] > 0.92, m
