@@ -685,8 +685,19 @@ def measure_session_server(engine, variables, B=1024, chunk_samples=240,
 
         push_all()
         batch_h, mask, _ = server.hub.gather(chunk_samples)
-        snap["stage_gather_ms"] = _med(
-            lambda: (push_all(), server.hub.gather(chunk_samples)))
+        # gather timed ALONE: the feeder pushes are client-side work that
+        # happens outside the tick (1,024 Python ctypes calls — an order
+        # of magnitude more than the C++ ring gather itself)
+        g_ts, p_ts = [], []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            push_all()
+            t1 = time.perf_counter()
+            server.hub.gather(chunk_samples)
+            g_ts.append((time.perf_counter() - t1) * 1e3)
+            p_ts.append((t1 - t0) * 1e3)
+        snap["stage_gather_ms"] = round(float(np.median(g_ts)), 3)
+        snap["stage_feed_push_ms"] = round(float(np.median(p_ts)), 3)
 
         def h2d():
             d = jax.device_put(batch_h)

@@ -208,7 +208,7 @@ def action_eval(hparam, backend, ckpt, batch_eval=0, eval_quantum=1.0):
 
 
 def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
-                 half=False, fused=False, mk_kernel=False):
+                 half=False, fused=False, mk_kernel=False, pcm16=False):
     """Production SIMO serving: each connection streams a mixture and gets
     the M separated sources back sample-interleaved (ACK carries
     n_sources; StreamingClient de-interleaves to [M, T])."""
@@ -217,7 +217,8 @@ def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
     model, variables = load_eval_model(hparam, ckpt)
     sr = hparam["DATASET"]["sample_rate"]
     run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
-              sr=sr, half=half, fused=fused, mk_kernel=mk_kernel)
+              sr=sr, half=half, fused=fused, mk_kernel=mk_kernel,
+              pcm16=pcm16)
 
 
 def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False,
@@ -301,7 +302,7 @@ def main(config):
     elif config.action == "serve":
         action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
                      config.serve_slots, config.port, config.half,
-                     config.fused, config.mk_kernel)
+                     config.fused, config.mk_kernel, config.pcm16)
     elif config.action == "export_model":
         action_export(hparam, config.backend, config.ckpt)
     else:
@@ -322,6 +323,10 @@ if __name__ == "__main__":
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",
                         help="stream_eval in bfloat16 (serving mode)")
+    parser.add_argument("--pcm16", action="store_true",
+                        help="serve: move per-tick audio host<->device as "
+                             "int16 PCM (half the transfer bytes; "
+                             "conversions inside the jitted step)")
     parser.add_argument("--mk_kernel", action="store_true",
                         help="stream_eval with the wide-center masker "
                              "kernel (DPARN_Mout)")

@@ -254,7 +254,7 @@ def action_stream_eval(hparam, backend, ckpt, chunk_ms,
 
 def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
                  half=False, fused=False, dp_kernel=False,
-                 attn_kernel=False, mk_kernel=False):
+                 attn_kernel=False, mk_kernel=False, pcm16=False):
     """Production serving: load the checkpoint, open the TCP front-end
     (streaming/socket_server.py protocol), serve until Ctrl-C."""
     from puresound_tpu.streaming.deploy import run_serve
@@ -263,7 +263,7 @@ def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
     run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
               sr=hparam["DATASET"]["sample_rate"], half=half, fused=fused,
               dp_kernel=dp_kernel, attn_kernel=attn_kernel,
-              mk_kernel=mk_kernel)
+              mk_kernel=mk_kernel, pcm16=pcm16)
 
 
 def action_export(hparam, backend, ckpt):
@@ -317,7 +317,7 @@ def main(config):
         action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
                      config.serve_slots, config.port, config.half,
                      config.fused, config.dp_kernel, config.attn_kernel,
-                     config.mk_kernel)
+                     config.mk_kernel, config.pcm16)
     elif config.action == "export_model":
         action_export(hparam, config.backend, config.ckpt)
     else:
@@ -338,6 +338,10 @@ if __name__ == "__main__":
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",
                         help="stream_eval in bfloat16 (serving mode)")
+    parser.add_argument("--pcm16", action="store_true",
+                        help="serve: move per-tick audio host<->device as "
+                             "int16 PCM (half the transfer bytes; "
+                             "conversions inside the jitted step)")
     parser.add_argument("--fused", action="store_true",
                         help="stream_eval with Pallas fused recurrences")
     parser.add_argument("--dp_kernel", action="store_true",

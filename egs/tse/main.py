@@ -387,7 +387,7 @@ def action_export(hparam, backend, ckpt):
 
 
 def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
-                 half=False, fused=False):
+                 half=False, fused=False, pcm16=False):
     """Production TSE serving: TCP front-end where each connection enrolls
     its own target speaker (HELLO payload = d-vector or enrollment
     waveform) and streams mixture audio for enhanced audio back."""
@@ -395,7 +395,8 @@ def action_serve(hparam, backend, ckpt, chunk_ms, n_slots, port,
 
     model, variables = load_eval_model(hparam, ckpt)
     run_serve(model, variables, n_slots, port=port, chunk_ms=chunk_ms,
-              sr=hparam["DATASET"]["sample_rate"], half=half, fused=fused)
+              sr=hparam["DATASET"]["sample_rate"], half=half, fused=fused,
+              pcm16=pcm16)
 
 
 def action_stream_eval(hparam, backend, ckpt, chunk_ms, half=False):
@@ -484,7 +485,8 @@ def main(config):
     elif config.action == "serve":
         action_serve(hparam, config.backend, config.ckpt, config.chunk_ms,
                      config.serve_slots, config.port, config.half,
-                     config.fused)
+                     config.fused,
+                     config.pcm16)
     else:
         raise NameError("Unrecognize action.")
 
@@ -506,6 +508,10 @@ if __name__ == "__main__":
                         help="stream_eval chunk size in milliseconds")
     parser.add_argument("--half", action="store_true",
                         help="stream_eval in bfloat16 (serving mode)")
+    parser.add_argument("--pcm16", action="store_true",
+                        help="serve: move per-tick audio host<->device as "
+                             "int16 PCM (half the transfer bytes; "
+                             "conversions inside the jitted step)")
     parser.add_argument("--backend", type=str, default="tpu",
                         choices=["cpu", "tpu"])
     parser.add_argument("--metrics", type=str, default="simple",

@@ -35,10 +35,12 @@ def test_emit_result_line_is_compact_and_parseable(tmp_path, capsys):
     import json
     import os
 
-    # the real round-4 full-run detail — the worst case that broke r4
-    partial = os.path.join(os.path.dirname(bench.__file__),
-                           ".bench_partial.json")
-    with open(partial) as f:
+    # frozen snapshot of the round-4 full-run detail (the shape that broke
+    # the r4 driver parse) — a committed fixture, NOT .bench_partial.json,
+    # which any smoke/partial run overwrites with different sections
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "bench_detail_r4.json")
+    with open(fixture) as f:
         detail = json.load(f)
     out = {"metric": "concurrent_16khz_streaming_tse_streams_per_chip",
            "value": 29696.0, "unit": "streams", "vs_baseline": 59.392}
