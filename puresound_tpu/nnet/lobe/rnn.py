@@ -135,6 +135,37 @@ class LSTMCellParams(nn.Module):
                                     unroll=_unroll(xp_t.shape[0]))
         return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
+    def scan_tm(self, x_t: jnp.ndarray, h0, c0, reverse: bool = False):
+        """TIME-MAJOR scan: x_t [T, B, C] -> (y_t [T, B, H], (hT, cT)).
+
+        The kernel-native layout end to end — a time-major caller (the
+        SkiM TM_BLOCKS stack) pays no [B,T]<->[T,B] materializations
+        around the fused-projection kernel (its batch-major wrapper's
+        swaps are real HBM copies now that the projection lives inside
+        the kernel and can no longer absorb them)."""
+        if (FUSED_TRAIN_SCAN and FUSED_PROJ_SCAN and x_t.shape[1] >= 256
+                and x_t.shape[0] >= 8 and self.hidden % 8 == 0
+                and self.in_features % 8 == 0):
+            import jax as _jax
+
+            from ...ops.lstm_train_kernel import lstm_scan_train_fp_tm
+
+            dd = jnp.bfloat16 if x_t.dtype == jnp.bfloat16 else jnp.float32
+            y_t, hT, cT = lstm_scan_train_fp_tm(
+                x_t, h0, c0, self.w_ih, self.b_ih + self.b_hh, self.w_hh,
+                reverse, 0, _jax.default_backend() != "tpu", dd)
+            return y_t, (hT, cT)
+        xp_t = self.input_proj(x_t)  # [T, B, 4H], already time-major
+
+        def body(carry, xt):
+            h, c = carry
+            h, c = self.gates_step(xt, h, c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(body, (h0, c0), xp_t, reverse=reverse,
+                                    unroll=_unroll(xp_t.shape[0]))
+        return ys, (hT, cT)
+
 
 class LSTM(nn.Module):
     """Single-layer (optionally bidirectional) LSTM, batch-first.
@@ -167,6 +198,25 @@ class LSTM(nn.Module):
         if not self.bidirectional:
             return y_f, (hf[None], cf[None])
         y_b, (hb, cb) = self.bwd.scan(x, h0[1], c0[1], reverse=True)
+        y = jnp.concatenate([y_f, y_b], axis=-1)
+        return y, (jnp.stack([hf, hb]), jnp.stack([cf, cb]))
+
+    def call_tm(self, x_t: jnp.ndarray,
+                init: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        """Time-major __call__: x_t [T, B, C] -> (y_t [T, B, D*H], (h, c)).
+
+        Same math as __call__ in the kernel-native layout (see
+        LSTMCellParams.scan_tm)."""
+        B = x_t.shape[1]
+        if init is None:
+            h0 = jnp.zeros((self.num_directions, B, self.hidden), x_t.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = init
+        y_f, (hf, cf) = self.fwd.scan_tm(x_t, h0[0], c0[0])
+        if not self.bidirectional:
+            return y_f, (hf[None], cf[None])
+        y_b, (hb, cb) = self.bwd.scan_tm(x_t, h0[1], c0[1], reverse=True)
         y = jnp.concatenate([y_f, y_b], axis=-1)
         return y, (jnp.stack([hf, hb]), jnp.stack([cf, cb]))
 

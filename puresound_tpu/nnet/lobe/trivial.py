@@ -104,15 +104,18 @@ class FiLM(nn.Module):
             self.norm = LayerNormLast(self.feats_size)
 
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray,
-                 feature_last: bool = False) -> jnp.ndarray:
-        """feature_last=True takes/returns x as [N, T, C] and applies the
-        1x1 conditioning convs as feature-last matmuls (identical math;
+                 feature_last: bool = False,
+                 batch_axis: int = 0) -> jnp.ndarray:
+        """feature_last=True takes/returns x as [N, T, C] (batch_axis=0)
+        or time-major [T, N, C] (batch_axis=1) and applies the 1x1
+        conditioning convs as feature-last matmuls (identical math;
         no channel-first layout round trips — see Conv1d.dense_last)."""
         if feature_last:
             xn = self.norm(x) if self.input_norm else x
-            cond = jnp.broadcast_to(condition[:, None, :],
-                                    (x.shape[0], x.shape[1],
-                                     condition.shape[-1]))
+            cond = (condition[:, None, :] if batch_axis == 0
+                    else condition[None, :, :])
+            cond = jnp.broadcast_to(cond, (x.shape[0], x.shape[1],
+                                           condition.shape[-1]))
             cat = jnp.concatenate([xn, cond], axis=-1)
             return (self.cond_scale.dense_last(cat) * xn
                     + self.cond_bias.dense_last(cat))

@@ -30,6 +30,17 @@ from .lobe.norm import LayerNormLast
 from .lobe.rnn import LSTM
 from .lobe.trivial import FiLM, Gate, SplitMerge
 
+# Offline block stack time-major option (the fused LSTM train kernel's
+# native layout; one transpose in/out instead of four per block per
+# pass). MEASURED NEGATIVE (round 5, B=64 bf16 flagship): 42.2 -> 43.3
+# ms and forward bytes UP 5.7 -> 6.9 GB — XLA re-materializes layout
+# copies elsewhere in the time-major stack, the same class of result as
+# round-3d's xp-hoisting experiment. Bit-identical math (tested); kept
+# default-OFF as a documented negative result / future-toolchain A/B.
+import os as _os
+
+TM_BLOCKS = int(_os.environ.get("PURESOUND_TM_BLOCKS", "0")) != 0
+
 
 class SegLSTM(nn.Module):
     """Intra-segment LSTM with projection + LayerNorm residual.
@@ -60,6 +71,22 @@ class SegLSTM(nn.Module):
         y = self.drop(y, deterministic=not train)
         y = self.proj(y)
         return x + self.norm(y), h, c
+
+    def call_tm(self, x_t, h=None, c=None, train: bool = False):
+        """Time-major __call__: x_t [K, B, C] (see SkiM TM_BLOCKS).
+
+        Identical math — proj/norm/residual are last-axis ops, so only
+        the LSTM scan needed a native time-major entry."""
+        B = x_t.shape[1]
+        D = 2 if self.bi else 1
+        if h is None:
+            h = jnp.zeros((D, B, self.hidden_size), x_t.dtype)
+        if c is None:
+            c = jnp.zeros((D, B, self.hidden_size), x_t.dtype)
+        y, (h, c) = self.lstm.call_tm(x_t, (h, c))
+        y = self.drop(y, deterministic=not train)
+        y = self.proj(y)
+        return x_t + self.norm(y), h, c
 
 
 class MemLSTM(nn.Module):
@@ -182,8 +209,9 @@ class SkiM(nn.Module):
             embed = embed / jnp.linalg.norm(embed, axis=1, keepdims=True).clip(1e-12)
         return embed
 
-    def _fuse(self, i, x, embed):
-        """x: [B, K, C], embed: [B, E] -> fused [B, K, C]."""
+    def _fuse(self, i, x, embed, batch_axis: int = 0):
+        """x: [B, K, C] (batch_axis=0) or time-major [K, B, C]
+        (batch_axis=1), embed: [B, E] -> fused, same layout as x."""
         if embed is not None and self.block_with_embed and self.block_with_embed[i]:
             fusion = self.seg_input_fusion[i]
             if isinstance(fusion, FiLM):
@@ -191,9 +219,13 @@ class SkiM(nn.Module):
                 # round trips (round-5 HBM audit — the swaps around the
                 # conditioning convs were a top transpose-copy source in
                 # the train step)
-                return fusion(x, embed, feature_last=True)
+                return fusion(x, embed, feature_last=True,
+                              batch_axis=batch_axis)
+            if batch_axis == 1:
+                x = jnp.swapaxes(x, 0, 1)
             y = fusion(jnp.swapaxes(x, 1, 2), embed)
-            return jnp.swapaxes(y, 1, 2)
+            y = jnp.swapaxes(y, 1, 2)
+            return jnp.swapaxes(y, 0, 1) if batch_axis == 1 else y
         return x
 
     def _output(self, x):
@@ -223,16 +255,33 @@ class SkiM(nn.Module):
             embed_rep = None
 
         output = seg.reshape(N * S, K, C)
+        # TM_BLOCKS: run the whole block stack TIME-MAJOR ([K, N*S, C]) —
+        # the fused-projection LSTM kernel's native layout. One transpose
+        # in, one out, instead of x/y (+ dy/dx in backward) transpose
+        # materializations around the kernel in EVERY block (round-5 HBM
+        # audit: ~27-69 MB each at flagship training shapes). All block
+        # ops are last-axis (FiLM, proj, norm, residual), so the math is
+        # identical.
+        tm = TM_BLOCKS and not self.seg_overlap
+        if tm:
+            output = jnp.swapaxes(output, 0, 1)
         h = c = None
         for i in range(self.n_blocks):
-            output = self._fuse(i, output, embed_rep)
-            output, h, c = self.seg_lstm[i](output, h, c, train=train)
+            output = self._fuse(i, output, embed_rep,
+                                batch_axis=1 if tm else 0)
+            if tm:
+                output, h, c = self.seg_lstm[i].call_tm(output, h, c,
+                                                        train=train)
+            else:
+                output, h, c = self.seg_lstm[i](output, h, c, train=train)
             if i < self.n_blocks - 1:
                 D = h.shape[0]
                 h_n = h.reshape(D, N, S, self.hidden_size).transpose(1, 2, 0, 3)
                 c_n = c.reshape(D, N, S, self.hidden_size).transpose(1, 2, 0, 3)
                 h, c = self.mem_lstm[i](h_n, c_n, train=train)
 
+        if tm:
+            output = jnp.swapaxes(output, 0, 1)
         if self.seg_overlap:
             output = output.reshape(N, S, K, C)
             output = SplitMerge.merge(output, rest)

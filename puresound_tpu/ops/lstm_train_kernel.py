@@ -690,3 +690,63 @@ def _bwd_rule_fp(reverse, b_tile, interpret, dot_dtype, res, cts):
 
 
 lstm_scan_train_fp.defvjp(_fwd_rule_fp, _bwd_rule_fp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def lstm_scan_train_fp_tm(x_t, h0, c0, w_ih, bias, w_hh,
+                          reverse: bool = False, b_tile: int = 0,
+                          interpret: bool = False, dot_dtype=jnp.float32):
+    """TIME-MAJOR lstm_scan_train_fp: x_t [T, B, C] -> (y_t [T, B, H], hT, cT).
+
+    The kernel-native layout end to end: a caller that keeps its whole
+    block stack time-major (nnet/skim.py TM_BLOCKS) pays NO transpose
+    materializations around the kernel — the batch-major wrapper's
+    swapaxes on x/y/dy/dx were ~4 x 27-69 MB of HBM writes per SkiM
+    block per pass (round-5 HLO audit)."""
+    T, B, C = x_t.shape
+    y_t, hT, cT, _, _ = _fwd_call_fp(x_t, h0, c0, w_ih, bias, w_hh,
+                                     reverse, _resolve_tile(B, b_tile),
+                                     interpret, dot_dtype)
+    return y_t, hT, cT
+
+
+def _fwd_rule_fp_tm(x_t, h0, c0, w_ih, bias, w_hh, reverse, b_tile,
+                    interpret, dot_dtype):
+    B = x_t.shape[1]
+    y_t, hT, cT, gates, cseq = _fwd_call_fp(
+        x_t, h0, c0, w_ih, bias, w_hh, reverse, _resolve_tile(B, b_tile),
+        interpret, dot_dtype)
+    return ((y_t, hT, cT),
+            (gates, cseq, c0, h0, y_t, x_t, w_ih, w_hh, bias))
+
+
+def _bwd_rule_fp_tm(reverse, b_tile, interpret, dot_dtype, res, cts):
+    gates, cseq, c0, h0, y_t, x_t, w_ih, w_hh, bias = res
+    dy_t, dhT, dcT = cts
+    T, B, H4 = gates.shape
+    H = H4 // 4
+    b_tile = _resolve_tile(B, b_tile)
+
+    if reverse:
+        hprev = jnp.concatenate([y_t[1:], h0[None].astype(y_t.dtype)],
+                                axis=0)
+        cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
+                                axis=0)
+    else:
+        hprev = jnp.concatenate([h0[None].astype(y_t.dtype), y_t[:-1]],
+                                axis=0)
+        cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
+                                axis=0)
+
+    dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
+    dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
+    dx_t, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
+        gates, cseq, cprev, hprev, x_t, dy_t,
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh, w_ih,
+        reverse, b_tile, interpret, dot_dtype)
+    return (dx_t, dh0.astype(h0.dtype), dc0.astype(c0.dtype),
+            dwih.astype(w_ih.dtype), dbias.reshape(-1).astype(bias.dtype),
+            dwhh.astype(w_hh.dtype))
+
+
+lstm_scan_train_fp_tm.defvjp(_fwd_rule_fp_tm, _bwd_rule_fp_tm)

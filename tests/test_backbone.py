@@ -289,3 +289,39 @@ def test_dprnn_embedding_free_matches_torch(torch_oracle, rng):
         p = tmap.variables(tmap.dprnn(tm))
         j_out = np.asarray(jm.apply(p, jnp.asarray(x), jnp.asarray(enroll)))
     np.testing.assert_allclose(j_out, t_out, atol=1e-9, rtol=1e-7)
+
+
+def test_skim_tm_blocks_equals_batch_major():
+    """PURESOUND_TM_BLOCKS (time-major offline block stack) is bit-equal
+    to the batch-major path — causal AND bidirectional. A measured
+    NEGATIVE perf result (round 5: bytes/step UP on the TPU toolchain),
+    kept as a flagged A/B; this test keeps the flag correct."""
+    import numpy as np
+
+    import puresound_tpu.nnet.skim as skim_mod
+    from puresound_tpu.nnet.skim import SkiM
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 24, 95)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+    m = SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=3,
+             seg_size=10, seg_overlap=False, causal=True, embed_dim=8,
+             embed_norm=True, embed_fusion="FiLM", block_with_embed=(1, 0, 1))
+    v = m.init(jax.random.PRNGKey(0), x, e)
+    m2 = SkiM(input_size=24, hidden_size=16, output_size=24, n_blocks=2,
+              seg_size=10, seg_overlap=False, causal=False)
+    v2 = m2.init(jax.random.PRNGKey(1), x)
+    prev = skim_mod.TM_BLOCKS
+    try:
+        skim_mod.TM_BLOCKS = True
+        y_tm = m.apply(v, x, e)
+        z_tm = m2.apply(v2, x)
+        skim_mod.TM_BLOCKS = False
+        y_bm = m.apply(v, x, e)
+        z_bm = m2.apply(v2, x)
+    finally:
+        skim_mod.TM_BLOCKS = prev
+    np.testing.assert_allclose(np.asarray(y_tm), np.asarray(y_bm),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_tm), np.asarray(z_bm),
+                               atol=2e-5)
