@@ -425,8 +425,15 @@ def _fwd_kernel_fp(nT: int, u: int, reverse: bool, dot_dtype):
 
 
 def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
-    def kernel(gates_ref, cseq_ref, cprev_ref, hprev_ref, x_ref, dy_ref,
-               dhT_ref, dcT_ref, whh_ref, wih_ref,
+    """u must be 1 (guaranteed by _pick_u): the previous-step h/c arrive
+    as SHIFTED blocks of the forward's own y/cseq outputs (yprev_ref /
+    csprev_ref, clamped index maps) with the boundary step selecting the
+    resident h0/c0 blocks — the host-side hprev/cprev concats those
+    shifted views used to be materialized (~69 MB per block-direction per
+    backward at flagship training shapes, round-5)."""
+
+    def kernel(gates_ref, cseq_ref, csprev_ref, yprev_ref, x_ref, dy_ref,
+               dhT_ref, dcT_ref, h0_ref, c0_ref, whh_ref, wih_ref,
                dx_ref, dh0_ref, dc0_ref, dwhh_ref, dwih_ref, dbias_ref,
                dh_scr, dc_scr, dw_scr, dwi_scr, db_scr):
         b = pl.program_id(0)
@@ -446,6 +453,10 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
         dw = jnp.zeros_like(dw_scr)
         dwi = jnp.zeros_like(dwi_scr)
         db = jnp.zeros_like(db_scr)
+        # the boundary grid step processes the forward's FIRST step (its
+        # previous state is h0/c0, not a shifted y/cseq block) — with both
+        # time walks, that is the LAST grid iteration
+        at_h0 = (t == nT - 1)
         for kk in range(u):
             k = kk if fwd_reverse else u - 1 - kk
             gates = gates_ref[k].astype(jnp.float32)
@@ -454,7 +465,10 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
             g = gates[:, 2 * H:3 * H]
             o = gates[:, 3 * H:]
             c_new = cseq_ref[k].astype(jnp.float32)
-            c_prev = cprev_ref[k].astype(jnp.float32)
+            c_prev = jnp.where(at_h0, c0_ref[:].astype(jnp.float32),
+                               csprev_ref[k].astype(jnp.float32))
+            hprev_k = jnp.where(at_h0, h0_ref[:].astype(jnp.float32),
+                                yprev_ref[k].astype(jnp.float32))
             tanh_c = jnp.tanh(c_new)
 
             dh = dh_c + dy_ref[k].astype(jnp.float32)
@@ -472,7 +486,7 @@ def _bwd_kernel_fp(nT: int, nb: int, u: int, fwd_reverse: bool, dot_dtype):
                            whh_ref[:].astype(dot_dtype).T,
                            preferred_element_type=jnp.float32)
             dc_c = dc * f
-            dw += jnp.dot(hprev_ref[k].astype(dot_dtype).T,
+            dw += jnp.dot(hprev_k.astype(dot_dtype).T,
                           dgates.astype(dot_dtype),
                           preferred_element_type=jnp.float32)
             dwi += jnp.dot(x_ref[k].astype(dot_dtype).T,
@@ -555,16 +569,23 @@ def _fwd_call_fp(x_t, h0, c0, w_ih, bias, w_hh, reverse, b_tile, interpret,
     )(x_t, h0, c0, w_ih, bias.reshape(1, -1), w_hh)
 
 
-def _bwd_call_fp(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih,
+def _bwd_call_fp(gates, cseq, y_t, x_t, dy_t, dhT, dcT, h0, c0, w_hh, w_ih,
                  reverse, b_tile, interpret, dot_dtype):
     T, B, H4 = gates.shape
     H = H4 // 4
     C = x_t.shape[-1]
     nb = B // b_tile
     u = _pick_u(T)
+    assert u == 1, "no-concat prev-state blocks require u == 1 (_pick_u)"
     nT = T // u
     tmap = _tmap(not reverse, nT)
     bmap = lambda b, t: (b, 0)
+    # previous-step h/c as SHIFTED (clamped at the boundary) blocks of the
+    # forward's y/cseq; the boundary grid step selects h0/c0 in-kernel
+    if reverse:
+        pmap = lambda b, t: (jnp.minimum(t + 1, nT - 1), b, 0)
+    else:
+        pmap = lambda b, t: (jnp.maximum(nT - 2 - t, 0), b, 0)
     kernel = _bwd_kernel_fp(nT, nb, u, reverse, dot_dtype)
     return pl.pallas_call(
         kernel,
@@ -572,10 +593,12 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih,
         in_specs=[
             pl.BlockSpec((u, b_tile, H4), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b_tile, H), pmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, C), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, b_tile, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, H), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_hh.shape, lambda b, t: (0, 0),
@@ -613,7 +636,7 @@ def _bwd_call_fp(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(gates, cseq, cprev, hprev, x_t, dy_t, dhT, dcT, w_hh, w_ih)
+    )(gates, cseq, cseq, y_t, x_t, dy_t, dhT, dcT, h0, c0, w_hh, w_ih)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -666,23 +689,12 @@ def _bwd_rule_fp(reverse, b_tile, interpret, dot_dtype, res, cts):
     H = H4 // 4
     b_tile = _resolve_tile(B, b_tile)
 
-    if reverse:
-        hprev = jnp.concatenate([y_t[1:], h0[None].astype(y_t.dtype)],
-                                axis=0)
-        cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
-                                axis=0)
-    else:
-        hprev = jnp.concatenate([h0[None].astype(y_t.dtype), y_t[:-1]],
-                                axis=0)
-        cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
-                                axis=0)
-
     dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
     dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
     dx_t, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
-        gates, cseq, cprev, hprev, x_t, dy_t,
-        dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh, w_ih,
-        reverse, b_tile, interpret, dot_dtype)
+        gates, cseq, y_t, x_t, dy_t,
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32), h0, c0, w_hh,
+        w_ih, reverse, b_tile, interpret, dot_dtype)
     return (jnp.swapaxes(dx_t, 0, 1), dh0.astype(h0.dtype),
             dc0.astype(c0.dtype),
             dwih.astype(w_ih.dtype), dbias.reshape(-1).astype(bias.dtype),
@@ -727,23 +739,12 @@ def _bwd_rule_fp_tm(reverse, b_tile, interpret, dot_dtype, res, cts):
     H = H4 // 4
     b_tile = _resolve_tile(B, b_tile)
 
-    if reverse:
-        hprev = jnp.concatenate([y_t[1:], h0[None].astype(y_t.dtype)],
-                                axis=0)
-        cprev = jnp.concatenate([cseq[1:], c0[None].astype(cseq.dtype)],
-                                axis=0)
-    else:
-        hprev = jnp.concatenate([h0[None].astype(y_t.dtype), y_t[:-1]],
-                                axis=0)
-        cprev = jnp.concatenate([c0[None].astype(cseq.dtype), cseq[:-1]],
-                                axis=0)
-
     dhT = jnp.zeros((B, H), jnp.float32) if dhT is None else dhT
     dcT = jnp.zeros((B, H), jnp.float32) if dcT is None else dcT
     dx_t, dh0, dc0, dwhh, dwih, dbias = _bwd_call_fp(
-        gates, cseq, cprev, hprev, x_t, dy_t,
-        dhT.astype(jnp.float32), dcT.astype(jnp.float32), w_hh, w_ih,
-        reverse, b_tile, interpret, dot_dtype)
+        gates, cseq, y_t, x_t, dy_t,
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32), h0, c0, w_hh,
+        w_ih, reverse, b_tile, interpret, dot_dtype)
     return (dx_t, dh0.astype(h0.dtype), dc0.astype(c0.dtype),
             dwih.astype(w_ih.dtype), dbias.reshape(-1).astype(bias.dtype),
             dwhh.astype(w_hh.dtype))

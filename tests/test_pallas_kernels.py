@@ -755,3 +755,41 @@ def test_center_masker_kernel_int8_hh_accuracy(rng):
     a, b = np.asarray(y0), np.asarray(y1)
     snr = 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-20))
     assert snr > 30, snr
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_train_fp_tm_matches_scan_grads(rng, reverse):
+    """lstm_scan_train_fp_tm (time-major entry, shared no-concat backward)
+    must match the batch-major fp path's values and gradients exactly —
+    both walk the same kernels; only the wrapper transposes differ."""
+    from puresound_tpu.ops.lstm_train_kernel import (lstm_scan_train_fp,
+                                                     lstm_scan_train_fp_tm)
+
+    B, T, H, C = 8, 12, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32) * 0.4)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.3)
+    wih = jnp.asarray(rng.standard_normal((C, 4 * H)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.2)
+    whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    w = jnp.cos(jnp.arange(B * T * H).reshape(B, T, H) * 0.1)
+
+    def loss_bm(a):
+        y, hT, cT = lstm_scan_train_fp(*a, reverse, 4, True)
+        return jnp.sum(y * w) + jnp.sum(hT**2) + jnp.sum(cT * 0.3)
+
+    def loss_tm(a):
+        y_t, hT, cT = lstm_scan_train_fp_tm(
+            jnp.swapaxes(a[0], 0, 1), *a[1:], reverse, 4, True)
+        return (jnp.sum(jnp.swapaxes(y_t, 0, 1) * w) + jnp.sum(hT**2)
+                + jnp.sum(cT * 0.3))
+
+    args = (x, h0, c0, wih, bias, whh)
+    np.testing.assert_allclose(np.asarray(loss_tm(args)),
+                               np.asarray(loss_bm(args)), rtol=1e-6)
+    g_tm = jax.grad(loss_tm)(args)
+    g_bm = jax.grad(loss_bm)(args)
+    for a, b, n in zip(g_tm, g_bm, ("dx", "dh0", "dc0", "dwih", "dbias",
+                                    "dwhh")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=n)
